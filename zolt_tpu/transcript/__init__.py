@@ -1,0 +1,4 @@
+from .blake2b import Blake2bTranscript
+from .keccak import KeccakTranscript, keccak_f
+
+__all__ = ["Blake2bTranscript", "KeccakTranscript", "keccak_f"]
