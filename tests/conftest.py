@@ -1,12 +1,17 @@
 """Test configuration: run everything on CPU with 8 virtual devices so the
 multi-chip sharding paths (mesh, shard_map, collectives) are exercised without
-TPU hardware. Must set env vars before jax is imported anywhere."""
+TPU hardware. Must run before any backend initialization.
+
+Note: this environment pins jax_platforms to "axon,cpu" (the TPU tunnel) at the
+config-default level, so the JAX_PLATFORMS env var alone does not win —
+jax.config.update does."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402, F401  (import ensures platform config is locked in)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -168,46 +168,51 @@ def neg(a, f: FieldConst = FR_C):
 
 @partial(jax.jit, static_argnames="f")
 def mont_mul(a, b, f: FieldConst = FR_C):
-    """CIOS Montgomery multiplication: returns a*b*R^{-1} mod p.
+    """Montgomery multiplication a*b*R^{-1} mod p via column sums + lazy REDC.
 
-    Word-serial CIOS over 16-bit words carried in uint32 (reference algorithm
-    shape: src/field/mod.zig:734-779, re-derived for 16-bit words). Fully
-    unrolled at trace time; vectorizes over all leading batch dims.
+    TPU-shaped formulation (vs the reference's word-serial CIOS,
+    src/field/mod.zig:734-779): one broadcast outer product gives all 256 limb
+    products at once; their 16-bit halves are accumulated into 32 product
+    columns (each column holds < 2^22, safely inside uint32); Montgomery
+    reduction then runs 16 short steps, each adding m_i*p as two half-columns —
+    a per-step cost of ~6 wide vector ops instead of a 16-step carry chain.
+    Final carry propagation normalizes back to 16-bit limbs.
+
+    Overflow audit (all in uint32): outer products < 2^32 exact; column
+    accumulations <= 64 terms * (2^16-1) < 2^22; REDC carry < 2^7 + columns.
+    Result < 2p (standard REDC bound), fixed by one conditional subtract.
     """
-    al, bl = _split(a), _split(b)
-    shape = jnp.broadcast_shapes(al[0].shape, bl[0].shape)
-    zero = jnp.zeros(shape, dtype=_U32)
-    t = [zero] * (N_LIMBS + 2)
-    p = [np.uint32(l) for l in f.p_limbs]
-    inv = np.uint32(f.inv)
     mask = np.uint32(LIMB_MASK)
+    inv = np.uint32(f.inv)
+    p_vec = const_vec(f.p_limbs)
 
+    prod = a[..., :, None] * b[..., None, :]       # (..., 16, 16), exact in u32
+    lo = prod & mask
+    hi = prod >> LIMB_BITS
+
+    shape = prod.shape[:-2]
+    T = jnp.zeros(shape + (2 * N_LIMBS + 1,), dtype=_U32)
     for i in range(N_LIMBS):
-        ai = al[i]
-        # multiply-accumulate row: t += a_i * b
-        carry = zero
-        for j in range(N_LIMBS):
-            s = t[j] + ai * bl[j] + carry          # <= 2^32 - 1 exactly
-            t[j] = s & mask
-            carry = s >> LIMB_BITS
-        s = t[N_LIMBS] + carry
-        t[N_LIMBS] = s & mask
-        t[N_LIMBS + 1] = s >> LIMB_BITS
+        T = T.at[..., i : i + N_LIMBS].add(lo[..., i, :])
+        T = T.at[..., i + 1 : i + 1 + N_LIMBS].add(hi[..., i, :])
 
-        # reduction: m = t0 * inv mod 2^16; t = (t + m*p) >> 16
-        m = (t[0] * inv) & mask
-        s = t[0] + m * p[0]
-        carry = s >> LIMB_BITS
-        for j in range(1, N_LIMBS):
-            s = t[j] + m * p[j] + carry
-            t[j - 1] = s & mask
-            carry = s >> LIMB_BITS
-        s = t[N_LIMBS] + carry
-        t[N_LIMBS - 1] = s & mask
-        t[N_LIMBS] = t[N_LIMBS + 1] + (s >> LIMB_BITS)
-        t[N_LIMBS + 1] = zero
+    carry = jnp.zeros(shape, dtype=_U32)
+    for i in range(N_LIMBS):
+        t = T[..., i] + carry
+        m = (t * inv) & mask
+        mp = m[..., None] * p_vec                  # (..., 16) < 2^32 exact
+        T = T.at[..., i : i + N_LIMBS].add(mp & mask)
+        T = T.at[..., i + 1 : i + 1 + N_LIMBS].add(mp >> LIMB_BITS)
+        carry = (T[..., i] + carry) >> LIMB_BITS   # low 16 bits are now 0 mod 2^16
 
-    return _join(_cond_sub_p(t[:N_LIMBS], t[N_LIMBS], f))
+    # normalize columns 16..31 (+ carry) into canonical 16-bit limbs
+    out = []
+    for i in range(N_LIMBS):
+        v = T[..., N_LIMBS + i] + carry
+        out.append(v & mask)
+        carry = v >> LIMB_BITS
+    # result < 2p < 2^255 ⇒ no residual carry past limb 15
+    return _join(_cond_sub_p(out, jnp.zeros(shape, dtype=_U32), f))
 
 
 @partial(jax.jit, static_argnames="f")
