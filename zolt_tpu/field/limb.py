@@ -60,6 +60,22 @@ FR_C = _mk_const(FR)
 FP_C = _mk_const(FP)
 
 
+def _make_sel() -> tuple[np.ndarray, np.ndarray]:
+    """0/1 anti-diagonal selection matrices mapping the flattened 16x16 limb
+    products onto the 33 columns of the 512-bit product."""
+    w = 2 * N_LIMBS + 1
+    sel_lo = np.zeros((N_LIMBS * N_LIMBS, w), dtype=np.float32)
+    sel_hi = np.zeros((N_LIMBS * N_LIMBS, w), dtype=np.float32)
+    for i in range(N_LIMBS):
+        for j in range(N_LIMBS):
+            sel_lo[i * N_LIMBS + j, i + j] = 1.0
+            sel_hi[i * N_LIMBS + j, i + j + 1] = 1.0
+    return sel_lo, sel_hi
+
+
+_SEL_LO, _SEL_HI = _make_sel()
+
+
 # ---------------------------------------------------------------------------
 # Host <-> device conversion
 # ---------------------------------------------------------------------------
@@ -187,32 +203,53 @@ def mont_mul(a, b, f: FieldConst = FR_C):
     p_vec = const_vec(f.p_limbs)
 
     prod = a[..., :, None] * b[..., None, :]       # (..., 16, 16), exact in u32
-    lo = prod & mask
-    hi = prod >> LIMB_BITS
+    lo = (prod & mask).astype(jnp.float32)
+    hi = (prod >> LIMB_BITS).astype(jnp.float32)
 
+    # Column sums via 0/1 selection matmuls — exact in f32 (terms < 2^16,
+    # column sums < 2^21 < 2^24 mantissa) and MXU-eligible on TPU. Column k of
+    # the 512-bit product collects lo[i,j] with i+j==k and hi[i,j] with
+    # i+j+1==k.
+    W = 2 * N_LIMBS + 1  # 33 columns
+    sel_lo = _SEL_LO
+    sel_hi = _SEL_HI
     shape = prod.shape[:-2]
-    T = jnp.zeros(shape + (2 * N_LIMBS + 1,), dtype=_U32)
-    for i in range(N_LIMBS):
-        T = T.at[..., i : i + N_LIMBS].add(lo[..., i, :])
-        T = T.at[..., i + 1 : i + 1 + N_LIMBS].add(hi[..., i, :])
+    lo_flat = lo.reshape(shape + (N_LIMBS * N_LIMBS,))
+    hi_flat = hi.reshape(shape + (N_LIMBS * N_LIMBS,))
+    # Precision.HIGHEST is required: TPU MXU default truncates f32 inputs to
+    # bf16, destroying the exact integer sums. HIGHEST (bf16x3 decomposition)
+    # is exact here because the selection matrix is 0/1 and sums stay < 2^24.
+    T = (
+        jnp.dot(lo_flat, sel_lo, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(hi_flat, sel_hi, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    ).astype(_U32)                                  # (..., 33), each < 2^22
 
+    # REDC: 16 steps; each clears the current lowest column and shrinks T by
+    # one. No dynamic-update-slices — addends are aligned with static pads.
+    for i in range(N_LIMBS):
+        width = W - i
+        t0 = T[..., 0]
+        m = (t0 * inv) & mask
+        mp = m[..., None] * p_vec                   # (..., 16) < 2^32 exact
+        pad_lo = [(0, 0)] * len(shape) + [(0, width - N_LIMBS)]
+        pad_hi = [(0, 0)] * len(shape) + [(1, width - N_LIMBS - 1)]
+        T = T + jnp.pad(mp & mask, pad_lo) + jnp.pad(mp >> LIMB_BITS, pad_hi)
+        carry = T[..., 0] >> LIMB_BITS              # low 16 bits now ≡ 0
+        T = T[..., 1:]
+        T = T + jnp.pad(carry[..., None], [(0, 0)] * len(shape) + [(0, width - 2)])
+
+    # normalize 17 remaining columns into canonical 16-bit limbs
     carry = jnp.zeros(shape, dtype=_U32)
-    for i in range(N_LIMBS):
-        t = T[..., i] + carry
-        m = (t * inv) & mask
-        mp = m[..., None] * p_vec                  # (..., 16) < 2^32 exact
-        T = T.at[..., i : i + N_LIMBS].add(mp & mask)
-        T = T.at[..., i + 1 : i + 1 + N_LIMBS].add(mp >> LIMB_BITS)
-        carry = (T[..., i] + carry) >> LIMB_BITS   # low 16 bits are now 0 mod 2^16
-
-    # normalize columns 16..31 (+ carry) into canonical 16-bit limbs
     out = []
     for i in range(N_LIMBS):
-        v = T[..., N_LIMBS + i] + carry
+        v = T[..., i] + carry
         out.append(v & mask)
         carry = v >> LIMB_BITS
-    # result < 2p < 2^255 ⇒ no residual carry past limb 15
-    return _join(_cond_sub_p(out, jnp.zeros(shape, dtype=_U32), f))
+    carry = carry + T[..., N_LIMBS]
+    # result < 2p < 2^255 ⇒ carry can only be 0 here; keep it in the compare
+    return _join(_cond_sub_p(out, carry, f))
 
 
 @partial(jax.jit, static_argnames="f")
