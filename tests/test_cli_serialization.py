@@ -1,0 +1,65 @@
+"""CLI + serialization round-trip tests."""
+
+import os
+
+import pytest
+
+from zolt_tpu import serialization
+from zolt_tpu.vm import MemoryConfig, Emulator
+from zolt_tpu.zkvm import prove_program
+
+FIB_ELF = "/root/reference/examples/fibonacci.elf"
+
+
+def small_proof():
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program((0x00500093).to_bytes(4, "little") + (0x0000006F).to_bytes(4, "little"))
+    emu.run()
+    proof, _ = prove_program(emu, log_k=10)
+    return proof
+
+
+def test_native_roundtrip():
+    proof = small_proof()
+    data = serialization.serialize(proof)
+    assert serialization.detect_format(data) == "native"
+    back = serialization.deserialize(data)
+    assert back.log_t == proof.log_t
+    assert [sp.challenges for sp in back.stage_proofs] == [sp.challenges for sp in proof.stage_proofs]
+    assert [sp.round_polys for sp in back.stage_proofs] == [sp.round_polys for sp in proof.stage_proofs]
+
+
+def test_json_roundtrip():
+    proof = small_proof()
+    s = serialization.to_json(proof)
+    assert serialization.detect_format(s.encode()) == "json"
+    back = serialization.from_json(s)
+    assert [sp.final_claims for sp in back.stage_proofs] == [sp.final_claims for sp in proof.stage_proofs]
+
+
+@pytest.mark.skipif(not os.path.exists(FIB_ELF), reason="reference ELF not present")
+def test_cli_run_and_decode(capsys):
+    from zolt_tpu.__main__ import main
+
+    assert main(["run", FIB_ELF]) == 0
+    out = capsys.readouterr().out
+    assert "a0 (x10): 55" in out
+
+    assert main(["decode", "0x02a00093"]) == 0
+    out = capsys.readouterr().out
+    assert "OP_IMM" in out and "rd=x1" in out
+
+
+@pytest.mark.skipif(not os.path.exists(FIB_ELF), reason="reference ELF not present")
+def test_cli_prove_verify_stats(tmp_path, capsys):
+    from zolt_tpu.__main__ import main
+
+    proof_path = str(tmp_path / "p.bin")
+    assert main(["prove", FIB_ELF, "-o", proof_path, "--log-k", "10"]) == 0
+    capsys.readouterr()
+    assert main(["verify", proof_path]) == 0
+    out = capsys.readouterr().out
+    assert "PASSED" in out
+    assert main(["stats", proof_path]) == 0
+    out = capsys.readouterr().out
+    assert "stage6 booleanity" in out

@@ -1,0 +1,76 @@
+"""End-to-end internal multi-stage prove/verify on real traced programs."""
+
+import os
+
+import pytest
+
+from zolt_tpu.r1cs import constraints as rc
+from zolt_tpu.vm import MemoryConfig, Emulator, pad_with_noop, run_elf
+from zolt_tpu.zkvm import prove_program, verify
+from zolt_tpu.zkvm.stages import _ceil_log2
+
+FIB_ELF = "/root/reference/examples/fibonacci.elf"
+
+
+def asm_words(*words) -> bytes:
+    return b"".join(w.to_bytes(4, "little") for w in words)
+
+
+def run_program(words):
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program(asm_words(*words))
+    emu.run()
+    return emu
+
+
+def num_constraint_vars(padded):
+    return _ceil_log2(len(padded) * rc.NUM_CONSTRAINTS)
+
+
+def test_prove_verify_small_program():
+    emu = run_program([
+        0x00500093,  # addi x1, x0, 5
+        0x00000113,  # addi x2, x0, 0
+        0x00110133,  # add x2, x2, x1
+        0xFFF08093,  # addi x1, x1, -1
+        0xFE101CE3,  # bne x1, x0, -8
+        0x0000006F,
+    ])
+    proof, padded = prove_program(emu, log_k=10)
+    assert verify(proof, num_constraint_vars(padded))
+
+
+def test_prove_verify_memory_program():
+    lui_x2 = (0x80001 << 12) | (2 << 7) | 0x37
+    emu = run_program([
+        0x12300093, lui_x2, 0x00113023, 0x00013183, 0x40208233, 0x022081B3,
+        0x0000006F,
+    ])
+    proof, padded = prove_program(emu, log_k=10)
+    assert verify(proof, num_constraint_vars(padded))
+
+
+def test_verify_rejects_tampered_stage1():
+    emu = run_program([0x00500093, 0x0000006F])
+    proof, padded = prove_program(emu, log_k=10)
+    proof.stage_proofs[0].round_polys[3][0] = (proof.stage_proofs[0].round_polys[3][0] + 1) % (2**200)
+    with pytest.raises(AssertionError):
+        verify(proof, num_constraint_vars(padded))
+
+
+def test_verify_rejects_tampered_lasso_claim():
+    emu = run_program([0x00500093, 0x0000006F])
+    proof, padded = prove_program(emu, log_k=10)
+    sp = proof.stage_proofs[2]
+    sp.final_claims[0] = (sp.final_claims[0] + 1)
+    with pytest.raises(AssertionError):
+        verify(proof, num_constraint_vars(padded))
+
+
+@pytest.mark.skipif(not os.path.exists(FIB_ELF), reason="reference ELF not present")
+def test_prove_verify_fibonacci():
+    emu = run_elf(FIB_ELF)
+    proof, padded = prove_program(emu, log_k=10)
+    assert verify(proof, num_constraint_vars(padded))
+    # six stages present
+    assert len(proof.stage_proofs) == 6

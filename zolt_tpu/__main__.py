@@ -1,0 +1,173 @@
+"""zolt-tpu CLI: prove / verify / run / trace / decode / stats / info / bench.
+
+Command surface mirrors the reference CLI (src/main.zig:139-164):
+    python -m zolt_tpu run <elf> [--max N]
+    python -m zolt_tpu trace <elf>
+    python -m zolt_tpu decode <hex-instruction>
+    python -m zolt_tpu prove <elf> [-o proof.bin] [--json] [--log-k N]
+    python -m zolt_tpu verify <proof>
+    python -m zolt_tpu stats <proof>
+    python -m zolt_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load_and_run(path: str, inputs: bytes = b"", max_cycles: int = 1 << 24):
+    from .vm import run_elf
+
+    return run_elf(path, inputs=inputs, max_cycles=max_cycles)
+
+
+def cmd_run(args) -> int:
+    emu = _load_and_run(args.elf, max_cycles=args.max)
+    print(f"cycles: {emu.cycle}")
+    print(f"a0 (x10): {emu.registers.registers[10]}")
+    if args.regs:
+        for i in range(32):
+            v = emu.registers.registers[i]
+            if v:
+                print(f"  x{i:<2} = {v:#x}")
+    outputs = emu.get_outputs()
+    if outputs:
+        print(f"outputs: {outputs.hex()}")
+    return 0
+
+
+def cmd_trace(args) -> int:
+    from .vm import decode as dec
+
+    emu = _load_and_run(args.elf, max_cycles=args.max)
+    for s in emu.trace:
+        d = dec.decode(s.instruction)
+        print(f"{s.cycle:>6}  pc={s.pc:#010x}  {s.instruction:08x}  "
+              f"{d.opcode.name:<10} rd=x{d.rd} rs1=x{d.rs1} rs2=x{d.rs2} imm={d.imm}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .vm import decode as dec
+
+    instr = int(args.instruction, 16)
+    if dec.is_compressed(instr & 0xFFFF) and instr <= 0xFFFF:
+        expanded = dec.expand_compressed(instr)
+        print(f"compressed {instr:#06x} -> {expanded:#010x}")
+        instr = expanded
+    d = dec.decode(instr)
+    print(f"opcode={d.opcode.name} format={d.format} rd=x{d.rd} rs1=x{d.rs1} "
+          f"rs2=x{d.rs2} funct3={d.funct3:#o} funct7={d.funct7:#x} imm={d.imm}")
+    return 0
+
+
+def cmd_prove(args) -> int:
+    from . import serialization
+    from .zkvm import prove_program
+
+    t0 = time.time()
+    emu = _load_and_run(args.elf)
+    t1 = time.time()
+    proof, padded = prove_program(emu, log_k=args.log_k)
+    t2 = time.time()
+    data = serialization.to_json(proof).encode() if args.json else serialization.serialize(proof)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
+    print(f"emulate: {t1 - t0:.2f}s  prove: {t2 - t1:.2f}s")
+    print(f"proof: {len(data)} bytes -> {args.output}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from . import serialization
+    from .r1cs import constraints as rc
+    from .zkvm import verify
+    from .zkvm.stages import _ceil_log2
+
+    data = open(args.proof, "rb").read()
+    fmt = serialization.detect_format(data)
+    proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
+    ncv = proof.log_t + _ceil_log2(rc.NUM_CONSTRAINTS)
+    t0 = time.time()
+    try:
+        verify(proof, ncv)
+    except AssertionError as e:
+        print(f"FAILED: {e}")
+        return 1
+    print(f"PASSED ({time.time() - t0:.2f}s, format={fmt})")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from . import serialization
+
+    data = open(args.proof, "rb").read()
+    fmt = serialization.detect_format(data)
+    proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
+    print(f"format: {fmt}, {len(data)} bytes, log_t={proof.log_t}, log_k={proof.log_k}")
+    names = ["stage1 spartan", "stage2 ram-raf", "stage3 lasso", "stage4 ram-val",
+             "stage5 registers", "stage6 booleanity"]
+    for name, sp in zip(names, proof.stage_proofs):
+        n_el = sum(len(rp) for rp in sp.round_polys) + len(sp.challenges) + len(sp.final_claims)
+        print(f"  {name:<18} rounds={len(sp.round_polys):>3}  field elements={n_el:>5}"
+              f"  ({n_el * 32} bytes)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+
+    print(f"zolt-tpu {__version__}")
+    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    print("BN254 Jolt-style zkVM prover, TPU-native (JAX/XLA/Pallas)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="zolt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run an ELF in the emulator")
+    pr.add_argument("elf")
+    pr.add_argument("--max", type=int, default=1 << 24)
+    pr.add_argument("--regs", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pt = sub.add_parser("trace", help="print the execution trace")
+    pt.add_argument("elf")
+    pt.add_argument("--max", type=int, default=1 << 24)
+    pt.set_defaults(fn=cmd_trace)
+
+    pd = sub.add_parser("decode", help="decode a hex instruction")
+    pd.add_argument("instruction")
+    pd.set_defaults(fn=cmd_decode)
+
+    pp = sub.add_parser("prove", help="prove an ELF execution")
+    pp.add_argument("elf")
+    pp.add_argument("-o", "--output", default="proof.bin")
+    pp.add_argument("--json", action="store_true")
+    pp.add_argument("--log-k", type=int, default=10)
+    pp.set_defaults(fn=cmd_prove)
+
+    pv = sub.add_parser("verify", help="verify a proof")
+    pv.add_argument("proof")
+    pv.set_defaults(fn=cmd_verify)
+
+    ps = sub.add_parser("stats", help="proof statistics")
+    ps.add_argument("proof")
+    ps.set_defaults(fn=cmd_stats)
+
+    pi = sub.add_parser("info", help="version and device info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
