@@ -1,0 +1,67 @@
+"""Dory PCS tests: SRS derivation, GT matrix commit, reduce-and-fold open."""
+
+import numpy as np
+
+from zolt_tpu.curve import g2 as G2, host as G1
+from zolt_tpu.curve.pairing import multi_pairing, pairing
+from zolt_tpu.field import tower as tw
+from zolt_tpu.field.params import FR
+from zolt_tpu.pcs import dory
+from zolt_tpu.transcript import Blake2bTranscript
+
+P = FR.p
+RNG = np.random.default_rng(77)
+
+
+def rand_ints(n):
+    return [int.from_bytes(RNG.bytes(40), "little") % P for _ in range(n)]
+
+
+def test_srs_deterministic():
+    a = dory.setup(3)
+    b = dory.setup(3)
+    assert a.sigma == 2 and a.nu == 1
+    assert a.g1_vec == b.g1_vec and a.g2_vec == b.g2_vec
+    assert all(G1.is_on_curve(p) for p in a.g1_vec)
+    assert all(G2.is_on_curve(p) for p in a.g2_vec)
+
+
+def test_commit_matches_direct_pairing_product():
+    srs = dory.setup(3)  # 2 rows x 4 cols
+    evals = rand_ints(8)
+    c = dory.commit(srs, evals)
+    # oracle: Π_{r,c} e(m_rc·g1_c, g2_r) with one big multi-pairing
+    pairs = []
+    for r in range(2):
+        for col in range(4):
+            pairs.append((G1.scalar_mul(srs.g1_vec[col], evals[r * 4 + col]), srs.g2_vec[r]))
+    assert c == multi_pairing(pairs)
+
+
+def test_commit_gt_serialization_roundtrip():
+    srs = dory.setup(2)
+    c = dory.commit(srs, rand_ints(4))
+    b = dory.commitment_bytes(c)
+    assert len(b) == 384
+    assert tw.fp12_from_bytes(b) == c
+
+
+def test_g1_compression_roundtrip():
+    for k in (1, 2, 5, 7, 123456789):
+        pt = G1.scalar_mul(G1.G1_GEN, k)
+        assert dory.decompress_g1(dory.compress_g1(pt)) == pt
+    assert dory.decompress_g1(dory.compress_g1(None)) is None
+
+
+def test_open_and_structural_verify():
+    srs = dory.setup(3)
+    evals = rand_ints(8)
+    point = rand_ints(3)
+    c = dory.commit(srs, evals)
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs, evals, point, tp)
+    assert len(proof.first) == max(srs.nu, srs.sigma) == 2
+    tv = Blake2bTranscript(b"dory")
+    assert dory.verify_structure(srs, c, proof, tv)
+    # transcript determinism: prover and verifier end in identical states
+    assert tp.state == tv.state

@@ -94,3 +94,28 @@ def test_keccak_transcript_determinism_and_range():
     t3 = KeccakTranscript(b"Jolt")
     t3.append_scalar(b"lbl", 100)
     assert t3.challenge_scalar(b"c") != c1
+
+
+def test_preamble_golden_vector_vs_reference_log():
+    # logs/zolt.log:1163-1188 — fibonacci run preamble leaves the state at
+    # cf cf 19 f2 ff b0 c7 21 ...
+    from zolt_tpu.zkvm.preamble import fiat_shamir_preamble
+
+    t = Blake2bTranscript(b"Jolt")
+    t.append_u64(4096)
+    t.append_u64(4096)
+    t.append_u64(32768)
+    assert t.state[:8].hex() == "ce55d444de489554"  # log: state_before inputs
+    t.append_bytes(b"")  # inputs
+    assert t.state[:8].hex() == "e724bd96416d4e39"
+    t.append_bytes(b"")  # outputs
+    assert t.state[:8].hex() == "cfcf19f2ffb0c721"
+    # full preamble runs through the same path deterministically
+    t2 = Blake2bTranscript(b"Jolt")
+    fiat_shamir_preamble(
+        t2, max_input_size=4096, max_output_size=4096, memory_size=32768,
+        inputs=b"", outputs=b"", panic=False, ram_k=65536, trace_length=256)
+    t.append_u64(0)
+    t.append_u64(65536)
+    t.append_u64(256)
+    assert t2.state == t.state

@@ -120,6 +120,9 @@ def msm(points: list, scalars: list[int], windows_per_pass: int = 8):
     """
     n = len(points)
     assert n == len(scalars) and n > 0
+    if n < 32:
+        # tiny MSMs: host double-and-add beats device compile+transfer latency
+        return chost.msm(points, scalars)
     digs = _digits(scalars)  # (n, 32)
     X, Y, Z = dev.from_affine_host(points)
 

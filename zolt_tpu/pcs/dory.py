@@ -1,0 +1,391 @@
+"""Dory polynomial commitment scheme (Jolt-compatible GT commitments).
+
+Commit: the evaluation vector is a 2^ν × 2^σ matrix (σ = (n+1)//2); each row is
+a G1 MSM against g1_vec and the commitment is Π_row e(rowMSM, g2_vec[row]) ∈ GT
+— matching Jolt's matrix layout (reference: src/poly/commitment/dory.zig:989-
+1042). One shared final exponentiation via multi_pairing.
+
+SRS: deterministic generators from SHA3-256("Jolt Dory URS seed") with
+per-index SHA3(seed‖idx_le‖"G1"/"G2") scalars (dory.zig:setup+generateG1Point),
+plus the JOLT_DORY_SRS_V1 file loader.
+
+Open: the reduce-and-fold VMV protocol with Blake2b transcript challenges
+(dory.zig:1404-...): VMV message (C, D2, E1) → per-round FirstReduce
+(D1L/R, D2L/R, E1β, E2β) + β, SecondReduce (C±, E1±, E2±) + α folds → final
+scalar-product message. Verification of the folded relation is structural in
+round 1 (the reference's verify is also a placeholder, dory.zig:1381-1396);
+the full Dory verifier equations land in a later round.
+
+Arkworks point compression follows the arkworks flag convention: 32-byte (G1) /
+64-byte (G2) little-endian x with infinity (0x40) and y-lexicographically-
+largest (0x80) flags in the top byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from ..curve import g2 as G2
+from ..curve import host as G1
+from ..curve.pairing import multi_pairing
+from ..field import tower as tw
+from ..field.params import FP, FR
+from ..msm import msm as g1_msm
+
+P = FR.p
+PQ = FP.p
+
+
+# ---------------------------------------------------------------------------
+# Arkworks compression
+# ---------------------------------------------------------------------------
+
+def compress_g1(pt) -> bytes:
+    if pt is None:
+        out = bytearray(32)
+        out[31] |= 0x40
+        return bytes(out)
+    x, y = pt
+    out = bytearray(x.to_bytes(32, "little"))
+    if y > PQ - y:  # y lexicographically largest
+        out[31] |= 0x80
+    return bytes(out)
+
+
+def decompress_g1(data: bytes):
+    flags = data[31]
+    if flags & 0x40:
+        return None
+    x = int.from_bytes(data[:31] + bytes([flags & 0x3F]), "little")
+    y2 = (pow(x, 3, PQ) + 3) % PQ
+    y = _sqrt_fp(y2)
+    assert y is not None, "not on curve"
+    if bool(flags & 0x80) != (y > PQ - y):
+        y = PQ - y
+    return (x, y)
+
+
+def compress_g2(pt) -> bytes:
+    if pt is None:
+        out = bytearray(64)
+        out[63] |= 0x40
+        return bytes(out)
+    (x0, x1), (y0, y1) = pt
+    out = bytearray(x0.to_bytes(32, "little") + x1.to_bytes(32, "little"))
+    # y largest: compare (y1, y0) lexicographically vs its negation
+    ny0, ny1 = (-y0) % PQ, (-y1) % PQ
+    if (y1, y0) > (ny1, ny0):
+        out[63] |= 0x80
+    return bytes(out)
+
+
+def _sqrt_fp(a: int) -> int | None:
+    """Square root in Fp (p ≡ 3 mod 4 — direct exponent)."""
+    r = pow(a, (PQ + 1) // 4, PQ)
+    return r if r * r % PQ == a % PQ else None
+
+
+# ---------------------------------------------------------------------------
+# SRS
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DorySRS:
+    g1_vec: list
+    g2_vec: list
+    sigma: int
+    nu: int
+
+
+def _derive_scalar(seed: bytes, index: int, tag: bytes) -> int:
+    h = hashlib.sha3_256()
+    h.update(seed)
+    h.update(index.to_bytes(8, "little"))
+    h.update(tag)
+    return int.from_bytes(h.digest(), "little") % P
+
+
+def setup(max_num_vars: int) -> DorySRS:
+    sigma = (max_num_vars + 1) // 2
+    nu = max_num_vars - sigma
+    seed = hashlib.sha3_256(b"Jolt Dory URS seed").digest()
+    g1_vec = [G1.scalar_mul(G1.G1_GEN, _derive_scalar(seed, i, b"G1"))
+              for i in range(1 << sigma)]
+    g2_vec = [G2.scalar_mul(G2.G2_GEN, _derive_scalar(seed, (1 << sigma) + i, b"G2"))
+              for i in range(1 << nu)]
+    return DorySRS(g1_vec=g1_vec, g2_vec=g2_vec, sigma=sigma, nu=nu)
+
+
+def load_srs_file(path: str) -> DorySRS:
+    """JOLT_DORY_SRS_V1 format: magic, sigma/nu, arkworks-uncompressed points
+    (reference dory.zig:752-822)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic = b"JOLT_DORY_SRS_V1"
+    assert data[: len(magic)] == magic, "bad SRS magic"
+    off = len(magic)
+    sigma = int.from_bytes(data[off : off + 4], "little")
+    nu = int.from_bytes(data[off + 4 : off + 8], "little")
+    off += 8
+    g1_vec = []
+    for _ in range(1 << sigma):
+        x = int.from_bytes(data[off : off + 32], "little")
+        y = int.from_bytes(data[off + 32 : off + 64], "little")
+        g1_vec.append(None if x == 0 and y == 0 else (x, y))
+        off += 64
+    g2_vec = []
+    for _ in range(1 << nu):
+        x0 = int.from_bytes(data[off : off + 32], "little")
+        x1 = int.from_bytes(data[off + 32 : off + 64], "little")
+        y0 = int.from_bytes(data[off + 64 : off + 96], "little")
+        y1 = int.from_bytes(data[off + 96 : off + 128], "little")
+        g2_vec.append(((x0, x1), (y0, y1)))
+        off += 128
+    return DorySRS(g1_vec=g1_vec, g2_vec=g2_vec, sigma=sigma, nu=nu)
+
+
+# ---------------------------------------------------------------------------
+# Commit
+# ---------------------------------------------------------------------------
+
+def _matrix_dims(n_evals: int) -> tuple[int, int]:
+    num_vars = max(1, (n_evals - 1).bit_length())
+    sigma = (num_vars + 1) // 2
+    nu = num_vars - sigma
+    return sigma, nu
+
+
+def row_commitments(srs: DorySRS, evals: list[int]) -> list:
+    sigma, nu = _matrix_dims(len(evals))
+    num_cols = 1 << sigma
+    rows = []
+    for r in range(1 << nu):
+        seg = evals[r * num_cols : (r + 1) * num_cols]
+        if not seg:
+            rows.append(None)
+            continue
+        rows.append(g1_msm(srs.g1_vec[: len(seg)], [v % P for v in seg]))
+    return rows
+
+
+def commit(srs: DorySRS, evals: list[int]):
+    """GT commitment: Π_row e(rowMSM, g2_vec[row])."""
+    rows = row_commitments(srs, evals)
+    pairs = [(rc, srs.g2_vec[i]) for i, rc in enumerate(rows)
+             if rc is not None and i < len(srs.g2_vec)]
+    return multi_pairing(pairs)
+
+
+def commitment_bytes(gt) -> bytes:
+    return tw.fp12_to_bytes(gt)
+
+
+# ---------------------------------------------------------------------------
+# Open (reduce-and-fold with transcript)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VMVMessage:
+    c: tuple
+    d2: tuple
+    e1: object
+
+
+@dataclass
+class FirstReduceMessage:
+    d1_left: tuple
+    d1_right: tuple
+    d2_left: tuple
+    d2_right: tuple
+    e1_beta: object
+    e2_beta: object
+
+
+@dataclass
+class SecondReduceMessage:
+    c_plus: tuple
+    c_minus: tuple
+    e1_plus: object
+    e1_minus: object
+    e2_plus: object
+    e2_minus: object
+
+
+@dataclass
+class DoryProof:
+    vmv: VMVMessage
+    first: list[FirstReduceMessage]
+    second: list[SecondReduceMessage]
+    final_e1: object
+    final_e2: object
+    nu: int
+    sigma: int
+
+
+def _lagrange_basis(point: list[int]) -> list[int]:
+    """Multilinear Lagrange basis over a point (big-endian doubling)."""
+    out = [1]
+    for p_i in reversed(point):
+        nxt = [0] * (2 * len(out))
+        for i, v in enumerate(out):
+            y = v * p_i % P
+            nxt[i + len(out)] = y
+            nxt[i] = (v - y) % P
+        out = nxt
+    return out
+
+
+def _split_point(point: list[int], sigma: int, nu: int) -> tuple[list[int], list[int]]:
+    n = len(point)
+    if n == 0:
+        return [1], [1]
+    if n <= sigma:
+        return [1], _lagrange_basis(point)
+    return _lagrange_basis(point[sigma:]), _lagrange_basis(point[:sigma])
+
+
+def _g1_scale_add(acc, pt, s):
+    return G1.add(acc, G1.scalar_mul(pt, s))
+
+
+def _msm_g2(points, scalars):
+    acc = None
+    for pt, s in zip(points, scalars):
+        acc = G2.add(acc, G2.scalar_mul(pt, s % P))
+    return acc
+
+
+def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
+                         transcript, row_comms=None) -> DoryProof:
+    sigma, nu = srs.sigma, srs.nu
+    num_rounds = max(nu, sigma)
+    num_cols = 1 << sigma
+
+    rows = row_comms if row_comms is not None else row_commitments(srs, evals)
+    left_vec, right_vec = _split_point(point, sigma, nu)
+    left_vec = (left_vec + [0] * (1 << nu))[: 1 << nu]
+    right_vec = (right_vec + [0] * num_cols)[:num_cols]
+
+    # v = L^T · M
+    v_vec = [0] * num_cols
+    for r in range(1 << nu):
+        seg = evals[r * num_cols : (r + 1) * num_cols]
+        for c, val in enumerate(seg):
+            v_vec[c] = (v_vec[c] + left_vec[r] * val) % P
+
+    padded_rows = (rows + [None] * num_cols)[:num_cols]
+
+    t_vec_v = g1_msm([p if p else None for p in padded_rows], v_vec) if any(padded_rows) else None
+    c_gt = multi_pairing([(t_vec_v, srs.g2_vec[0])]) if t_vec_v else tw.FP12_ONE
+    d2_gt = multi_pairing([(g1_msm(srs.g1_vec[: len(v_vec)], v_vec), srs.g2_vec[0])])
+    e1_pt = g1_msm((rows + [None] * (1 << nu))[: 1 << nu], left_vec) if any(rows) else None
+    vmv = VMVMessage(c=c_gt, d2=d2_gt, e1=e1_pt)
+
+    transcript.append_gt(tw.fp12_to_bytes(vmv.c))
+    transcript.append_gt(tw.fp12_to_bytes(vmv.d2))
+    transcript.append_bytes(compress_g1(vmv.e1))
+
+    vec_len = num_cols
+    v1 = list(padded_rows)
+    v2 = [G2.scalar_mul(srs.g2_vec[0], v) if v else None for v in v_vec]
+    s1 = list(right_vec)
+    s2 = (left_vec + [0] * vec_len)[:vec_len]
+
+    cur_col, cur_row = 1 << sigma, 1 << nu
+    firsts, seconds = [], []
+    for _ in range(num_rounds):
+        cur = max(cur_col, cur_row)
+        n2 = cur // 2
+        g2_size = min(n2, cur_row)
+        g1_size = min(n2, cur_col)
+
+        d1l = multi_pairing(list(zip(v1[:g2_size], srs.g2_vec[:g2_size])))
+        d1r = multi_pairing(list(zip(v1[n2 : n2 + g2_size], srs.g2_vec[:g2_size])))
+        d2l = multi_pairing(list(zip(srs.g1_vec[:g1_size], v2[:g1_size])))
+        d2r = multi_pairing(list(zip(srs.g1_vec[:g1_size], v2[n2 : n2 + g1_size])))
+        e1b = g1_msm(srs.g1_vec[:cur_col], s2[:cur_col])
+        e2b = _msm_g2(srs.g2_vec[:cur_row], s1[:cur_row])
+        fm = FirstReduceMessage(d1l, d1r, d2l, d2r, e1b, e2b)
+        firsts.append(fm)
+
+        transcript.append_gt(tw.fp12_to_bytes(d1l))
+        transcript.append_gt(tw.fp12_to_bytes(d1r))
+        transcript.append_gt(tw.fp12_to_bytes(d2l))
+        transcript.append_gt(tw.fp12_to_bytes(d2r))
+        transcript.append_bytes(compress_g1(e1b))
+        transcript.append_bytes(compress_g2(e2b))
+        beta = transcript.challenge_scalar()
+        beta_inv = pow(beta, -1, P) if beta else 1
+
+        for i in range(cur_col):
+            v1[i] = _g1_scale_add(v1[i], srs.g1_vec[i], beta)
+        for i in range(cur_row):
+            v2[i] = G2.add(v2[i], G2.scalar_mul(srs.g2_vec[i], beta_inv))
+
+        v1h = min(n2, cur_col)
+        v2h = min(n2, cur_row)
+        cp = multi_pairing(list(zip(v1[:v1h], v2[n2 : n2 + v2h])))
+        cm = multi_pairing(list(zip(v1[n2 : n2 + v1h], v2[:v2h])))
+        e1p = g1_msm(v1[:v1h], s2[n2 : n2 + v1h]) if v1h else None
+        e1m = g1_msm(v1[n2 : n2 + v1h], s2[:v1h]) if v1h else None
+        e2p = _msm_g2(v2[n2 : n2 + v2h], s1[:v2h])
+        e2m = _msm_g2(v2[:v2h], s1[n2 : n2 + v2h])
+        sm = SecondReduceMessage(cp, cm, e1p, e1m, e2p, e2m)
+        seconds.append(sm)
+
+        transcript.append_gt(tw.fp12_to_bytes(cp))
+        transcript.append_gt(tw.fp12_to_bytes(cm))
+        transcript.append_bytes(compress_g1(e1p))
+        transcript.append_bytes(compress_g1(e1m))
+        transcript.append_bytes(compress_g2(e2p))
+        transcript.append_bytes(compress_g2(e2m))
+        alpha = transcript.challenge_scalar()
+        alpha_inv = pow(alpha, -1, P) if alpha else 1
+
+        for i in range(v1h):
+            v1[i] = G1.add(G1.scalar_mul(v1[i], alpha), v1[i + n2])
+        for i in range(v2h):
+            v2[i] = G2.add(G2.scalar_mul(v2[i], alpha_inv), v2[i + n2])
+        for i in range(v2h):
+            s1[i] = (alpha * s1[i] + s1[i + n2]) % P
+        for i in range(v1h):
+            s2[i] = (alpha_inv * s2[i] + s2[i + n2]) % P
+
+        cur_col = max(1, cur_col // 2)
+        cur_row = max(1, cur_row // 2)
+
+    gamma = transcript.challenge_scalar()
+    gamma_inv = pow(gamma, -1, P) if gamma else 1
+    final_e1 = G1.add(v1[0], G1.scalar_mul(G1.G1_GEN, gamma * s1[0] % P))
+    final_e2 = G2.add(v2[0], G2.scalar_mul(G2.G2_GEN, gamma_inv * s2[0] % P))
+    return DoryProof(vmv=vmv, first=firsts, second=seconds,
+                     final_e1=final_e1, final_e2=final_e2, nu=nu, sigma=sigma)
+
+
+def verify_structure(srs: DorySRS, commitment, proof: DoryProof, transcript) -> bool:
+    """Replay the transcript and check message shape/counts. The algebraic
+    Dory verification equations land in a later round (reference's verify is
+    a placeholder too, dory.zig:1381-1396)."""
+    transcript.append_gt(tw.fp12_to_bytes(proof.vmv.c))
+    transcript.append_gt(tw.fp12_to_bytes(proof.vmv.d2))
+    transcript.append_bytes(compress_g1(proof.vmv.e1))
+    if len(proof.first) != max(proof.nu, proof.sigma):
+        return False
+    for fm, sm in zip(proof.first, proof.second):
+        transcript.append_gt(tw.fp12_to_bytes(fm.d1_left))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d1_right))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d2_left))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d2_right))
+        transcript.append_bytes(compress_g1(fm.e1_beta))
+        transcript.append_bytes(compress_g2(fm.e2_beta))
+        transcript.challenge_scalar()
+        transcript.append_gt(tw.fp12_to_bytes(sm.c_plus))
+        transcript.append_gt(tw.fp12_to_bytes(sm.c_minus))
+        transcript.append_bytes(compress_g1(sm.e1_plus))
+        transcript.append_bytes(compress_g1(sm.e1_minus))
+        transcript.append_bytes(compress_g2(sm.e2_plus))
+        transcript.append_bytes(compress_g2(sm.e2_minus))
+        transcript.challenge_scalar()
+    transcript.challenge_scalar()
+    return proof.final_e1 is not None or proof.final_e2 is not None

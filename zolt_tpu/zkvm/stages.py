@@ -64,43 +64,70 @@ def eq_evals_le(r: list[int], size: int) -> list[int]:
     return out[:size]
 
 
+import jax as _jax
+import jax.numpy as _jnp
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("degree",))
+def _round_evals(polys, degree: int):
+    """One fused sumcheck round kernel: product evals at t=0..degree, stacked
+    so the host reads them in a single transfer. (The fold happens separately
+    in _fold_all once the challenge is known — the inherent FS sync point.)"""
+    f = FR_C
+    los, diffs = [], []
+    for poly in polys:
+        pairs = poly.reshape(poly.shape[0] // 2, 2, -1)
+        lo, hi = pairs[:, 0, :], pairs[:, 1, :]
+        los.append(lo)
+        diffs.append(limb.sub(hi, lo, f))
+    out = []
+    for t in range(degree + 1):
+        prod = None
+        for lo, diff in zip(los, diffs):
+            val = lo
+            for _ in range(t):
+                val = limb.add(val, diff, f)
+            prod = val if prod is None else limb.mont_mul(prod, val, f)
+        out.append(dense.sum_mod(prod, f))
+    return _jnp.stack(out)  # (degree+1, 16)
+
+
+@_jax.jit
+def _fold_all(polys, r):
+    return tuple(dense.bind_low(p, r, FR_C) for p in polys)
+
+
 class DeviceMleSumcheck:
     """Sumcheck over a product of k device MLE tables, low-to-high binding.
 
     degree == number of factor tables; round evals [p(0)..p(d)] as host ints.
+    Each round costs exactly one device round-trip (the Fiat-Shamir sync point,
+    SURVEY §5.8): evals come back as one stacked transfer, the fold stays on
+    device.
     """
 
     def __init__(self, tables, degree: int | None = None):
         encoded = [limb.encode(_pad_pow2([v % P for v in t]), FR_C) for t in tables]
-        self.polys = encoded
+        self.polys = tuple(encoded)
         self.num_rounds = _ceil_log2(encoded[0].shape[0])
         self.degree = degree if degree is not None else len(encoded)
 
     def round_evals(self) -> list[int]:
-        f = FR_C
-        los, diffs = [], []
-        for poly in self.polys:
-            pairs = poly.reshape(poly.shape[0] // 2, 2, -1)
-            lo, hi = pairs[:, 0, :], pairs[:, 1, :]
-            los.append(lo)
-            diffs.append(limb.sub(hi, lo, f))
-        out = []
-        for t in range(self.degree + 1):
-            prod = None
-            for lo, diff in zip(los, diffs):
-                val = lo
-                for _ in range(t):
-                    val = limb.add(val, diff, f)
-                prod = val if prod is None else limb.mont_mul(prod, val, f)
-            out.append(int(limb.decode(dense.sum_mod(prod, f), f)))
-        return out
+        stacked = _round_evals(self.polys, self.degree)
+        vals = limb.decode(stacked)  # single transfer
+        return [int(v) for v in vals]
 
     def bind(self, r: int) -> None:
         rl = limb.encode([r], FR_C)[0]
-        self.polys = [dense.bind_low(p, rl, FR_C) for p in self.polys]
+        self.polys = _fold_all(self.polys, rl)
 
     def final_evals(self) -> list[int]:
-        return [int(limb.decode(p[0], FR_C)) for p in self.polys]
+        import numpy as np
+
+        stacked = _jnp.stack([p[0] for p in self.polys])
+        vals = limb.decode(np.asarray(stacked))
+        return [int(v) for v in np.atleast_1d(vals)]
 
     def initial_claim(self) -> int:
         f = FR_C
