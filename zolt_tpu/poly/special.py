@@ -1,0 +1,114 @@
+"""Specialized eq-polynomial machinery for the Jolt-path stage provers.
+
+- GruenSplitEq: Dao–Thaler/Gruen factored eq(τ,·) with prefix tables E_out/E_in
+  and a bound-variable scalar (reference src/poly/split_eq.zig:21-466).
+  Big-endian tables (τ[0] ↔ MSB), low-to-high binding popping in→out.
+- EqPlusOne: successor MLE eq+1(x, y) = 1 iff y = x+1, big-endian
+  (reference src/poly/mod.zig:332-448); used by the ShiftSumcheck.
+
+Host-int implementation: these tables are per-round control structures; the
+wide per-cycle work stays on device in the stage provers.
+"""
+
+from __future__ import annotations
+
+from ..field.params import FR
+
+P = FR.p
+
+
+def _eq_scalar(a: int, b: int) -> int:
+    return (a * b + (1 - a) * (1 - b)) % P
+
+
+class GruenSplitEq:
+    """Split-eq with prefix tables; mirrors reference structure exactly."""
+
+    def __init__(self, tau: list[int], scaling_factor: int = 1):
+        self.tau = list(tau)
+        self.current_index = len(tau)
+        self.current_scalar = scaling_factor % P
+        m = len(tau) // 2
+        self.m = m
+        self.num_x_out = m
+        self.num_x_in = max(0, len(tau) - 1 - m) if len(tau) > 1 else 0
+
+        def build(taus: list[int]) -> list[list[int]]:
+            tables = [[1]]
+            for t in taus:
+                prev = tables[-1]
+                nxt = []
+                for v in prev:
+                    nxt.append(v * (1 - t) % P)
+                    nxt.append(v * t % P)
+                # interleaved append: entry 2i gets bit 0, 2i+1 gets bit 1 —
+                # reference builds next[2i], next[2i+1] the same way
+                tables.append(nxt)
+            return tables
+
+        self.E_out_vec = build(self.tau[:m])
+        self.E_in_vec = build(self.tau[m : len(tau) - 1] if len(tau) > 1 else [])
+
+    def bind(self, r: int) -> None:
+        if self.current_index == 0:
+            return
+        t = self.tau[self.current_index - 1]
+        self.current_scalar = self.current_scalar * _eq_scalar(t, r) % P
+        self.current_index -= 1
+        if self.m < self.current_index:
+            if len(self.E_in_vec) > 1:
+                self.E_in_vec.pop()
+        elif self.current_index > 0:
+            if len(self.E_out_vec) > 1:
+                self.E_out_vec.pop()
+
+    def tau_high(self) -> int:
+        return self.tau[-1]
+
+    def full_eq_table(self) -> list[int]:
+        """eq(τ_unbound, ·)·scalar over the remaining variables, big-endian."""
+        out = [self.current_scalar]
+        for j in range(self.current_index - 1, -1, -1):
+            t = self.tau[j]
+            nxt = [0] * (2 * len(out))
+            for i, v in enumerate(out):
+                y = v * t % P
+                nxt[i + len(out)] = y
+                nxt[i] = (v - y) % P
+            out = nxt
+        return out
+
+    def current_eq_factors(self) -> tuple[int, int]:
+        """(eq(τ_cur, 0), eq(τ_cur, 1))·scalar for the next unbound variable."""
+        t = self.tau[self.current_index - 1]
+        return (self.current_scalar * (1 - t) % P, self.current_scalar * t % P)
+
+
+def eq_plus_one_mle(x: list[int], y: list[int]) -> int:
+    """eq+1(x, y), big-endian (x[0] = MSB). Zero when x = 11…1."""
+    l = len(x)
+    assert len(y) == l
+    result = 0
+    for k in range(l):
+        lower = 1
+        for i in range(k):
+            idx = l - 1 - i
+            lower = lower * (x[idx] * (1 - y[idx]) % P) % P
+        kth = l - 1 - k
+        kbit = (1 - x[kth]) * y[kth] % P
+        higher = 1
+        for i in range(k + 1, l):
+            idx = l - 1 - i
+            higher = higher * _eq_scalar(x[idx], y[idx]) % P
+        result = (result + lower * kbit % P * higher) % P
+    return result
+
+
+def eq_plus_one_evals(x: list[int]) -> list[int]:
+    """eq+1(x, j) for all j in {0,1}^l (big-endian index)."""
+    l = len(x)
+    out = []
+    for j in range(1 << l):
+        y = [(j >> (l - 1 - b)) & 1 for b in range(l)]
+        out.append(eq_plus_one_mle(x, y))
+    return out
