@@ -1,0 +1,109 @@
+"""Differential test: Jolt-path Stage 1 vs the reference's checked-in run log.
+
+The reference log (/root/reference/logs/zolt.log) records, for fibonacci.elf:
+the full transcript state before the last τ squeeze, all τ masked values, r0,
+and every stage-1 round challenge. Because the Blake2b transcript chains all
+absorbed bytes, a matching r0 proves all 28 UniSkip coefficients byte-exact,
+and each matching round challenge proves that round's compressed poly
+byte-exact (SURVEY §4's differential method, applied without running Zig).
+"""
+
+import hashlib
+import os
+import re
+
+import pytest
+
+from zolt_tpu.field.params import FR
+from zolt_tpu.transcript import Blake2bTranscript
+from zolt_tpu.vm import run_elf, pad_with_noop
+
+LOG = "/root/reference/logs/zolt.log"
+P = FR.p
+INV_2_128 = pow(1 << 128, -1, P)
+
+pytestmark = pytest.mark.skipif(not os.path.exists(LOG), reason="reference log absent")
+
+
+def parse_log():
+    text = open(LOG, errors="ignore").read()
+
+    # tau derivation section
+    sec = text[text.index("Deriving tau"):]
+    taus = []
+    states = []
+    rounds = []
+    for m in re.finditer(
+        r"challengeScalar128Bits: round=(\d+)\n\[ZOLT TRANSCRIPT\]   state_before=\{ ([0-9a-f ]+)\}.*?masked_value=0x([0-9a-f]+)",
+        sec, re.S):
+        rounds.append(int(m.group(1)))
+        states.append(bytes(int(b, 16) for b in m.group(2).split()))
+        taus.append(int(m.group(3), 16))
+        if len(taus) == 10:
+            break
+
+    # r0 canonical bytes (BE)
+    m = re.search(r"computeLagrangeEvalsAtR0: r0 = \{ ([0-9, ]+)\}", text)
+    r0_be = bytes(int(b) for b in m.group(1).split(", "))
+
+    # stage1 round coefficients + challenges (LE bytes)
+    def grab(tag):
+        out = []
+        for m in re.finditer(rf"STAGE1_ROUND_(\d+): {tag} = \{{ ([0-9, ]+)\}}", text):
+            out.append(bytes(int(b) for b in m.group(2).split(", ")))
+        return out
+
+    return {
+        "tau_masked": taus,
+        "tau_rounds": rounds,
+        "tau_states": states,
+        "r0_be": r0_be,
+        "c0": grab("c0"),
+        "c2": grab("c2"),
+        "c3": grab("c3"),
+        "challenge": grab("challenge"),
+    }
+
+
+def reconstruct_transcript(data) -> Blake2bTranscript:
+    """State after the final τ squeeze = blake2b(state_before ‖ 28·0 ‖ round_be)."""
+    t = Blake2bTranscript(b"Jolt")
+    last_state = data["tau_states"][-1]
+    last_round = data["tau_rounds"][-1]
+    h = hashlib.blake2b(digest_size=32)
+    h.update(last_state)
+    h.update(b"\x00" * 28 + last_round.to_bytes(4, "big"))
+    t.state = h.digest()
+    t.n_rounds = last_round + 1
+    return t
+
+
+def test_stage1_bit_exact_vs_reference_log():
+    data = parse_log()
+    assert len(data["tau_masked"]) == 10
+    assert len(data["challenge"]) == 9, f"expected 9 rounds, got {len(data['challenge'])}"
+
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+    assert len(padded) == 256
+
+    from zolt_tpu.zkvm.streaming_outer import prove_stage1_jolt
+
+    proof = prove_stage1_jolt(padded, tau, transcript)
+
+    # r0 must match -> proves all 28 UniSkip coefficients were byte-exact
+    expect_r0 = int.from_bytes(data["r0_be"], "big")
+    assert proof.r0 == expect_r0, (
+        f"r0 mismatch: got {proof.r0:#x} want {expect_r0:#x} — UniSkip poly differs")
+
+    # every round: compressed coeffs and the resulting challenge must match
+    for i in range(9):
+        got_c0, got_c2, got_c3 = proof.compressed_polys[i]
+        assert got_c0 == int.from_bytes(data["c0"][i], "little"), f"round {i} c0"
+        assert got_c2 == int.from_bytes(data["c2"][i], "little"), f"round {i} c2"
+        assert got_c3 == int.from_bytes(data["c3"][i], "little"), f"round {i} c3"
+        assert proof.challenges[i] == int.from_bytes(data["challenge"][i], "little"), (
+            f"round {i} challenge")

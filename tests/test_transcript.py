@@ -37,10 +37,14 @@ def test_blake2b_challenge_flavors_differ():
     t2 = Blake2bTranscript(b"Jolt")
     c_opt = t1.challenge_scalar()
     c_full = t2.challenge_scalar_full()
-    # same bytes, different lifting: masked*2^-128 vs full value
-    u = Blake2bTranscript(b"Jolt").challenge_u128()
-    assert c_full == u % FR.p
-    assert c_opt == ((u & ((1 << 125) - 1)) * pow(1 << 128, -1, FR.p)) % FR.p
+    # same bytes, different lifting AND different endianness (verified bit-exact
+    # against the reference log in test_stage1_jolt): optimized reads the buf
+    # little-endian + masks to 125 bits + divides by 2^128; full reads big-endian
+    u_le = Blake2bTranscript(b"Jolt").challenge_u128()
+    buf = Blake2bTranscript(b"Jolt").challenge_bytes(16)
+    assert u_le == int.from_bytes(buf, "little")
+    assert c_full == int.from_bytes(buf, "big") % FR.p
+    assert c_opt == ((u_le & ((1 << 125) - 1)) * pow(1 << 128, -1, FR.p)) % FR.p
     assert c_opt != c_full
 
 

@@ -119,8 +119,12 @@ class Blake2bTranscript:
         return (masked * _INV_2_128) % FR.p
 
     def challenge_scalar_full(self) -> int:
-        """Jolt's proper-field challenge: full 128-bit value, no masking."""
-        return self.challenge_u128() % FR.p
+        """Jolt's proper-field challenge: full 128-bit value, no masking.
+
+        Endianness subtlety (reference blake2b.zig:279-310): the reversed buf
+        is read as LITTLE-endian limbs here — net effect: the raw challenge
+        bytes are interpreted BIG-endian, the opposite of challenge_u128."""
+        return int.from_bytes(self.challenge_bytes(16), "big") % FR.p
 
     def challenge_vector(self, n: int) -> list[int]:
         return [self.challenge_scalar() for _ in range(n)]

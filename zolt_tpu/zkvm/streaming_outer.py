@@ -1,0 +1,263 @@
+"""Jolt-compatible Stage 1: UniSkip + streaming outer Spartan sumcheck.
+
+Byte-exact re-implementation of the reference's stage-1 prover flow
+(src/zkvm/spartan/streaming_outer.zig, src/zkvm/proof_converter.zig:380-540):
+
+  round 0 (UniSkip): s1(Y) = L(τ_high, Y)·t1(Y) with t1's 9 extension-target
+    evaluations computed from per-cycle Az/Bz Lagrange extrapolation over the
+    (x_out, x_in) eq factorization; absorbed as
+    "UncompressedUniPoly_begin" + 28 scalars + "UncompressedUniPoly_end";
+    r0 = 125-bit challenge.
+
+  remaining rounds (1 streaming + num_cycle_vars): Gruen cubic rounds over the
+    materialized Az/Bz tables (group bit = LSB), split-eq with scaling
+    K(r0, τ_high); claims batched by a challengeScalarFull coefficient;
+    compressed [c0, c2, c3] absorbed as "UniPoly_begin"/.../"UniPoly_end".
+
+Structure notes mirrored from the reference: τ has num_cycle_vars+2 entries;
+split-eq drops w_last = τ[-1] (bound in the first remaining round, which is
+the constraint-group variable); az/bz tables have 2^(len(τ)) entries with
+time_step = idx>>1 and zero padding beyond the real trace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field.params import FR
+from ..poly import unipoly
+from ..poly.special import GruenSplitEq
+from ..r1cs import constraints as rc
+from ..r1cs import inputs as ri
+from ..r1cs import uniskip as us
+
+P = FR.p
+
+FIRST_GROUP_SIZE = 10
+SECOND_GROUP_SIZE = 9
+
+
+def _witness_az_bz(w: list[int], group: int) -> tuple[list[int], list[int]]:
+    """Per-constraint (condition, left-right) for a group, in group order."""
+    indices = rc.FIRST_GROUP_INDICES if group == 0 else rc.SECOND_GROUP_INDICES
+    az, bz = [], []
+    for ci in indices:
+        cond, left, right = rc.CONSTRAINTS[ci]
+        az.append(rc.lc_eval(cond, w))
+        bz.append((rc.lc_eval(left, w) - rc.lc_eval(right, w)) % P)
+    return az, bz
+
+
+def _eq_table_be(taus: list[int]) -> list[int]:
+    """Big-endian prefix eq table (τ[0] = MSB): each step doubles the table,
+    appending the new variable's bit as the index LSB."""
+    out = [1]
+    for t in taus:
+        nxt = []
+        for v in out:
+            nxt.append(v * (1 - t) % P)
+            nxt.append(v * t % P)
+        out = nxt
+    return out
+
+
+class StreamingOuterProver:
+    def __init__(self, cycle_witnesses: list[list[int]], tau: list[int],
+                 lagrange_tau_r0: int | None = None):
+        self.witnesses = cycle_witnesses
+        self.full_tau = list(tau)
+        self.tau_high = tau[-1]
+        # split_eq is over tau_low = tau[:-1]; tau_high only enters via the
+        # UniSkip Lagrange kernel scaling (reference proof_converter.zig:414)
+        self.split_eq = GruenSplitEq(tau[:-1], scaling_factor=(lagrange_tau_r0 or 1))
+        self.current_round = 0
+        self.current_claim = 0
+        self.lagrange_evals_r0: list[int] = []
+        self.az: list[int] | None = None
+        self.bz: list[int] | None = None
+        self.r_stream: int | None = None
+
+    # -- round 0: UniSkip ---------------------------------------------------
+    def compute_first_round_poly(self) -> list[int]:
+        tau = self.full_tau
+        m = len(tau) // 2
+        wprime = len(tau) - 1
+        num_x_in_bits = wprime - m
+        num_x_in_prime_bits = max(0, num_x_in_bits - 1)
+
+        E_out = _eq_table_be(tau[:m])
+        E_in = _eq_table_be(tau[m:wprime])
+
+        extended = []
+        for j, _target in enumerate(us.OUTER_TARGETS):
+            coeffs = us.OUTER_COEFFS_PER_J[j]
+            total = 0
+            for x_out, e_out in enumerate(E_out):
+                if e_out == 0:
+                    continue
+                for x_in, e_in in enumerate(E_in):
+                    cycle = (x_out << num_x_in_prime_bits) | (x_in >> 1)
+                    if cycle >= len(self.witnesses):
+                        continue
+                    group = x_in & 1
+                    w = self.witnesses[cycle]
+                    az, bz = _witness_az_bz(w, group)
+                    gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
+                    az_y = sum(coeffs[i] * az[i] for i in range(gsize)) % P
+                    bz_y = sum(coeffs[i] * bz[i] for i in range(gsize)) % P
+                    total = (total + e_out * e_in % P * (az_y * bz_y % P)) % P
+            extended.append(total)
+
+        return us.build_uniskip_first_round_poly(
+            us.OUTER_DOMAIN, us.OUTER_DEGREE, extended, self.tau_high)
+
+    def bind_first_round(self, r0: int, uni_skip_claim: int) -> None:
+        self.current_round = 1
+        self.current_claim = uni_skip_claim % P
+        self.lagrange_evals_r0 = us.lagrange_evals(us.OUTER_DOMAIN, r0)
+        self._materialize()
+
+    # -- linear phase -------------------------------------------------------
+    def _materialize(self) -> None:
+        """az/bz tables over (x_out ‖ x_in ‖ group) with time_step = idx>>1
+        (reference materializeLinearPhasePolynomials). Dimensions follow the
+        split_eq over tau_low: m = len(tau_low)//2."""
+        tau_low_len = len(self.full_tau) - 1
+        m = tau_low_len // 2
+        E_out_len = 1 << m
+        E_in_len = 1 << (tau_low_len - 1 - m)
+        size = E_out_len * E_in_len * 2
+        az = [0] * size
+        bz = [0] * size
+        for i in range(E_out_len * E_in_len):
+            ts = i  # time_step_idx = (2i + j) >> 1 = i
+            if ts >= len(self.witnesses):
+                continue
+            w = self.witnesses[ts]
+            for group in (0, 1):
+                a, b = _witness_az_bz(w, group)
+                gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
+                av = sum(self.lagrange_evals_r0[t] * a[t] for t in range(gsize)) % P
+                bv = sum(self.lagrange_evals_r0[t] * b[t] for t in range(gsize)) % P
+                az[2 * i + group] = av
+                bz[2 * i + group] = bv
+        self.az = az
+        self.bz = bz
+
+    def num_remaining_rounds(self) -> int:
+        # 1 streaming + num_cycle_vars (reference: numRounds)
+        return len(self.full_tau) - 1
+
+    def compute_remaining_round_poly(self) -> list[int]:
+        """Gruen cubic evals [s(0), s(1), s(2), s(3)]."""
+        se = self.split_eq
+        # eq weights over pair index i: E_out[head_out] x E_in[head_in]
+        head = se.current_index - 1
+        head_out = min(head, se.m)
+        head_in = head - head_out
+        E_out = se.E_out_vec[min(head_out, len(se.E_out_vec) - 1)]
+        E_in = se.E_in_vec[min(head_in, len(se.E_in_vec) - 1)]
+
+        az, bz = self.az, self.bz
+        n2 = len(az) // 2
+        t0 = tinf = 0
+        for i in range(n2):
+            e = E_out[i >> head_in] * E_in[i & ((1 << head_in) - 1)] % P
+            if e == 0:
+                continue
+            a0, a1 = az[2 * i], az[2 * i + 1]
+            b0, b1 = bz[2 * i], bz[2 * i + 1]
+            t0 = (t0 + e * (a0 * b0 % P)) % P
+            tinf = (tinf + e * ((a1 - a0) * (b1 - b0) % P)) % P
+
+        return self._cubic_round_poly(t0, tinf, self.current_claim)
+
+    def _cubic_round_poly(self, q0: int, qinf: int, claim: int) -> list[int]:
+        """split_eq.computeCubicRoundPoly (split_eq.zig:353-441)."""
+        se = self.split_eq
+        if se.current_index == 0:
+            return [claim, 0, 0, 0]
+        tau_c = se.tau[se.current_index - 1]
+        eq0 = se.current_scalar * (1 - tau_c) % P
+        eq1 = se.current_scalar * tau_c % P
+        slope = (eq1 - eq0) % P
+        l0, l1 = eq0, eq1
+        l2 = (eq0 + 2 * slope) % P
+        l3 = (eq0 + 3 * slope) % P
+        c = q0 % P
+        e = qinf % P
+        q1 = 0 if l1 == 0 else (claim - l0 * c) % P * pow(l1, -1, P) % P
+        q2 = (2 * q1 - c + 2 * e) % P
+        q3 = (q2 + q1 - c + 4 * e) % P
+        return [l0 * c % P, l1 * q1 % P, l2 * q2 % P, l3 * q3 % P]
+
+    def bind_remaining_round(self, r: int) -> None:
+        if self.current_round == 1:
+            self.r_stream = r
+        self.split_eq.bind(r)
+        half = len(self.az) // 2
+        self.az = [(self.az[2 * i] + r * (self.az[2 * i + 1] - self.az[2 * i])) % P
+                   for i in range(half)]
+        self.bz = [(self.bz[2 * i] + r * (self.bz[2 * i + 1] - self.bz[2 * i])) % P
+                   for i in range(half)]
+        self.current_round += 1
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        coeffs = unipoly.interpolate_degree3(evals4)
+        self.current_claim = unipoly.horner_eval(coeffs, r)
+
+
+@dataclass
+class Stage1Proof:
+    uni_skip_coeffs: list[int] = dfield(default_factory=list)
+    compressed_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    r0: int = 0
+    uni_skip_claim: int = 0
+
+
+def prove_stage1_jolt(padded_steps, tau: list[int], transcript) -> Stage1Proof:
+    """Full stage-1 flow with exact transcript discipline
+    (proof_converter.zig:380-540). `tau` must already have been sampled from
+    the same transcript (num_cycle_vars + 2 values)."""
+    witnesses = ri.witness_matrix(padded_steps)
+    proof = Stage1Proof()
+
+    prover = StreamingOuterProver(witnesses, tau)
+    s1 = prover.compute_first_round_poly()
+    proof.uni_skip_coeffs = s1
+
+    transcript.append_message(b"UncompressedUniPoly_begin")
+    for c in s1:
+        transcript.append_scalar(c)
+    transcript.append_message(b"UncompressedUniPoly_end")
+    r0 = transcript.challenge_scalar()
+    proof.r0 = r0
+
+    lagrange_tau_r0 = us.lagrange_kernel(us.OUTER_DOMAIN, r0, tau[-1])
+    prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0)
+    uni_skip_claim = unipoly.horner_eval(s1, r0)
+    proof.uni_skip_claim = uni_skip_claim
+    prover.bind_first_round(r0, uni_skip_claim)
+
+    transcript.append_scalar(uni_skip_claim)  # cache_openings
+    transcript.append_scalar(uni_skip_claim)  # batched input claim
+    batching_coeff = transcript.challenge_scalar_full()
+    prover.current_claim = uni_skip_claim
+
+    for _ in range(prover.num_remaining_rounds()):
+        raw = prover.compute_remaining_round_poly()
+        scaled = [v * batching_coeff % P for v in raw]
+        compressed = unipoly.evals_to_compressed(scaled)
+        proof.compressed_polys.append(compressed)
+
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        proof.challenges.append(r)
+        prover.bind_remaining_round(r)
+        prover.update_claim(raw, r)
+
+    return proof
