@@ -107,3 +107,37 @@ def test_stage1_bit_exact_vs_reference_log():
         assert got_c3 == int.from_bytes(data["c3"][i], "little"), f"round {i} c3"
         assert proof.challenges[i] == int.from_bytes(data["challenge"][i], "little"), (
             f"round {i} challenge")
+
+
+def test_stage2_uniskip_bit_exact_vs_reference_log():
+    data = parse_log()
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+
+    from zolt_tpu.zkvm.proof_converter import convert_with_transcript
+
+    conv = convert_with_transcript(padded, tau, transcript)
+    text = open(LOG, errors="ignore").read()
+
+    def be(tag, idx=None):
+        pat = rf"STAGE2: {tag}" + (rf"\[{idx}\]" if idx is not None else "") + r" = \{ ([0-9, ]+)\}"
+        m = re.search(pat, text)
+        return int.from_bytes(bytes(int(b) for b in m.group(1).split(", ")), "big")
+
+    s2 = conv.stage2_uniskip
+    assert s2.tau_high == be("sampled tau_high"), "tau_high mismatch"
+    for i in range(5):
+        assert s2.base_evals[i] == be("base_evals", i), f"base_evals[{i}]"
+    for i in range(4):
+        m = re.search(rf"STAGE2_UNISKIP: extended_evals\[{i}\] = \{{ ([0-9, ]+)\}}", text)
+        want = int.from_bytes(bytes(int(b) for b in m.group(1).split(", ")), "big")
+        assert s2.extended_evals[i] == want, f"extended_evals[{i}]"
+    for i in range(13):
+        m = re.search(rf"STAGE2_UNISKIP: coeffs\[{i}\] = \{{ ([0-9, ]+)\}}", text)
+        want = int.from_bytes(bytes(int(b) for b in m.group(1).split(", ")), "little")
+        assert s2.coeffs[i] == want, f"coeffs[{i}]"
+    assert s2.r0 == be("r0"), "stage2 r0 mismatch"
+    assert s2.uni_skip_claim == be("uni_skip_claim"), "stage2 uni_skip_claim mismatch"
