@@ -141,3 +141,45 @@ def test_stage2_uniskip_bit_exact_vs_reference_log():
         assert s2.coeffs[i] == want, f"coeffs[{i}]"
     assert s2.r0 == be("r0"), "stage2 r0 mismatch"
     assert s2.uni_skip_claim == be("uni_skip_claim"), "stage2 uni_skip_claim mismatch"
+
+
+def test_stage2_batch_bit_exact_vs_reference_log():
+    data = parse_log()
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+
+    from zolt_tpu.zkvm.proof_converter import convert_with_transcript
+
+    conv = convert_with_transcript(padded, tau, transcript, emulator=emu)
+    text = open(LOG, errors="ignore").read()
+
+    # gammas
+    def be_line(pat):
+        m = re.search(pat + r" = \{ ([0-9, ]+)\}", text)
+        return int.from_bytes(bytes(int(b) for b in m.group(1).split(", ")), "big")
+
+    b = conv.stage2_batch
+    assert b is not None
+    assert b.gamma_rwc == be_line(r"STAGE2_BATCHED: gamma_rwc"), "gamma_rwc"
+    assert b.gamma_instr == be_line(r"STAGE2_BATCHED: gamma_instr"), "gamma_instr"
+    assert b.batching_coeffs[0] == be_line(r"STAGE2_BATCHED: batching_coeff\[0\]"), "alpha0"
+
+    # all 24 rounds: c0/c2/c3 + challenge (LE bytes, trailing comma in log)
+    def grab2(tag):
+        out = []
+        for m in re.finditer(rf"STAGE2_ROUND_(\d+): {tag} = \{{ ([0-9, ]+),? \}}", text):
+            out.append((int(m.group(1)),
+                        bytes(int(x.rstrip(",")) for x in m.group(2).split() if x.rstrip(","))))
+        return dict(out)
+
+    c0s, c2s, c3s, chals = grab2("c0"), grab2("c2"), grab2("c3"), grab2("challenge")
+    assert len(chals) == 24, f"expected 24 stage2 rounds in log, got {len(chals)}"
+    for i in range(24):
+        got = b.compressed_polys[i]
+        assert got[0] == int.from_bytes(c0s[i], "little") % P, f"stage2 round {i} c0"
+        assert got[1] == int.from_bytes(c2s[i], "little") % P, f"stage2 round {i} c2"
+        assert got[2] == int.from_bytes(c3s[i], "little") % P, f"stage2 round {i} c3"
+        assert b.challenges[i] == int.from_bytes(chals[i], "little") % P, f"stage2 round {i} challenge"

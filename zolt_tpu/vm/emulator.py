@@ -436,5 +436,8 @@ def run_elf(path_or_bytes, inputs: bytes = b"", config: MemoryConfig | None = No
     emu.pc = parsed.entry
     if inputs:
         emu.set_inputs(inputs)
+    # snapshot the initial RAM word map (program image + inputs) — the Jolt
+    # prover's initial_ram for RWC/OutputCheck (reference zkvm/mod.zig:95-146)
+    emu.initial_memory = dict(emu.ram.memory)
     emu.run(max_cycles)
     return emu

@@ -178,11 +178,14 @@ class JoltConversion:
     proof: JoltProof = dfield(default_factory=JoltProof)
     stage1: Stage1Proof | None = None
     stage2_uniskip: Stage2UniSkip | None = None
+    stage2_batch: object = None
     input_evals: list[int] = dfield(default_factory=list)
 
 
-def convert_with_transcript(padded_steps, tau: list[int], transcript) -> JoltConversion:
-    """Drive the Jolt proof stages implemented so far."""
+def convert_with_transcript(padded_steps, tau: list[int], transcript,
+                            emulator=None, log_ram_k: int = 16) -> JoltConversion:
+    """Drive the Jolt proof stages implemented so far. Pass the finished
+    emulator to enable the stage-2 batched sumcheck (needs RAM traces)."""
     conv = JoltConversion()
     witness_rows = ri.witness_matrix(padded_steps)
 
@@ -204,4 +207,34 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript) -> JoltCon
         OpeningId.virtual(VirtualPolynomial.named("UnivariateSkip"),
                           SumcheckId.SpartanProductVirtualization),
         conv.stage2_uniskip.uni_skip_claim)
+
+    if emulator is not None:
+        from .jolt_types import SumcheckInstanceProof as SIP
+        from .stage2_batch import prove_stage2_batch
+
+        n_cycle_vars = len(tau) - 2
+        s2u = conv.stage2_uniskip
+        r_spartan = list(reversed(conv.stage1.challenges[1:]))
+        tau2 = r_spartan + [s2u.tau_high]
+        final_ram = dict(emulator.ram.memory)
+        conv.stage2_batch = prove_stage2_batch(
+            transcript,
+            r0_stage2=s2u.r0,
+            uni_skip_claim_stage2=s2u.uni_skip_claim,
+            tau=tau2,
+            r_spartan=r_spartan,
+            witness_rows=witness_rows,
+            factors=extract_product_factors(witness_rows),
+            input_evals=conv.input_evals,
+            n_cycle_vars=n_cycle_vars,
+            log_ram_k=log_ram_k,
+            accesses=emulator.ram.trace,
+            initial_ram=getattr(emulator, "initial_memory", {}),
+            final_ram=final_ram,
+            layout=emulator.device.layout,
+            program_inputs=bytes(emulator.device.inputs),
+            program_outputs=bytes(emulator.device.outputs),
+            is_panicking=emulator.device.panic,
+        )
+        conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
     return conv

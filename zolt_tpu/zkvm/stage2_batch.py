@@ -1,0 +1,829 @@
+"""Stage 2 batched sumcheck: 5 instances over max(log_ram_k + n_cycle) rounds.
+
+Byte-exact re-implementation of the reference's stage-2 batch
+(src/zkvm/proof_converter.zig:2736-3520) and its five instance provers:
+
+  0 ProductVirtualRemainder   n_cycle rounds (spartan/product_remainder.zig)
+  1 RamRafEvaluation          log_ram_k rounds (ram/raf_checking.zig)
+  2 RamReadWriteChecking      log_ram_k + n_cycle rounds (ram/read_write_checking.zig)
+  3 RamOutputCheck            log_ram_k rounds (ram/output_check.zig)
+  4 InstructionLookupsClaimReduction  n_cycle rounds (claim_reductions/instruction_lookups.zig)
+
+Instance i activates at round max_rounds − rounds_i; before activation it
+contributes its input claim scaled by 2^(remaining−1) as a constant. Per round
+the α-weighted evals are compressed to [c0,c2,c3], absorbed as
+UniPoly_begin/…/UniPoly_end, and the batched claim evolves via evalFromHint.
+
+Endianness quirks preserved: RWC/Output/Instr eq tables are big-endian over
+their r vectors; RAF's eq is little-endian; all data folds are low-to-high.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field.params import FR
+from ..poly import unipoly
+from ..poly.special import GruenSplitEq
+from ..r1cs import inputs as ri
+from ..r1cs import uniskip as us
+
+P = FR.p
+TWO64 = 1 << 64
+
+
+def _eq_be(r: list[int], x: int, n: int) -> int:
+    acc = 1
+    for i in range(n):
+        bit = (x >> (n - 1 - i)) & 1
+        acc = acc * ((r[i] * bit + (1 - r[i]) * (1 - bit)) % P) % P
+    return acc
+
+
+def _eq_table_be(r: list[int]) -> list[int]:
+    out = [1]
+    for t in r:
+        nxt = []
+        for v in out:
+            nxt.append(v * (1 - t) % P)
+            nxt.append(v * t % P)
+        out = nxt
+    return out
+
+
+def _eq_table_le(r: list[int], n_vars: int) -> list[int]:
+    """Little-endian: bit i of index ↔ r[i] (raf_checking computeEqEvals)."""
+    out = [1]
+    for i in range(n_vars):
+        t = r[i] if i < len(r) else 0
+        nxt = [0] * (2 * len(out))
+        for j, v in enumerate(out):
+            nxt[j] = v * (1 - t) % P
+            nxt[j + len(out)] = v * t % P
+        out = nxt
+    return out
+
+
+def _lagrange_eval_0123(evals4: list[int], c: int) -> int:
+    """Evaluate the cubic through evals at {0,1,2,3} at point c."""
+    coeffs = unipoly.interpolate_degree3(evals4)
+    return unipoly.horner_eval(coeffs, c)
+
+
+def eval_from_hint(compressed: list[int], hint: int, x: int) -> int:
+    c0, c2, c3 = compressed
+    c1 = (hint - 2 * c0 - c2 - c3) % P
+    return (c0 + c1 * x + c2 * x * x + c3 * x ** 3) % P
+
+
+def _gruen_cubic(se: GruenSplitEq, q0: int, qinf: int, claim: int) -> list[int]:
+    if se.current_index == 0:
+        return [claim % P, 0, 0, 0]
+    tau_c = se.tau[se.current_index - 1]
+    eq0 = se.current_scalar * (1 - tau_c) % P
+    eq1 = se.current_scalar * tau_c % P
+    slope = (eq1 - eq0) % P
+    l2 = (eq0 + 2 * slope) % P
+    l3 = (eq0 + 3 * slope) % P
+    c = q0 % P
+    e = qinf % P
+    q1 = 0 if eq1 == 0 else (claim - eq0 * c) % P * pow(eq1, -1, P) % P
+    q2 = (2 * q1 - c + 2 * e) % P
+    q3 = (q2 + q1 - c + 4 * e) % P
+    return [eq0 * c % P, eq1 * q1 % P, l2 * q2 % P, l3 * q3 % P]
+
+
+def _window_tables(se: GruenSplitEq):
+    """getWindowEqTables(·, 1): E_out/E_in prefix tables + head_in_bits."""
+    head = se.current_index - 1 if se.current_index > 0 else 0
+    head_out = min(head, se.m)
+    head_in = head - head_out
+    E_out = se.E_out_vec[min(head_out, len(se.E_out_vec) - 1)]
+    E_in = se.E_in_vec[min(head_in, len(se.E_in_vec) - 1)]
+    return E_out, E_in, head_in
+
+
+# ---------------------------------------------------------------------------
+# Instance 0: ProductVirtualRemainder
+# ---------------------------------------------------------------------------
+
+class ProductVirtualRemainderProver:
+    def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors: list[list[int]]):
+        padded = 1 << max(0, (len(factors) - 1).bit_length())
+        self.num_cycle_vars = padded.bit_length() - 1
+        w = us.lagrange_evals(us.PV_DOMAIN, r0)
+        tau_low, tau_high = tau[:-1], tau[-1]
+        kern = us.lagrange_kernel(us.PV_DOMAIN, r0, tau_high)
+        self.split_eq = GruenSplitEq(tau_low, scaling_factor=kern)
+        self.left = [0] * padded
+        self.right = [0] * padded
+        for i, f in enumerate(factors):
+            self.left[i] = (w[0] * f[0] + w[1] * f[2] + w[2] * f[2]
+                            + w[3] * f[5] + w[4] * f[4]) % P
+            self.right[i] = (w[0] * f[1] + w[1] * f[3] + w[2] * f[4]
+                             + w[3] * f[6] + w[4] * (1 - f[7])) % P
+        self.current_round = 0
+        self.current_claim = uni_skip_claim % P
+
+    def round_evals(self) -> list[int]:
+        E_out, E_in, head_in = _window_tables(self.split_eq)
+        num_groups = len(self.left) // 2
+        t0 = tinf = 0
+        for x_out, e_out in enumerate(E_out):
+            inner0 = innerI = 0
+            for x_in, e_in in enumerate(E_in):
+                g = (x_out << head_in) | x_in
+                if g >= num_groups:
+                    continue
+                l_lo, l_hi = self.left[2 * g], self.left[2 * g + 1]
+                r_lo, r_hi = self.right[2 * g], self.right[2 * g + 1]
+                inner0 = (inner0 + l_lo * r_lo % P * e_in) % P
+                innerI = (innerI + (l_hi - l_lo) * (r_hi - r_lo) % P * e_in) % P
+            t0 = (t0 + inner0 * e_out) % P
+            tinf = (tinf + innerI * e_out) % P
+        evals = _gruen_cubic(self.split_eq, t0, tinf, self.current_claim)
+        # replicate the driver's compressed->evals round trip (proof_converter)
+        compressed = unipoly.evals_to_compressed(evals)
+        c0, c2, c3 = compressed
+        c1 = (self.current_claim - 2 * c0 - c2 - c3) % P
+        s0 = c0
+        s1 = (self.current_claim - s0) % P
+        s2 = (c0 + 2 * c1 + 4 * c2 + 8 * c3) % P
+        s3 = (c0 + 3 * c1 + 9 * c2 + 27 * c3) % P
+        return [s0, s1, s2, s3]
+
+    def bind(self, r: int) -> None:
+        half = len(self.left) // 2
+        self.left = [(self.left[2 * i] + r * (self.left[2 * i + 1] - self.left[2 * i])) % P
+                     for i in range(half)]
+        self.right = [(self.right[2 * i] + r * (self.right[2 * i + 1] - self.right[2 * i])) % P
+                      for i in range(half)]
+        self.split_eq.bind(r)
+        self.current_round += 1
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+
+# ---------------------------------------------------------------------------
+# Instance 1: RamRafEvaluation
+# ---------------------------------------------------------------------------
+
+class RafEvaluationProver:
+    def __init__(self, accesses, r_cycle: list[int], start_address: int,
+                 log_k: int, initial_claim: int):
+        k_size = 1 << log_k
+        n_acc = len(accesses)
+        log_t = max(0, (n_acc - 1).bit_length()) if n_acc > 1 else 0
+        eq = _eq_table_le(r_cycle, log_t)
+        self.ra = [0] * k_size
+        for j, a in enumerate(accesses):
+            if a.address >= start_address:
+                k = (a.address - start_address) // 8
+                if k < k_size:
+                    self.ra[k] = (self.ra[k] + (eq[j] if j < len(eq) else 0)) % P
+        self.num_vars = log_k
+        self.start_address = start_address
+        self.bound_values: list[int] = []
+        self.round = 0
+        self.current_claim = initial_claim % P
+
+    def round_evals(self) -> list[int]:
+        active = 1 << self.num_vars
+        half = active // 2
+        base = self.start_address % P
+        power = 8
+        for v in self.bound_values:
+            base = (base + v * power) % P
+            power *= 2
+        current_power = power
+        s0 = s2 = 0
+        for i in range(half):
+            ra_lo, ra_hi = self.ra[2 * i], self.ra[2 * i + 1]
+            ra2 = (2 * ra_hi - ra_lo) % P
+            rem = 0
+            rp = current_power * 2
+            idx = i
+            for _ in range(self.num_vars + len(self.bound_values) - self.round - 1):
+                if idx & 1:
+                    rem += rp
+                idx >>= 1
+                rp *= 2
+            u0 = (base + rem) % P
+            u2 = (base + 2 * current_power + rem) % P
+            s0 = (s0 + ra_lo * u0) % P
+            s2 = (s2 + ra2 * u2) % P
+        s1 = (self.current_claim - s0) % P
+        s3 = (s0 - 3 * s1 + 3 * s2) % P
+        return [s0, s1, s2, s3]
+
+    def bind(self, r: int) -> None:
+        active = 1 << self.num_vars
+        half = active // 2
+        for i in range(half):
+            lo, hi = self.ra[2 * i], self.ra[2 * i + 1]
+            self.ra[i] = ((1 - r) * lo + r * hi) % P
+        self.num_vars -= 1
+        self.bound_values.append(r)
+        self.round += 1
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+
+# ---------------------------------------------------------------------------
+# Instance 2: RamReadWriteChecking
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RWCEntry:
+    cycle: int
+    address: int
+    ra: int       # field
+    val: int      # field
+    prev_val: int  # u64
+    next_val: int  # u64
+
+
+class RamReadWriteCheckingProver:
+    def __init__(self, accesses, gamma: int, r_cycle: list[int], log_k: int,
+                 log_t: int, phase1_rounds: int, start_address: int,
+                 initial_claim: int, initial_ram: dict[int, int]):
+        self.gamma = gamma % P
+        self.log_k = log_k
+        self.log_t = log_t
+        self.phase1 = phase1_rounds
+        self.round = 0
+        self.current_claim = initial_claim % P
+        self.challenges: list[int] = []
+        K = 1 << log_k
+        T = 1 << log_t
+
+        self.inc = [0] * T
+        self.val_init = [0] * K
+        cur_val: dict[int, int] = {}
+        for addr, val in initial_ram.items():
+            if addr >= start_address:
+                idx = (addr - start_address) // 8
+                if idx < K:
+                    self.val_init[idx] = val % P
+                    cur_val[idx] = val
+
+        entries: list[RWCEntry] = []
+        for a in accesses:
+            if a.timestamp >= T or a.address < start_address:
+                continue
+            idx = (a.address - start_address) // 8
+            if idx >= K:
+                continue
+            prev = cur_val.get(idx, 0)
+            if a.op == "write":
+                new = a.post_value
+                self.inc[a.timestamp] = (new - prev) % P
+                cur_val[idx] = new
+                val_coeff = prev % P
+                next_val = new
+            else:
+                val_coeff = a.post_value % P
+                next_val = a.post_value
+            entries.append(RWCEntry(a.timestamp, idx, 1, val_coeff, prev, next_val))
+        entries.sort(key=lambda e: (e.cycle, e.address))
+        self.entries = entries
+
+        self.eq_evals = [_eq_be(r_cycle, j, log_t) for j in range(T)]
+        self.eq_size = T
+        self.gruen = GruenSplitEq(list(r_cycle))
+
+    # -- round polynomials -------------------------------------------------
+    def round_evals(self) -> list[int]:
+        phase2_end = self.phase1 + self.log_k
+        if self.round < self.phase1 or self.round >= phase2_end:
+            return self._phase1_poly()
+        return self._phase2_poly()
+
+    def _phase1_poly(self) -> list[int]:
+        E_out, E_in, head_in = _window_tables(self.gruen)
+        g = self.gamma
+        q0 = qinf = 0
+        items = self.entries
+        i = 0
+        while i < len(items):
+            e = items[i]
+            pair = e.cycle // 2
+            x_out = pair >> head_in
+            x_in = pair & ((1 << head_in) - 1)
+            e_out = E_out[x_out] if x_out < len(E_out) else 1
+            e_in = E_in[x_in] if x_in < len(E_in) else 1
+            E_pref = e_out * e_in % P
+            jp = pair * 2
+            inc0 = self.inc[jp] if jp < len(self.inc) else 0
+            inc1 = self.inc[jp + 1] if jp + 1 < len(self.inc) else 0
+            incI = (inc1 - inc0) % P
+
+            if e.cycle % 2 == 0:
+                has_odd = (i + 1 < len(items) and items[i + 1].cycle // 2 == pair
+                           and items[i + 1].address == e.address
+                           and items[i + 1].cycle % 2 == 1)
+                if has_odd:
+                    o = items[i + 1]
+                    ra0, raI = e.ra, (o.ra - e.ra) % P
+                    val0, valI = e.val, (o.val - e.val) % P
+                    i += 2
+                else:
+                    ra0, raI = e.ra, (-e.ra) % P
+                    val0, valI = e.val, (e.next_val - e.val) % P
+                    i += 1
+            else:
+                ra0, raI = 0, e.ra
+                val0 = e.prev_val % P
+                valI = (e.val - val0) % P
+                i += 1
+
+            inner0 = (val0 + g * ((inc0 + val0) % P)) % P
+            innerI = (valI + g * ((incI + valI) % P)) % P
+            q0 = (q0 + E_pref * ra0 % P * inner0) % P
+            qinf = (qinf + E_pref * raI % P * innerI) % P
+        return _gruen_cubic(self.gruen, q0, qinf, self.current_claim)
+
+    def _phase2_poly(self) -> list[int]:
+        addr_round = self.round - self.phase1
+        if addr_round == 0:
+            self.entries.sort(key=lambda e: (e.address, e.cycle))
+        g = self.gamma
+        eq_cycle = self.eq_evals[0]
+        inc_s = self.inc[0]
+        K = 1 << self.log_k
+        vsize = K >> addr_round
+        one_plus_g = (1 + g) % P
+        s0 = s2 = 0
+        items = self.entries
+        i = 0
+        while i < len(items):
+            col = items[i].address >> addr_round
+            col_pair = col // 2
+            even_cp = (self.val_init[col_pair * 2] if col_pair * 2 < vsize else 0)
+            odd_cp = (self.val_init[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
+            pair_end = i
+            while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
+                pair_end += 1
+            odd_start = i
+            while odd_start < pair_end and (items[odd_start].address >> addr_round) % 2 == 0:
+                odd_start += 1
+            ei, oi = i, odd_start
+
+            def eq_addr(entry):
+                acc = 1
+                for b in range(addr_round):
+                    bit = (entry.address >> b) & 1
+                    rb = self.challenges[self.phase1 + b]
+                    acc = acc * ((rb if bit else (1 - rb)) % P) % P
+                return eq_cycle * acc % P
+
+            def contrib(ra0, ra2v, val0, val2v, eqp):
+                nonlocal s0, s2
+                s0 = (s0 + eqp * ra0 % P * ((val0 * one_plus_g + g * inc_s) % P)) % P
+                s2 = (s2 + eqp * ra2v % P * ((val2v * one_plus_g + g * inc_s) % P)) % P
+
+            while ei < odd_start and oi < pair_end:
+                ee, oe = items[ei], items[oi]
+                if ee.cycle == oe.cycle:
+                    contrib(ee.ra, (2 * oe.ra - ee.ra) % P, ee.val,
+                            (2 * oe.val - ee.val) % P, eq_addr(ee))
+                    even_cp = ee.next_val % P
+                    odd_cp = oe.next_val % P
+                    ei += 1
+                    oi += 1
+                elif ee.cycle < oe.cycle:
+                    contrib(ee.ra, (-ee.ra) % P, ee.val, (2 * odd_cp - ee.val) % P,
+                            eq_addr(ee))
+                    even_cp = ee.next_val % P
+                    ei += 1
+                else:
+                    contrib(0, 2 * oe.ra % P, even_cp, (2 * oe.val - even_cp) % P,
+                            eq_addr(oe))
+                    odd_cp = oe.next_val % P
+                    oi += 1
+            while ei < odd_start:
+                ee = items[ei]
+                contrib(ee.ra, (-ee.ra) % P, ee.val, (2 * odd_cp - ee.val) % P, eq_addr(ee))
+                even_cp = ee.next_val % P
+                ei += 1
+            while oi < pair_end:
+                oe = items[oi]
+                contrib(0, 2 * oe.ra % P, even_cp, (2 * oe.val - even_cp) % P, eq_addr(oe))
+                odd_cp = oe.next_val % P
+                oi += 1
+            i = pair_end
+
+        s1 = (self.current_claim - s0) % P
+        s3 = (3 * s2 - 3 * s1 + s0) % P
+        return [s0, s1, s2, s3]
+
+    # -- binding ------------------------------------------------------------
+    def bind(self, r: int) -> None:
+        self.challenges.append(r)
+        phase2_end = self.phase1 + self.log_k
+        in_cycle = self.round < self.phase1 or self.round >= phase2_end
+        if in_cycle and self.eq_size > 1:
+            half = self.eq_size // 2
+            for i in range(half):
+                lo, hi = self.eq_evals[2 * i], self.eq_evals[2 * i + 1]
+                self.eq_evals[i] = (lo + r * (hi - lo)) % P
+            for i in range(half):
+                lo, hi = self.inc[2 * i], self.inc[2 * i + 1]
+                self.inc[i] = (lo + r * (hi - lo)) % P
+            self.eq_size = half
+            self.gruen.bind(r)
+            self._bind_entries_cycle(r)
+        if self.phase1 <= self.round < phase2_end:
+            addr_round = self.round - self.phase1
+            K = 1 << self.log_k
+            size = K >> addr_round
+            if size > 1:
+                half = size // 2
+                for i in range(half):
+                    lo, hi = self.val_init[2 * i], self.val_init[2 * i + 1]
+                    self.val_init[i] = (lo + r * (hi - lo)) % P
+            self._bind_entries_address(r, addr_round)
+        self.round += 1
+
+    def _bind_entries_cycle(self, r: int) -> None:
+        new: list[RWCEntry] = []
+        items = self.entries
+        i = 0
+        while i < len(items):
+            e = items[i]
+            pair = e.cycle // 2
+            even = odd = None
+            if e.cycle % 2 == 0:
+                even = e
+                if (i + 1 < len(items) and items[i + 1].cycle // 2 == pair
+                        and items[i + 1].address == e.address
+                        and items[i + 1].cycle % 2 == 1):
+                    odd = items[i + 1]
+                    i += 1
+            else:
+                odd = e
+            i += 1
+            if even is not None and odd is not None:
+                new.append(RWCEntry(even.cycle // 2, even.address,
+                                    (even.ra + r * (odd.ra - even.ra)) % P,
+                                    (even.val + r * (odd.val - even.val)) % P,
+                                    even.prev_val, odd.next_val))
+            elif even is not None:
+                ov = even.next_val % P
+                new.append(RWCEntry(even.cycle // 2, even.address,
+                                    (1 - r) * even.ra % P,
+                                    (even.val + r * (ov - even.val)) % P,
+                                    even.prev_val, even.next_val))
+            else:
+                ev = odd.prev_val % P
+                new.append(RWCEntry(odd.cycle // 2, odd.address,
+                                    r * odd.ra % P,
+                                    (ev + r * (odd.val - ev)) % P,
+                                    odd.prev_val, odd.next_val))
+        self.entries = new
+
+    def _bind_entries_address(self, r: int, addr_round: int) -> None:
+        K = 1 << self.log_k
+        vsize = K >> addr_round
+        new: list[RWCEntry] = []
+        items = self.entries
+        i = 0
+        while i < len(items):
+            col = items[i].address >> addr_round
+            col_pair = col // 2
+            even_cp = (self.val_init[col_pair * 2] if col_pair * 2 < vsize else 0)
+            odd_cp = (self.val_init[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
+            pair_end = i
+            while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
+                pair_end += 1
+            odd_start = i
+            while odd_start < pair_end and (items[odd_start].address >> addr_round) % 2 == 0:
+                odd_start += 1
+            ei, oi = i, odd_start
+            while ei < odd_start and oi < pair_end:
+                ee, oe = items[ei], items[oi]
+                if ee.cycle == oe.cycle:
+                    new.append(RWCEntry(ee.cycle, ee.address // 2,
+                                        (ee.ra + r * (oe.ra - ee.ra)) % P,
+                                        (ee.val + r * (oe.val - ee.val)) % P,
+                                        ee.prev_val, oe.next_val))
+                    even_cp, odd_cp = ee.next_val % P, oe.next_val % P
+                    ei += 1
+                    oi += 1
+                elif ee.cycle < oe.cycle:
+                    new.append(RWCEntry(ee.cycle, ee.address // 2,
+                                        (1 - r) * ee.ra % P,
+                                        (ee.val + r * (odd_cp - ee.val)) % P,
+                                        ee.prev_val, ee.next_val))
+                    even_cp = ee.next_val % P
+                    ei += 1
+                else:
+                    new.append(RWCEntry(oe.cycle, oe.address // 2,
+                                        r * oe.ra % P,
+                                        (even_cp + r * (oe.val - even_cp)) % P,
+                                        oe.prev_val, oe.next_val))
+                    odd_cp = oe.next_val % P
+                    oi += 1
+            while ei < odd_start:
+                ee = items[ei]
+                new.append(RWCEntry(ee.cycle, ee.address // 2,
+                                    (1 - r) * ee.ra % P,
+                                    (ee.val + r * (odd_cp - ee.val)) % P,
+                                    ee.prev_val, ee.next_val))
+                even_cp = ee.next_val % P
+                ei += 1
+            while oi < pair_end:
+                oe = items[oi]
+                new.append(RWCEntry(oe.cycle, oe.address // 2,
+                                    r * oe.ra % P,
+                                    (even_cp + r * (oe.val - even_cp)) % P,
+                                    oe.prev_val, oe.next_val))
+                odd_cp = oe.next_val % P
+                oi += 1
+            i = pair_end
+        self.entries = new
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+
+# ---------------------------------------------------------------------------
+# Instance 3: RamOutputCheck
+# ---------------------------------------------------------------------------
+
+class OutputSumcheckProver:
+    def __init__(self, initial_ram: dict[int, int], final_ram: dict[int, int],
+                 r_address: list[int], layout, inputs: bytes, outputs: bytes,
+                 is_panicking: bool):
+        log_K = len(r_address)
+        K = 1 << log_K
+        lowest = layout.lowest_address()
+
+        def remap(addr):
+            if addr < lowest or (addr - lowest) % 8:
+                return None
+            return (addr - lowest) // 8
+
+        val_init = [0] * K
+        val_final = [0] * K
+        for k in range(K):
+            addr = lowest + k * 8
+            if addr in initial_ram:
+                val_init[k] = initial_ram[addr] % P
+            if addr in final_ram:
+                val_final[k] = final_ram[addr] % P
+
+        panic_idx = remap(layout.panic_addr) or 0
+        term_idx = remap(layout.termination) or 0
+        if panic_idx < K:
+            val_final[panic_idx] = 1 if is_panicking else 0
+        if not is_panicking and term_idx < K:
+            val_final[term_idx] = 1
+
+        io_start = remap(layout.input_start) or 0
+        io_end = remap(0x80000000) or K
+        val_io = [0] * K
+        io_mask = [0] * K
+        for k in range(io_start, min(io_end, K)):
+            io_mask[k] = 1
+
+        def fill_words(data: bytes, start_idx: int):
+            idx = start_idx
+            for i in range(0, len(data), 8):
+                if idx >= K:
+                    break
+                val_io[idx] = int.from_bytes(data[i : i + 8].ljust(8, b"\x00"), "little") % P
+                idx += 1
+
+        if inputs:
+            fill_words(inputs, remap(layout.input_start) or 0)
+        if outputs:
+            fill_words(outputs, remap(layout.output_start) or 0)
+        if panic_idx < K:
+            val_io[panic_idx] = 1 if is_panicking else 0
+        if not is_panicking and term_idx < K:
+            val_io[term_idx] = 1
+
+        # unwritten-address reconciliation (output_check.zig:280-330)
+        for k in range(K):
+            if (k < io_start or k >= io_end) and k != term_idx and k != panic_idx:
+                if val_final[k] == 0 and val_init[k] != 0:
+                    val_final[k] = val_init[k]
+        for k in range(io_start, min(io_end, K)):
+            if k != term_idx:
+                val_init[k] = val_final[k]
+
+        self.val_init = val_init
+        self.val_final = val_final
+        self.val_io = val_io
+        self.io_mask = io_mask
+        self.eq = _eq_table_be(r_address)
+        self.current_size = K
+        self.current_claim = 0
+
+    def round_evals(self) -> list[int]:
+        half = self.current_size // 2
+        s = [0, 0, 0, 0]
+        for gidx in range(half):
+            i0, i1 = 2 * gidx, 2 * gidx + 1
+            eq0, eq1 = self.eq[i0], self.eq[i1]
+            io0, io1 = self.io_mask[i0], self.io_mask[i1]
+            v0 = (self.val_final[i0] - self.val_io[i0]) % P
+            v1 = (self.val_final[i1] - self.val_io[i1]) % P
+            deq, dio, dv = (eq1 - eq0) % P, (io1 - io0) % P, (v1 - v0) % P
+            for t in range(4):
+                e = (eq0 + t * deq) % P
+                o = (io0 + t * dio) % P
+                v = (v0 + t * dv) % P
+                s[t] = (s[t] + e * o % P * v) % P
+        return s
+
+    def bind(self, r: int) -> None:
+        half = self.current_size // 2
+        for arr in (self.eq, self.io_mask, self.val_final, self.val_io, self.val_init):
+            for gidx in range(half):
+                lo, hi = arr[2 * gidx], arr[2 * gidx + 1]
+                arr[gidx] = (lo + r * (hi - lo)) % P
+        self.current_size = half
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+
+# ---------------------------------------------------------------------------
+# Instance 4: InstructionLookupsClaimReduction
+# ---------------------------------------------------------------------------
+
+class InstructionLookupsProver:
+    def __init__(self, gamma: int, r_spartan: list[int], n_cycle_vars: int,
+                 initial_claim: int, lookup_outputs, left_ops, right_ops):
+        T = 1 << n_cycle_vars
+        self.gamma = gamma % P
+        self.gamma_sqr = gamma * gamma % P
+        self.eq = [_eq_be(r_spartan, j, len(r_spartan)) for j in range(T)]
+        pad = lambda xs: ([x % P for x in xs] + [0] * T)[:T]
+        self.lo = pad(lookup_outputs)
+        self.left = pad(left_ops)
+        self.right = pad(right_ops)
+        self.current_claim = initial_claim % P
+
+    def round_evals(self) -> list[int]:
+        g, g2 = self.gamma, self.gamma_sqr
+        half = len(self.eq) // 2
+        s0 = s2 = 0
+        for i in range(half):
+            l, h = 2 * i, 2 * i + 1
+            c_lo = (self.lo[l] + g * self.left[l] + g2 * self.right[l]) % P
+            c_hi = (self.lo[h] + g * self.left[h] + g2 * self.right[h]) % P
+            eq_lo, eq_hi = self.eq[l], self.eq[h]
+            s0 = (s0 + eq_lo * c_lo) % P
+            s2 = (s2 + ((2 * eq_hi - eq_lo) % P) * ((2 * c_hi - c_lo) % P)) % P
+        s1 = (self.current_claim - s0) % P
+        s3 = (s0 - 3 * s1 + 3 * s2) % P
+        return [s0, s1, s2, s3]
+
+    def bind(self, r: int) -> None:
+        half = len(self.eq) // 2
+        for arr in (self.eq, self.lo, self.left, self.right):
+            for i in range(half):
+                lo, hi = arr[2 * i], arr[2 * i + 1]
+                arr[i] = (lo + r * (hi - lo)) % P
+        self.eq = self.eq[:half]
+        self.lo = self.lo[:half]
+        self.left = self.left[:half]
+        self.right = self.right[:half]
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+
+# ---------------------------------------------------------------------------
+# Batch driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage2BatchResult:
+    compressed_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    final_claim: int = 0
+    gamma_rwc: int = 0
+    gamma_instr: int = 0
+    r_address: list[int] = dfield(default_factory=list)
+    batching_coeffs: list[int] = dfield(default_factory=list)
+
+
+def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int,
+                       tau: list[int], r_spartan: list[int], witness_rows,
+                       factors, input_evals: list[int], n_cycle_vars: int,
+                       log_ram_k: int, accesses, initial_ram: dict[int, int],
+                       final_ram: dict[int, int], layout, program_inputs: bytes,
+                       program_outputs: bytes, is_panicking: bool) -> Stage2BatchResult:
+    res = Stage2BatchResult()
+    max_rounds = log_ram_k + n_cycle_vars
+
+    ram_addr = input_evals[ri.Inp.RamAddress]
+    ram_rv = input_evals[ri.Inp.RamReadValue]
+    ram_wv = input_evals[ri.Inp.RamWriteValue]
+    lookup_out = input_evals[ri.Inp.LookupOutput]
+    left_op = input_evals[ri.Inp.LeftLookupOperand]
+    right_op = input_evals[ri.Inp.RightLookupOperand]
+
+    gamma_rwc = transcript.challenge_scalar_full()
+    r_address = [transcript.challenge_scalar() for _ in range(log_ram_k)]
+    gamma_instr = transcript.challenge_scalar_full()
+    res.gamma_rwc, res.gamma_instr, res.r_address = gamma_rwc, gamma_instr, r_address
+
+    input_claims = [
+        uni_skip_claim_stage2 % P,
+        ram_addr % P,
+        (ram_rv + gamma_rwc * ram_wv) % P,
+        0,
+        (lookup_out + gamma_instr * left_op + gamma_instr * gamma_instr % P * right_op) % P,
+    ]
+    rounds_per = [n_cycle_vars, log_ram_k, log_ram_k + n_cycle_vars, log_ram_k, n_cycle_vars]
+
+    for c in input_claims:
+        transcript.append_scalar(c)
+    alphas = [transcript.challenge_scalar_full() for _ in range(5)]
+    res.batching_coeffs = alphas
+
+    batched_claim = 0
+    for i in range(5):
+        batched_claim = (batched_claim
+                         + (input_claims[i] << (max_rounds - rounds_per[i])) % P * alphas[i]) % P
+
+    lowest = layout.lowest_address()
+    product = ProductVirtualRemainderProver(r0_stage2, tau, uni_skip_claim_stage2, factors)
+    output = OutputSumcheckProver(initial_ram, final_ram, r_address, layout,
+                                  program_inputs, program_outputs, is_panicking)
+    rwc = RamReadWriteCheckingProver(accesses, gamma_rwc, tau[:n_cycle_vars], log_ram_k,
+                                     n_cycle_vars, n_cycle_vars // 2, lowest,
+                                     input_claims[2], initial_ram)
+    raf = None
+    instr = None
+
+    for rnd in range(max_rounds):
+        combined = [0, 0, 0, 0]
+        per_inst_evals: list[list[int] | None] = [None] * 5
+        for i in range(5):
+            start = max_rounds - rounds_per[i]
+            if rnd >= start:
+                if i == 0:
+                    ev = product.round_evals()
+                elif i == 1:
+                    if raf is None and rnd == start:
+                        raf = RafEvaluationProver(accesses, tau[:n_cycle_vars], lowest,
+                                                  log_ram_k, input_claims[1])
+                    ev = raf.round_evals()
+                elif i == 2:
+                    ev = rwc.round_evals()
+                elif i == 3:
+                    ev = output.round_evals()
+                else:
+                    if instr is None and rnd == start:
+                        lo = [w[ri.Inp.LookupOutput] for w in witness_rows]
+                        lf = [w[ri.Inp.LeftLookupOperand] for w in witness_rows]
+                        rt = [w[ri.Inp.RightLookupOperand] for w in witness_rows]
+                        instr = InstructionLookupsProver(gamma_instr, r_spartan,
+                                                         n_cycle_vars, input_claims[4],
+                                                         lo, lf, rt)
+                    ev = instr.round_evals()
+                per_inst_evals[i] = ev
+                for j in range(4):
+                    combined[j] = (combined[j] + ev[j] * alphas[i]) % P
+            else:
+                scale = max_rounds - rounds_per[i] - rnd - 1
+                w = (input_claims[i] << scale) % P * alphas[i] % P
+                for j in range(4):
+                    combined[j] = (combined[j] + w) % P
+
+        compressed = unipoly.evals_to_compressed(combined)
+        res.compressed_polys.append(compressed)
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        res.challenges.append(r)
+        batched_claim = eval_from_hint(compressed, batched_claim, r)
+
+        if rnd >= max_rounds - rounds_per[0]:
+            product.update_claim(per_inst_evals[0], r)
+            product.bind(r)
+        if rnd >= max_rounds - rounds_per[3]:
+            output.update_claim(per_inst_evals[3], r)
+            output.bind(r)
+        if raf is not None and rnd >= max_rounds - rounds_per[1]:
+            raf.update_claim(per_inst_evals[1], r)
+            raf.bind(r)
+        if per_inst_evals[2] is not None:
+            rwc.update_claim(per_inst_evals[2], r)
+            rwc.bind(r)
+        if instr is not None and rnd >= max_rounds - rounds_per[4]:
+            instr.update_claim(per_inst_evals[4], r)
+            instr.bind(r)
+
+    res.final_claim = batched_claim
+    return res
