@@ -183,3 +183,20 @@ def test_stage2_batch_bit_exact_vs_reference_log():
         assert got[1] == int.from_bytes(c2s[i], "little") % P, f"stage2 round {i} c2"
         assert got[2] == int.from_bytes(c3s[i], "little") % P, f"stage2 round {i} c3"
         assert b.challenges[i] == int.from_bytes(chals[i], "little") % P, f"stage2 round {i} challenge"
+
+
+def test_stage2_cache_openings_transcript_state():
+    data = parse_log()
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+    from zolt_tpu.zkvm.proof_converter import convert_with_transcript
+
+    convert_with_transcript(padded, tau, transcript, emulator=emu)
+    text = open(LOG, errors="ignore").read()
+    m = re.search(r"Stage 2 transcript state after cache_openings = \{ ([0-9, ]+)", text)
+    want = bytes(int(x) for x in m.group(1).replace(",", " ").split())
+    assert transcript.state[: len(want)] == want, (
+        f"transcript state after stage2 cache_openings mismatch: "
+        f"{transcript.state[:8].hex()} vs {want.hex()}")

@@ -712,6 +712,17 @@ class Stage2BatchResult:
     gamma_instr: int = 0
     r_address: list[int] = dfield(default_factory=list)
     batching_coeffs: list[int] = dfield(default_factory=list)
+    # post-batch opening claims (cache_openings order, proof_converter.zig:1290-1452)
+    factor_evals: list[int] = dfield(default_factory=list)
+    raf_final_claim: int = 0
+    rwc_val_claim: int = 0
+    rwc_ra_claim: int = 0
+    rwc_inc_claim: int = 0
+    output_val_final_claim: int = 0
+    output_val_init_claim: int = 0
+    instr_lookup_output_claim: int = 0
+    instr_left_operand_claim: int = 0
+    instr_right_operand_claim: int = 0
 
 
 def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int,
@@ -826,4 +837,69 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
             instr.bind(r)
 
     res.final_claim = batched_claim
+
+    # -- post-batch opening claims (cache_openings) -------------------------
+    # 8 product-factor MLE evals at reversed(last n_cycle challenges)
+    r_cycle_rev = list(reversed(res.challenges[-n_cycle_vars:]))
+    eq = _eq_table_be(r_cycle_rev)
+    res.factor_evals = [0] * 8
+    for j, f in enumerate(factors):
+        e = eq[j] if j < len(eq) else 0
+        for k in range(8):
+            res.factor_evals[k] = (res.factor_evals[k] + e * f[k]) % P
+
+    res.raf_final_claim = raf.ra[0] if raf is not None else 0
+
+    # RWC opening claims (read_write_checking.zig getOpeningClaims)
+    phase1 = n_cycle_vars // 2
+    phase2_end = phase1 + log_ram_k
+    phase3_len = n_cycle_vars - phase1
+    r_sc = res.challenges
+    r_addr = [0] * log_ram_k
+    for i in range(min(log_ram_k, max(0, len(r_sc) - phase1))):
+        if phase1 + i < len(r_sc):
+            r_addr[log_ram_k - 1 - i] = r_sc[phase1 + i]
+    r_cyc = [0] * n_cycle_vars
+    for i in range(min(phase1, len(r_sc))):
+        dest = phase3_len + (phase1 - 1 - i)
+        if dest < n_cycle_vars:
+            r_cyc[dest] = r_sc[i]
+    for i in range(min(phase3_len, max(0, len(r_sc) - phase2_end))):
+        if phase2_end + i < len(r_sc):
+            r_cyc[phase3_len - 1 - i] = r_sc[phase2_end + i]
+
+    ra_claim = 0
+    for e in rwc.entries:
+        ea = _eq_be(r_addr, e.address, log_ram_k)
+        ec = _eq_be(r_cyc, e.cycle, n_cycle_vars)
+        ra_claim = (ra_claim + ea * ec % P * e.ra) % P
+    res.rwc_ra_claim = ra_claim
+    val_claim = rwc.val_init[0]
+    for e in rwc.entries:
+        ea = _eq_be(r_addr, e.address, log_ram_k)
+        ec = _eq_be(r_cyc, e.cycle, n_cycle_vars)
+        delta = (e.val - rwc.val_init[e.address]) % P
+        val_claim = (val_claim + ea * ec % P * delta) % P
+    res.rwc_val_claim = val_claim
+    res.rwc_inc_claim = rwc.inc[0]
+
+    res.output_val_final_claim = output.val_final[0]
+    res.output_val_init_claim = output.val_init[0]
+    if instr is not None:
+        res.instr_lookup_output_claim = instr.lo[0]
+        res.instr_left_operand_claim = instr.left[0]
+        res.instr_right_operand_claim = instr.right[0]
+
+    # cache_openings transcript absorption: 17 claims in instance order
+    for v in res.factor_evals:
+        transcript.append_scalar(v)
+    transcript.append_scalar(res.raf_final_claim)
+    transcript.append_scalar(res.rwc_val_claim)
+    transcript.append_scalar(res.rwc_ra_claim)
+    transcript.append_scalar(res.rwc_inc_claim)
+    transcript.append_scalar(res.output_val_final_claim)
+    transcript.append_scalar(res.output_val_init_claim)
+    transcript.append_scalar(res.instr_lookup_output_claim)
+    transcript.append_scalar(res.instr_left_operand_claim)
+    transcript.append_scalar(res.instr_right_operand_claim)
     return res
