@@ -8,6 +8,10 @@ jax.config.update does."""
 
 import os
 
+# The persistent XLA compilation cache segfaults this jax build's CPU backend
+# on cache writes (zstandard path); disable it for the test suite.
+os.environ["ZOLT_TPU_NO_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

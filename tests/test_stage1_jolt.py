@@ -200,3 +200,42 @@ def test_stage2_cache_openings_transcript_state():
     assert transcript.state[: len(want)] == want, (
         f"transcript state after stage2 cache_openings mismatch: "
         f"{transcript.state[:8].hex()} vs {want.hex()}")
+
+
+def test_stage3_bit_exact_vs_reference_log():
+    data = parse_log()
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+    from zolt_tpu.zkvm.proof_converter import convert_with_transcript
+
+    conv = convert_with_transcript(padded, tau, transcript, emulator=emu)
+    text = open(LOG, errors="ignore").read()
+
+    s3 = conv.stage3
+    assert s3 is not None
+
+    def grab3(tag):
+        out = {}
+        for m in re.finditer(rf"STAGE3_ROUND_(\d+): {tag} = \{{ \{{ ([0-9, ]+) \}}", text):
+            out[int(m.group(1))] = bytes(int(x.rstrip(",")) for x in m.group(2).split() if x.rstrip(","))
+        return out
+
+    # input claims from log
+    def le_line(tag):
+        m = re.search(rf"{tag} = \{{ \{{ ([0-9, ]+) \}}", text)
+        return int.from_bytes(bytes(int(x.rstrip(",")) for x in m.group(1).split() if x.rstrip(",")), "little")
+
+    assert s3.input_claims[0] == le_line(r"STAGE3_PRE: input_claim\[0\] \(Shift\)"), "shift input"
+    assert s3.input_claims[1] == le_line(r"STAGE3_PRE: input_claim\[1\] \(InstrInput\)"), "instr input"
+    assert s3.batching_coeffs[0] == le_line(r"STAGE3_PRE: batching_coeff\[0\]"), "stage3 alpha0"
+
+    c0s, c2s, c3s, chals = grab3("c0"), grab3("c2"), grab3("c3"), grab3("challenge")
+    assert len(chals) == 8, f"expected 8 stage3 rounds, got {len(chals)}"
+    for i in range(8):
+        got = s3.compressed_polys[i]
+        assert got[0] == int.from_bytes(c0s[i], "little") % P, f"stage3 round {i} c0"
+        assert got[1] == int.from_bytes(c2s[i], "little") % P, f"stage3 round {i} c2"
+        assert got[2] == int.from_bytes(c3s[i], "little") % P, f"stage3 round {i} c3"
+        assert s3.challenges[i] == int.from_bytes(chals[i], "little") % P, f"stage3 round {i} challenge"

@@ -179,6 +179,7 @@ class JoltConversion:
     stage1: Stage1Proof | None = None
     stage2_uniskip: Stage2UniSkip | None = None
     stage2_batch: object = None
+    stage3: object = None
     input_evals: list[int] = dfield(default_factory=list)
 
 
@@ -237,4 +238,33 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
             is_panicking=emulator.device.panic,
         )
         conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
+
+        # Stage 3: Shift + InstructionInput + RegistersClaimReduction
+        from .stage3 import prove_stage3
+
+        b = conv.stage2_batch
+        r_product = list(reversed(b.challenges[-n_cycle_vars:]))
+        name_to_idx = {
+            "NextUnexpandedPC": ri.Inp.NextUnexpandedPC,
+            "NextPC": ri.Inp.NextPC,
+            "NextIsVirtual": ri.Inp.NextIsVirtual,
+            "NextIsFirstInSequence": ri.Inp.NextIsFirstInSequence,
+            "RightInstructionInput": ri.Inp.RightInstructionInput,
+            "LeftInstructionInput": ri.Inp.LeftInstructionInput,
+            "RdWriteValue": ri.Inp.RdWriteValue,
+            "Rs1Value": ri.Inp.Rs1Value,
+            "Rs2Value": ri.Inp.Rs2Value,
+        }
+
+        def oc(name, sumcheck, index=0):
+            if sumcheck == "SpartanOuter":
+                return conv.input_evals[name_to_idx[name]]
+            # SpartanProductVirtualization claims come from the stage-2 factors
+            pv = {"NextIsNoop": 7, "LeftInstructionInput": 0,
+                  "RightInstructionInput": 1}
+            return b.factor_evals[pv[name]]
+
+        conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
+                                   r_spartan, r_product, oc)
+        conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
     return conv
