@@ -193,7 +193,7 @@ def test_stage2_cache_openings_transcript_state():
     padded = pad_with_noop(list(emu.trace))
     from zolt_tpu.zkvm.proof_converter import convert_with_transcript
 
-    convert_with_transcript(padded, tau, transcript, emulator=emu)
+    convert_with_transcript(padded, tau, transcript, emulator=emu, stages=2)
     text = open(LOG, errors="ignore").read()
     m = re.search(r"Stage 2 transcript state after cache_openings = \{ ([0-9, ]+)", text)
     want = bytes(int(x) for x in m.group(1).replace(",", " ").split())
@@ -239,3 +239,84 @@ def test_stage3_bit_exact_vs_reference_log():
         assert got[1] == int.from_bytes(c2s[i], "little") % P, f"stage3 round {i} c2"
         assert got[2] == int.from_bytes(c3s[i], "little") % P, f"stage3 round {i} c3"
         assert s3.challenges[i] == int.from_bytes(chals[i], "little") % P, f"stage3 round {i} challenge"
+
+
+def test_stage4_bit_exact_vs_reference_log():
+    data = parse_log()
+    tau = [m * INV_2_128 % P for m in data["tau_masked"]]
+    transcript = reconstruct_transcript(data)
+    emu = run_elf("/root/reference/examples/fibonacci.elf")
+    padded = pad_with_noop(list(emu.trace))
+    from zolt_tpu.zkvm.proof_converter import convert_with_transcript
+
+    conv = convert_with_transcript(padded, tau, transcript, emulator=emu)
+    text = open(LOG, errors="ignore").read()
+    s4 = conv.stage4
+    assert s4 is not None
+
+    def be_line(pat):
+        m = re.search(pat + r"\s*=\s*\{ ([0-9, ]+)\}", text)
+        return int.from_bytes(
+            bytes(int(x.rstrip(",")) for x in m.group(1).split() if x.rstrip(",")), "big")
+
+    def le_line(pat):
+        m = re.search(pat + r"\s*=\s*\{ ([0-9, ]+)\}", text)
+        return int.from_bytes(
+            bytes(int(x.rstrip(",")) for x in m.group(1).split() if x.rstrip(",")), "little")
+
+    assert s4.gamma == be_line(r"\[STAGE4\] gamma_full_BE"), "stage4 gamma"
+    assert s4.input_claims[0] == be_line(r"\[ZOLT STAGE4\] input_claim_registers_BE"), "regs input claim"
+    assert s4.input_claims[1] == be_line(r"\[ZOLT STAGE4\] input_claim_val_eval_BE"), "val_eval input claim"
+    assert s4.input_claims[2] == be_line(r"\[ZOLT STAGE4\] input_claim_val_final_BE"), "val_final input claim"
+    assert s4.batching_coeffs[0] == be_line(r"\[ZOLT STAGE4\] batching_coeff\[0\]_BE"), "alpha0"
+    assert s4.batching_coeffs[1] == be_line(r"\[ZOLT STAGE4\] batching_coeff\[1\]_BE"), "alpha1"
+    assert s4.batching_coeffs[2] == be_line(r"\[ZOLT STAGE4\] batching_coeff\[2\]_BE"), "alpha2"
+
+    # all 15 round challenges (transcript acts as running checksum over the
+    # absorbed compressed round polys)
+    chals = {}
+    for m in re.finditer(
+            r"\[ZOLT STAGE4\] Round (\d+): challenge \(LE\) = \{ ([0-9, ]+)\}", text):
+        chals[int(m.group(1))] = int.from_bytes(
+            bytes(int(x.rstrip(",")) for x in m.group(2).split() if x.rstrip(",")), "little")
+    assert len(chals) == 15, f"expected 15 stage4 rounds in log, got {len(chals)}"
+    for i in range(15):
+        assert s4.challenges[i] == chals[i] % P, f"stage4 round {i} challenge"
+
+    # round-0 compressed coefficients, byte-for-byte
+    m = re.search(
+        r"compressed\[0\] = c0 \(32 bytes\) = \{ ([0-9, ]+)\}.*?"
+        r"compressed\[1\] = c2 \(32 bytes\) = \{ ([0-9, ]+)\}.*?"
+        r"compressed\[2\] = c3 \(32 bytes\) = \{ ([0-9, ]+)\}", text, re.S)
+    for j in range(3):
+        want = int.from_bytes(
+            bytes(int(x.rstrip(",")) for x in m.group(j + 1).split() if x.rstrip(",")),
+            "little")
+        assert s4.compressed_polys[0][j] == want % P, f"stage4 round0 compressed[{j}]"
+
+    # final opening claims
+    assert s4.regs_claims["val"] == le_line(r"\[ZOLT STAGE4 CLAIMS\] val_claim bytes"), "val claim"
+    assert s4.regs_claims["rs1_ra"] == le_line(r"\[ZOLT STAGE4 CLAIMS\] rs1_ra_claim bytes"), "rs1_ra"
+    assert s4.regs_claims["rs2_ra"] == le_line(r"\[ZOLT STAGE4 CLAIMS\] rs2_ra_claim bytes"), "rs2_ra"
+    assert s4.regs_claims["rd_wa"] == le_line(r"\[ZOLT STAGE4 CLAIMS\] rd_wa_claim bytes"), "rd_wa"
+    assert s4.regs_claims["inc"] == le_line(r"\[ZOLT STAGE4 CLAIMS\] inc_claim bytes"), "inc"
+    assert s4.val_eval_openings["lt"] == be_line(
+        r"\[ZOLT LT FINAL\] val_eval_openings.lt_eval \(from prover binding\)"), "lt opening"
+    assert s4.val_eval_openings["inc"] == be_line(
+        r"\[ZOLT LT FINAL\] val_eval_openings.inc_eval"), "val_eval inc"
+    assert s4.val_eval_openings["wa"] == be_line(
+        r"\[ZOLT LT FINAL\] val_eval_openings.wa_eval"), "val_eval wa"
+    assert s4.val_final_openings["inc"] == be_line(
+        r"  val_final_openings.inc_eval"), "val_final inc"
+    assert s4.val_final_openings["wa"] == be_line(
+        r"  val_final_openings.wa_eval"), "val_final wa"
+
+    # transcript state after the 9 absorbed opening claims (running checksum
+    # over every byte absorbed in stages 1-4)
+    idx = text.index("[ZOLT STAGE4 VERIFY CHECK]")
+    tail = text[idx:]
+    states = re.findall(r"state_after=\{ ([0-9a-f ]+)\.\.\. \}", tail[:6000])
+    assert len(states) >= 9
+    want = bytes(int(b, 16) for b in states[8].split())
+    assert transcript.state[: len(want)] == want, (
+        f"post-stage4 transcript state {transcript.state[:8].hex()} != {want.hex()}")

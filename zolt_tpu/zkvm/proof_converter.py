@@ -180,11 +180,13 @@ class JoltConversion:
     stage2_uniskip: Stage2UniSkip | None = None
     stage2_batch: object = None
     stage3: object = None
+    stage4: object = None
     input_evals: list[int] = dfield(default_factory=list)
 
 
 def convert_with_transcript(padded_steps, tau: list[int], transcript,
-                            emulator=None, log_ram_k: int = 16) -> JoltConversion:
+                            emulator=None, log_ram_k: int = 16,
+                            stages: int = 7) -> JoltConversion:
     """Drive the Jolt proof stages implemented so far. Pass the finished
     emulator to enable the stage-2 batched sumcheck (needs RAM traces)."""
     conv = JoltConversion()
@@ -239,6 +241,9 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         )
         conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
 
+        if stages < 3:
+            return conv
+
         # Stage 3: Shift + InstructionInput + RegistersClaimReduction
         from .stage3 import prove_stage3
 
@@ -267,4 +272,18 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
                                    r_spartan, r_product, oc)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
+
+        if stages < 4:
+            return conv
+
+        # Stage 4: registers RWC + RamValEvaluation + RamValFinal
+        from .stage4 import prove_stage4
+
+        conv.stage4 = prove_stage4(
+            transcript, padded_steps, emulator.ram.trace,
+            getattr(emulator, "initial_memory", {}),
+            emulator.device.layout.lowest_address(),
+            conv.stage2_batch, conv.stage3,
+            n_cycle_vars, log_ram_k)
+        conv.proof.stage4_sumcheck = SIP(conv.stage4.compressed_polys)
     return conv

@@ -1,0 +1,664 @@
+"""Stage 4 of the Jolt-format proof: 3-instance batched sumcheck.
+
+Instances (reference src/zkvm/proof_converter.zig:1605-2628):
+  0. RegistersReadWriteChecking — 3-phase Gruen prover over the K=128
+     register file × T cycles (reference src/zkvm/spartan/stage4_gruen_prover.zig).
+     Proves rd_write_value + γ·rs1_value + γ²·rs2_value =
+     Σ_{k,j} eq(r_cycle, j)·(ra(k,j)·Val(k,j) + wa(k,j)·(Val(k,j)+Inc(j))).
+  1. RamValEvaluation — Σ_j Inc(j)·wa(j)·LT(j, r_cycle) over RAM writes
+     (reference src/zkvm/ram/val_evaluation.zig).
+  2. RamValFinalEvaluation — Σ_j Inc(j)·wa(j) (reference src/zkvm/ram/val_final.zig).
+
+Batching mirrors stage 2: max_rounds = 7 + n_cycle_vars; registers always
+active, the two RAM instances activate when remaining_rounds ≤ their rounds;
+inactive instances contribute claim·2^(remaining-rounds-1)·α per round.
+
+All arithmetic is host-int modular: these are narrow sequential transcript
+chains (the wide data-parallel work lives in the device stage provers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field.params import FR
+from ..poly import unipoly
+from ..poly.special import GruenSplitEq
+from .stage2_batch import _lagrange_eval_0123, eval_from_hint
+
+P = FR.p
+
+LOG_K = 7          # log2(128): 32 RISC-V + 96 virtual registers
+K = 1 << LOG_K
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _eq_le(r: list[int], idx: int) -> int:
+    """eq(r, idx) with r little-endian: bit i of idx ↔ r[i]
+    (reference src/zkvm/ram/val_evaluation.zig:790-802)."""
+    out = 1
+    for i, ri in enumerate(r):
+        out = out * (ri if (idx >> i) & 1 else (1 - ri)) % P
+    return out
+
+
+def _eq_be(r: list[int], idx: int) -> int:
+    """eq(r, idx) with r big-endian: r[0] ↔ MSB
+    (reference src/zkvm/proof_converter.zig:4083-4095)."""
+    n = len(r)
+    out = 1
+    for i, ri in enumerate(r):
+        out = out * (ri if (idx >> (n - 1 - i)) & 1 else (1 - ri)) % P
+    return out
+
+
+def _lt_le(r: list[int], j: int) -> int:
+    """LT(j, r) = Σ_{i: j_i=0} r_i · Π_{k>i} eq(j_k, r_k), little-endian
+    (reference src/zkvm/ram/val_evaluation.zig:314-343)."""
+    out = 0
+    n = len(r)
+    for i in range(n):
+        if (j >> i) & 1:
+            continue
+        contrib = r[i]
+        for k in range(i + 1, n):
+            jk = (j >> k) & 1
+            contrib = contrib * (r[k] if jk else (1 - r[k])) % P
+        out = (out + contrib) % P
+    return out
+
+
+def compute_initial_ram_eval(initial_ram: dict[int, int], start_address: int,
+                             r_address_be: list[int], log_ram_k: int) -> int:
+    """MLE of the initial RAM image at a big-endian address point
+    (reference src/zkvm/proof_converter.zig:4113-4160)."""
+    max_idx = 1 << log_ram_k
+    out = 0
+    for addr, val in initial_ram.items():
+        if addr < start_address:
+            continue
+        idx = (addr - start_address) // 8
+        if idx >= max_idx:
+            continue
+        out = (out + _eq_be(r_address_be, idx) * (val % P)) % P
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Instance 0: registers read/write checking (3-phase Gruen)
+# ---------------------------------------------------------------------------
+
+# Expanded-opcode sets (reference stage4_gruen_prover.zig:130-160)
+_READS_RS1 = {0x13, 0x03, 0x67, 0x1B, 0x33, 0x3B, 0x23, 0x63}
+_READS_RS2 = {0x33, 0x3B, 0x23, 0x63}
+_NO_RD = {0x23, 0x63}
+
+
+class Stage4RegistersProver:
+    """Gruen 3-phase registers RWC prover.
+
+    Phase 1 (log_T/2 rounds): bind cycle vars low-to-high with split-eq.
+    Phase 2 (LOG_K rounds): bind register vars with the merged eq table.
+    Phase 3 (remaining cycle vars): bind with the dense merged eq table.
+    Mirrors reference src/zkvm/spartan/stage4_gruen_prover.zig exactly.
+    """
+
+    def __init__(self, steps, gamma: int, r_cycle_le: list[int],
+                 stage3_claims: dict[str, int]):
+        T = _next_pow2(len(steps))
+        assert T == len(steps), "steps must be pre-padded to a power of two"
+        log_T = T.bit_length() - 1
+        assert len(r_cycle_le) == log_T
+        self.T = T
+        self.log_T = log_T
+        self.num_rounds = LOG_K + log_T
+        self.gamma = gamma % P
+        self.gamma_sq = gamma * gamma % P
+        self.claims = stage3_claims
+        self.phase1_rounds = log_T // 2
+        self.phase2_rounds = LOG_K
+
+        # Per-register rows [K][T]; val holds the register value BEFORE the
+        # cycle executes; inc the rd write delta; ra accumulates γ·rs1 + γ²·rs2.
+        val = [[0] * T for _ in range(K)]
+        rd_wa = [[0] * T for _ in range(K)]
+        ra = [[0] * T for _ in range(K)]
+        rs1_ra = [[0] * T for _ in range(K)]
+        rs2_ra = [[0] * T for _ in range(K)]
+        inc = [0] * T
+        regs = [0] * 32
+        for cycle, step in enumerate(steps):
+            for k in range(32):
+                val[k][cycle] = regs[k] % P
+            if getattr(step, "is_noop", False):
+                continue
+            instr = step.instruction
+            rd = (instr >> 7) & 0x1F
+            rs1 = (instr >> 15) & 0x1F
+            rs2 = (instr >> 20) & 0x1F
+            opcode = instr & 0x7F
+            if opcode in _READS_RS1:
+                rs1_ra[rs1][cycle] = 1
+                ra[rs1][cycle] = (ra[rs1][cycle] + self.gamma) % P
+            if opcode in _READS_RS2:
+                rs2_ra[rs2][cycle] = 1
+                ra[rs2][cycle] = (ra[rs2][cycle] + self.gamma_sq) % P
+            if opcode not in _NO_RD and rd != 0:
+                rd_wa[rd][cycle] = 1
+                inc[cycle] = (step.rd_value - regs[rd]) % P
+                regs[rd] = step.rd_value
+        self.val, self.rd_wa, self.ra = val, rd_wa, ra
+        self.rs1_ra, self.rs2_ra, self.inc = rs1_ra, rs2_ra, inc
+
+        r_cycle_be = list(reversed([c % P for c in r_cycle_le]))
+        self.gruen = GruenSplitEq(r_cycle_be)
+        self.merged_eq: list[int] | None = None
+        self.current_T = T
+        self.current_K = K
+        # only registers 0..31 are ever nonzero; the bound shrinks in phase 2
+        self.active_K = 32
+
+    def input_claim(self) -> int:
+        c = self.claims
+        return (c["rd_write_value"]
+                + self.gamma * (c["rs1_value"] + self.gamma * c["rs2_value"])) % P
+
+    # -- round messages ----------------------------------------------------
+
+    def _phase1_coeffs(self, prev_claim: int) -> list[int]:
+        g = self.gruen
+        E_in = g.E_in_vec[-1]
+        E_out = g.E_out_vec[-1]
+        nbits = (len(E_in).bit_length() - 1) if len(E_in) > 1 else 0
+        mask = (1 << nbits) - 1
+        q0 = qX2 = 0
+        half_T = self.current_T // 2
+        for i in range(half_T):
+            je, jo = 2 * i, 2 * i + 1
+            E = E_out[i >> nbits] * E_in[i & mask] % P
+            inc0 = self.inc[je]
+            incs = self.inc[jo] - inc0
+            c0_acc = cX2_acc = 0
+            for k in range(self.active_K):
+                ra_e, ra_o = self.ra[k][je], self.ra[k][jo]
+                wa_e, wa_o = self.rd_wa[k][je], self.rd_wa[k][jo]
+                v_e, v_o = self.val[k][je], self.val[k][jo]
+                ra_s, wa_s, v_s = ra_o - ra_e, wa_o - wa_e, v_o - v_e
+                c0_acc += ra_e * v_e + wa_e * (v_e + inc0)
+                cX2_acc += ra_s * v_s + wa_s * (v_s + incs)
+            q0 = (q0 + E * c0_acc) % P
+            qX2 = (qX2 + E * cX2_acc) % P
+        return self._gruen_coeffs(q0, qX2, prev_claim)
+
+    def _gruen_coeffs(self, q0: int, qX2: int, claim: int) -> list[int]:
+        """gruenPolyDeg3 → cubic coefficients (reference gruen_eq.zig)."""
+        g = self.gruen
+        w = g.tau[g.current_index - 1]
+        eq1 = g.current_scalar * w % P
+        eq0 = (g.current_scalar - eq1) % P
+        m = (eq1 - eq0) % P
+        eq2 = (eq1 + m) % P
+        eq3 = (eq2 + m) % P
+        c = q0 % P
+        e = qX2 % P
+        s1 = (claim - eq0 * c) % P
+        quad1 = s1 * pow(eq1, -1, P) % P if eq1 else 0
+        quad2 = (2 * quad1 - c + 2 * e) % P
+        quad3 = (quad2 + quad1 - c + 4 * e) % P
+        evals = [eq0 * c % P, s1 % P, eq2 * quad2 % P, eq3 * quad3 % P]
+        return unipoly.interpolate_degree3(evals)
+
+    def _phase2_coeffs(self, prev_claim: int) -> list[int]:
+        merged = self.merged_eq
+        half_K = self.current_K // 2
+        active_pairs = min(half_K, (self.active_K + 1) // 2)
+        e0 = e2 = 0
+        for i in range(active_pairs):
+            ke, ko = 2 * i, 2 * i + 1
+            for j in range(self.current_T):
+                inc_j = self.inc[j]
+                eq_j = merged[j]
+                ra_e, ra_o = self.ra[ke][j], self.ra[ko][j]
+                wa_e, wa_o = self.rd_wa[ke][j], self.rd_wa[ko][j]
+                v_e, v_o = self.val[ke][j], self.val[ko][j]
+                c0 = ra_e * v_e + wa_e * (v_e + inc_j)
+                e0 = (e0 + eq_j * c0) % P
+                ra2 = 2 * ra_o - ra_e
+                wa2 = 2 * wa_o - wa_e
+                v2 = 2 * v_o - v_e
+                c2 = ra2 * v2 + wa2 * (v2 + inc_j)
+                e2 = (e2 + eq_j * c2) % P
+        e1 = (prev_claim - e0) % P
+        c2_ = (e0 - 2 * e1 + e2) * pow(2, -1, P) % P
+        c1_ = (e1 - e0 - c2_) % P
+        return [e0 % P, c1_, c2_, 0]
+
+    def _phase3_coeffs(self, prev_claim: int) -> list[int]:
+        merged = self.merged_eq
+        half_T = self.current_T // 2
+        Kp = self.current_K
+        aK = min(Kp, self.active_K)
+        if self.current_T > 1:
+            e0 = e2 = e3 = 0
+            for j in range(half_T):
+                je, jo = 2 * j, 2 * j + 1
+                inc0 = self.inc[je]
+                incs = self.inc[jo] - inc0
+                inc2, inc3 = inc0 + 2 * incs, inc0 + 3 * incs
+                eq0 = merged[je]
+                eqs = merged[jo] - eq0
+                eq2, eq3 = (eq0 + 2 * eqs) % P, (eq0 + 3 * eqs) % P
+                i0 = i2 = i3 = 0
+                for k in range(aK):
+                    ra_e, ra_o = self.ra[k][je], self.ra[k][jo]
+                    wa_e, wa_o = self.rd_wa[k][je], self.rd_wa[k][jo]
+                    v_e, v_o = self.val[k][je], self.val[k][jo]
+                    ra_s, wa_s, v_s = ra_o - ra_e, wa_o - wa_e, v_o - v_e
+                    i0 += ra_e * v_e + wa_e * (v_e + inc0)
+                    ra2, wa2, v2 = ra_e + 2 * ra_s, wa_e + 2 * wa_s, v_e + 2 * v_s
+                    i2 += ra2 * v2 + wa2 * (v2 + inc2)
+                    ra3, wa3, v3 = ra_e + 3 * ra_s, wa_e + 3 * wa_s, v_e + 3 * v_s
+                    i3 += ra3 * v3 + wa3 * (v3 + inc3)
+                e0 = (e0 + eq0 * i0) % P
+                e2 = (e2 + eq2 * i2) % P
+                e3 = (e3 + eq3 * i3) % P
+            e1 = (prev_claim - e0) % P
+            return unipoly.interpolate_degree3([e0, e1, e2, e3])
+        # cycles exhausted: quadratic in the remaining register variable
+        inc_e, eq_e = self.inc[0], merged[0]
+        e0 = e2 = 0
+        for i in range(Kp // 2):
+            ke, ko = 2 * i, 2 * i + 1
+            ra_e, ra_o = self.ra[ke][0], self.ra[ko][0]
+            wa_e, wa_o = self.rd_wa[ke][0], self.rd_wa[ko][0]
+            v_e, v_o = self.val[ke][0], self.val[ko][0]
+            e0 += ra_e * v_e + wa_e * (v_e + inc_e)
+            ra2, wa2, v2 = 2 * ra_o - ra_e, 2 * wa_o - wa_e, 2 * v_o - v_e
+            e2 += ra2 * v2 + wa2 * (v2 + inc_e)
+        e0 = eq_e * e0 % P
+        e2 = eq_e * e2 % P
+        e1 = (prev_claim - e0) % P
+        c2_ = (e0 - 2 * e1 + e2) * pow(2, -1, P) % P
+        c1_ = (e1 - e0 - c2_) % P
+        return [e0, c1_, c2_, 0]
+
+    def round_coeffs(self, rnd: int, current_claim: int) -> list[int]:
+        if rnd < self.phase1_rounds:
+            return self._phase1_coeffs(current_claim)
+        if rnd < self.phase1_rounds + self.phase2_rounds:
+            return self._phase2_coeffs(current_claim)
+        return self._phase3_coeffs(current_claim)
+
+    def round_evals(self, rnd: int, current_claim: int) -> list[int]:
+        c = self.round_coeffs(rnd, current_claim)
+        return [c[0],
+                (c[0] + c[1] + c[2] + c[3]) % P,
+                (c[0] + 2 * c[1] + 4 * c[2] + 8 * c[3]) % P,
+                (c[0] + 3 * c[1] + 9 * c[2] + 27 * c[3]) % P]
+
+    # -- binding -----------------------------------------------------------
+
+    def bind(self, rnd: int, r: int) -> None:
+        omr = (1 - r) % P
+        p1, p2 = self.phase1_rounds, self.phase1_rounds + self.phase2_rounds
+        if rnd < p1:
+            half_T = self.current_T // 2
+            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
+                for k in range(self.active_K):
+                    row = rows[k]
+                    for i in range(half_T):
+                        row[i] = (row[2 * i] * omr + row[2 * i + 1] * r) % P
+            for i in range(half_T):
+                self.inc[i] = (self.inc[2 * i] * omr + self.inc[2 * i + 1] * r) % P
+            self.current_T = half_T
+            self.gruen.bind(r)
+            if rnd == p1 - 1:
+                self.merged_eq = self.gruen.full_eq_table()
+        elif rnd < p2:
+            half_K = self.current_K // 2
+            n_active = min(half_K, (self.active_K + 1) // 2)
+            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
+                for i in range(n_active):
+                    lo, hi = rows[2 * i], rows[2 * i + 1]
+                    rows[i] = [(lo[j] * omr + hi[j] * r) % P
+                               for j in range(self.current_T)]
+                for i in range(n_active, half_K):
+                    rows[i] = [0] * self.current_T
+            self.current_K = half_K
+            self.active_K = n_active
+        else:
+            half_T = self.current_T // 2
+            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
+                for k in range(min(self.current_K, self.active_K)):
+                    row = rows[k]
+                    for i in range(half_T):
+                        row[i] = (row[2 * i] * omr + row[2 * i + 1] * r) % P
+            for i in range(half_T):
+                self.inc[i] = (self.inc[2 * i] * omr + self.inc[2 * i + 1] * r) % P
+            for i in range(half_T):
+                self.merged_eq[i] = (self.merged_eq[2 * i] * omr
+                                     + self.merged_eq[2 * i + 1] * r) % P
+            self.current_T = half_T
+
+    def final_claims(self) -> dict[str, int]:
+        return {"val": self.val[0][0], "rs1_ra": self.rs1_ra[0][0],
+                "rs2_ra": self.rs2_ra[0][0], "rd_wa": self.rd_wa[0][0],
+                "inc": self.inc[0]}
+
+
+# ---------------------------------------------------------------------------
+# Instances 1-2: RAM Val evaluation / Val final
+# ---------------------------------------------------------------------------
+
+def _build_inc_wa(accesses, initial_ram, trace_len: int, start_address: int,
+                  k: int, r_address: list[int]):
+    """Inc (write deltas) and wa (eq at write address) per cycle
+    (reference src/zkvm/ram/val_evaluation.zig:87-285)."""
+    padded = _next_pow2(max(trace_len, 1))
+    inc = [0] * padded
+    wa = [0] * padded
+    last = {}
+    for addr, val in initial_ram.items():
+        if addr < start_address:
+            continue
+        if (addr - start_address) // 8 >= k:
+            continue
+        last[addr] = val
+    write_addr = [None] * padded
+    for a in accesses:
+        if a.op != "write":
+            continue
+        if a.address < start_address:
+            continue
+        idx = (a.address - start_address) // 8
+        if idx >= k:
+            continue
+        ts = a.timestamp
+        if ts >= trace_len:
+            continue
+        old = last.get(a.address, 0)
+        inc[ts] = (a.post_value - old) % P
+        last[a.address] = a.post_value
+        write_addr[ts] = idx
+    for j, idx in enumerate(write_addr):
+        if idx is not None:
+            wa[j] = _eq_le(r_address, idx)
+    return inc, wa
+
+
+class ValEvaluationProver:
+    """Σ_j Inc(j)·wa(j)·LT(j, r_cycle), degree-3 rounds with lerp
+    extrapolation (reference src/zkvm/ram/val_evaluation.zig:403-712)."""
+
+    def __init__(self, accesses, initial_ram, trace_len: int, k: int,
+                 r_address_le: list[int], r_cycle_le: list[int],
+                 start_address: int):
+        self.inc, self.wa = _build_inc_wa(accesses, initial_ram, trace_len,
+                                          start_address, k, r_address_le)
+        n = len(self.inc)
+        self.lt = [_lt_le(r_cycle_le, j) for j in range(n)]
+        self.num_vars = n.bit_length() - 1 if n > 1 else 0
+        self.round = 0
+        self.current_claim = 0
+        for j in range(n):
+            self.current_claim = (self.current_claim
+                                  + self.inc[j] * self.wa[j] % P * self.lt[j]) % P
+
+    def num_rounds(self) -> int:
+        return self.num_vars
+
+    def _len(self) -> int:
+        return len(self.inc) >> self.round
+
+    def round_evals(self) -> list[int]:
+        n = self._len()
+        half = n // 2
+        ev = [0, 0, 0, 0]
+        if half == 0:
+            if n > 0:
+                ev[0] = self.inc[0] * self.wa[0] % P * self.lt[0] % P
+            return ev
+        for i in range(half):
+            i0, w0, l0 = self.inc[2 * i], self.wa[2 * i], self.lt[2 * i]
+            i1, w1, l1 = self.inc[2 * i + 1], self.wa[2 * i + 1], self.lt[2 * i + 1]
+            ev[0] = (ev[0] + i0 * w0 % P * l0) % P
+            ev[1] = (ev[1] + i1 * w1 % P * l1) % P
+            i2, w2, l2 = 2 * i1 - i0, 2 * w1 - w0, 2 * l1 - l0
+            ev[2] = (ev[2] + i2 * w2 % P * l2) % P
+            i3, w3, l3 = 3 * i1 - 2 * i0, 3 * w1 - 2 * w0, 3 * l1 - 2 * l0
+            ev[3] = (ev[3] + i3 * w3 % P * l3) % P
+        return ev
+
+    def bind_with_poly(self, r: int, evals4: list[int]) -> None:
+        n = self._len()
+        half = n // 2
+        if half == 0:
+            self.round += 1
+            return
+        omr = (1 - r) % P
+        for arr in (self.inc, self.wa, self.lt):
+            for i in range(half):
+                arr[i] = (omr * arr[2 * i] + r * arr[2 * i + 1]) % P
+            for i in range(half, n):
+                arr[i] = 0
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+        self.round += 1
+
+    def final_openings(self) -> dict[str, int]:
+        return {"inc": self.inc[0], "wa": self.wa[0], "lt": self.lt[0]}
+
+
+class ValFinalProver:
+    """Σ_j Inc(j)·wa(j) (reference src/zkvm/ram/val_final.zig:58-260)."""
+
+    def __init__(self, accesses, initial_ram, trace_len: int,
+                 r_address: list[int], start_address: int):
+        k = 1 << len(r_address)
+        self.inc, self.wa = _build_inc_wa(accesses, initial_ram, trace_len,
+                                          start_address, k, r_address)
+        n = len(self.inc)
+        self.num_vars = n.bit_length() - 1 if n > 1 else 0
+        self.round = 0
+        self.current_claim = 0
+        for j in range(n):
+            self.current_claim = (self.current_claim + self.inc[j] * self.wa[j]) % P
+
+    def num_rounds(self) -> int:
+        return self.num_vars
+
+    def _len(self) -> int:
+        return len(self.inc) >> self.round
+
+    def round_evals(self) -> list[int]:
+        n = self._len()
+        half = n // 2
+        ev = [0, 0, 0, 0]
+        if half == 0:
+            if n > 0:
+                ev[0] = self.inc[0] * self.wa[0] % P
+            return ev
+        for i in range(half):
+            i0, w0 = self.inc[2 * i], self.wa[2 * i]
+            i1, w1 = self.inc[2 * i + 1], self.wa[2 * i + 1]
+            ev[0] = (ev[0] + i0 * w0) % P
+            ev[1] = (ev[1] + i1 * w1) % P
+            ev[2] = (ev[2] + (2 * i1 - i0) * (2 * w1 - w0)) % P
+            ev[3] = (ev[3] + (3 * i1 - 2 * i0) * (3 * w1 - 2 * w0)) % P
+        return ev
+
+    def bind_with_poly(self, r: int, evals4: list[int]) -> None:
+        n = self._len()
+        half = n // 2
+        if half == 0:
+            self.round += 1
+            return
+        omr = (1 - r) % P
+        for arr in (self.inc, self.wa):
+            for i in range(half):
+                arr[i] = (omr * arr[2 * i] + r * arr[2 * i + 1]) % P
+            for i in range(half, n):
+                arr[i] = 0
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+        self.round += 1
+
+    def final_openings(self) -> dict[str, int]:
+        return {"inc": self.inc[0], "wa": self.wa[0]}
+
+
+# ---------------------------------------------------------------------------
+# Batch driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage4Result:
+    compressed_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    gamma: int = 0
+    batching_coeffs: list[int] = dfield(default_factory=list)
+    input_claims: list[int] = dfield(default_factory=list)
+    regs_claims: dict = dfield(default_factory=dict)
+    val_eval_openings: dict = dfield(default_factory=dict)
+    val_final_openings: dict = dfield(default_factory=dict)
+    final_claim: int = 0
+
+
+def prove_stage4(transcript, padded_steps, accesses, initial_ram,
+                 start_address: int, stage2_res, stage3_res,
+                 n_cycle_vars: int, log_ram_k: int) -> Stage4Result:
+    """Stage-4 batched sumcheck, bit-exact transcript flow
+    (reference src/zkvm/proof_converter.zig:1605-2628)."""
+    res = Stage4Result()
+    max_rounds = LOG_K + n_cycle_vars
+    gamma = transcript.challenge_scalar_full()
+    res.gamma = gamma
+
+    # -- challenge-point bookkeeping from stage 2 (RWC phase structure) ----
+    phase1 = n_cycle_vars // 2
+    phase2 = log_ram_k
+    phase3_cycle_len = n_cycle_vars - phase1
+    phase3_addr_len = log_ram_k - phase2
+    ch2 = stage2_res.challenges
+    r_address_be = [0] * log_ram_k
+    for i in range(phase2):
+        src = phase1 + i
+        if src < len(ch2):
+            dest = phase3_addr_len + (phase2 - 1 - i)
+            if dest < log_ram_k:
+                r_address_be[dest] = ch2[src]
+    p3a_start = phase1 + phase2 + phase3_cycle_len
+    for i in range(phase3_addr_len):
+        src = p3a_start + i
+        if src < len(ch2):
+            r_address_be[phase3_addr_len - 1 - i] = ch2[src]
+    r_cycle_be = [0] * n_cycle_vars
+    for i in range(phase1):
+        if i < len(ch2):
+            dest = phase3_cycle_len + (phase1 - 1 - i)
+            if dest < n_cycle_vars:
+                r_cycle_be[dest] = ch2[i]
+    p3c_start = phase1 + phase2
+    for i in range(phase3_cycle_len):
+        src = p3c_start + i
+        if src < len(ch2):
+            r_cycle_be[phase3_cycle_len - 1 - i] = ch2[src]
+    r_cycle_le = list(reversed(r_cycle_be))
+    r_address_le = list(reversed(r_address_be))
+
+    init_eval_val_eval = compute_initial_ram_eval(
+        initial_ram, start_address, r_address_be, log_ram_k)
+    # OutputCheck binds addresses over the LAST log_ram_k stage-2 challenges
+    out_start = max(0, len(ch2) - log_ram_k)
+    r_address_output = [0] * log_ram_k
+    for i in range(log_ram_k):
+        src = out_start + i
+        if src < len(ch2):
+            r_address_output[log_ram_k - 1 - i] = ch2[src]
+    init_eval_val_final = compute_initial_ram_eval(
+        initial_ram, start_address, r_address_output, log_ram_k)
+
+    input_claim_regs = (stage3_res.reg_claims["rd_write_value"]
+                        + gamma * (stage3_res.reg_claims["rs1_value"]
+                                   + gamma * stage3_res.reg_claims["rs2_value"])) % P
+    input_claim_val_eval = (stage2_res.rwc_val_claim - init_eval_val_eval) % P
+    input_claim_val_final = (stage2_res.output_val_final_claim
+                             - init_eval_val_final) % P
+    res.input_claims = [input_claim_regs, input_claim_val_eval,
+                        input_claim_val_final]
+
+    transcript.append_scalar(input_claim_regs)
+    transcript.append_scalar(input_claim_val_eval)
+    transcript.append_scalar(input_claim_val_final)
+    alphas = [transcript.challenge_scalar_full() for _ in range(3)]
+    res.batching_coeffs = alphas
+
+    trace_len = len(padded_steps)
+    regs = Stage4RegistersProver(padded_steps, gamma,
+                                 list(stage3_res.challenges),
+                                 stage3_res.reg_claims)
+    val_eval = ValEvaluationProver(accesses, initial_ram, trace_len,
+                                   1 << log_ram_k, r_address_le, r_cycle_le,
+                                   start_address)
+    r_addr_vf = [ch2[i] for i in range(log_ram_k)]
+    val_final = ValFinalProver(accesses, initial_ram, trace_len,
+                               r_addr_vf, start_address)
+
+    rounds = [max_rounds, val_eval.num_rounds(), val_final.num_rounds()]
+    batched_claim = 0
+    for i in range(3):
+        batched_claim = (batched_claim
+                         + (res.input_claims[i] << (max_rounds - rounds[i]))
+                         * alphas[i]) % P
+
+    regs_claim = input_claim_regs
+    for rnd in range(max_rounds):
+        remaining = max_rounds - rnd
+        combined = [0, 0, 0, 0]
+        regs_evals = regs.round_evals(rnd, regs_claim)
+        for j in range(4):
+            combined[j] = (combined[j] + regs_evals[j] * alphas[0]) % P
+        ve_evals = vf_evals = None
+        if remaining > rounds[1]:
+            w = (input_claim_val_eval << (remaining - rounds[1] - 1)) * alphas[1] % P
+            combined = [(c + w) % P for c in combined]
+        else:
+            ve_evals = val_eval.round_evals()
+            for j in range(4):
+                combined[j] = (combined[j] + ve_evals[j] * alphas[1]) % P
+        if remaining > rounds[2]:
+            w = (input_claim_val_final << (remaining - rounds[2] - 1)) * alphas[2] % P
+            combined = [(c + w) % P for c in combined]
+        else:
+            vf_evals = val_final.round_evals()
+            for j in range(4):
+                combined[j] = (combined[j] + vf_evals[j] * alphas[2]) % P
+
+        compressed = unipoly.evals_to_compressed(combined)
+        res.compressed_polys.append(compressed)
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        res.challenges.append(r)
+        batched_claim = eval_from_hint(compressed, batched_claim, r)
+        regs_claim = _lagrange_eval_0123(regs_evals, r)
+        regs.bind(rnd, r)
+        if ve_evals is not None:
+            val_eval.bind_with_poly(r, ve_evals)
+        if vf_evals is not None:
+            val_final.bind_with_poly(r, vf_evals)
+
+    res.final_claim = batched_claim
+    res.regs_claims = regs.final_claims()
+    res.val_eval_openings = val_eval.final_openings()
+    res.val_final_openings = val_final.final_openings()
+
+    rc = res.regs_claims
+    for v in (rc["val"], rc["rs1_ra"], rc["rs2_ra"], rc["rd_wa"], rc["inc"],
+              res.val_eval_openings["wa"], res.val_eval_openings["inc"],
+              res.val_final_openings["inc"], res.val_final_openings["wa"]):
+        transcript.append_scalar(v)
+    return res
