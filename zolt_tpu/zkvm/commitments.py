@@ -1,0 +1,336 @@
+"""Dory commitment phase of the Jolt-format proof.
+
+Builds the 2 + instruction_d + ram_d + bytecode_d committed polynomials from
+the execution trace, commits each with Dory (GT elements), absorbs them into
+the transcript, and derives τ — mirroring the reference prove pipeline
+(src/zkvm/mod.zig:780-1010).
+
+Committed polys (reference src/zkvm/mod.zig:1627-1790):
+  RdInc[i]          = rd post - pre at cycle i (0 when rd==x0)
+  RamInc[i]         = memory post - pre at cycle i (0 when not a write)
+  InstructionRa_d[i]= 4-bit chunk d of the 128-bit lookup index of entry i
+  RamRa_d[i]        = 4-bit chunk d of the raw memory address at cycle i
+  BytecodeRa_d[i]   = 4-bit chunk d of the pc at cycle i
+
+The per-instruction 128-bit lookup indices follow the reference's
+LookupTraceCollector dispatch (src/zkvm/instruction/lookup_trace.zig:801-1020)
+and per-class toLookupIndex rules (src/zkvm/instruction/lookups.zig).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field.params import FR
+from ..pcs import dory
+from ..vm.tables import interleave_bits
+
+P = FR.p
+M64 = (1 << 64) - 1
+M32 = 0xFFFFFFFF
+
+LOG_K_INSTRUCTION = 128
+LOG_K_CHUNK = 4
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _sext32(v: int) -> int:
+    v &= M32
+    return v | (0xFFFFFFFF00000000 if v & 0x80000000 else 0)
+
+
+def _s64(v: int) -> int:
+    v &= M64
+    return v - (1 << 64) if v >> 63 else v
+
+
+# ---------------------------------------------------------------------------
+# Lookup index catalog (reference lookups.zig toLookupIndex per class)
+# ---------------------------------------------------------------------------
+
+def jolt_lookup_index(step) -> int | None:
+    """128-bit lookup index for a trace step, or None if the reference
+    collector records no entry for this opcode class."""
+    instr = step.instruction
+    opcode = instr & 0x7F
+    funct3 = (instr >> 12) & 0x7
+    funct7 = (instr >> 25) & 0x7F
+    rs1 = step.rs1_value & M64
+    rs2 = step.rs2_value & M64
+
+    if opcode == 0x33:  # OP
+        if funct7 == 1:  # M extension
+            if funct3 == 0:    # MUL
+                return (rs1 * rs2) & M64
+            if funct3 == 1:    # MULH
+                return ((_s64(rs1) * _s64(rs2)) >> 64) & M64
+            if funct3 == 2:    # MULHSU
+                return ((_s64(rs1) * rs2) >> 64) & M64
+            if funct3 == 3:    # MULHU
+                return (rs1 * rs2) >> 64
+            if funct3 == 4:    # DIV
+                return interleave_bits(rs2, _div_signed(rs1, rs2))
+            if funct3 == 5:    # DIVU
+                return interleave_bits(rs2, (M64 if rs2 == 0 else rs1 // rs2))
+            if funct3 == 6:    # REM
+                return interleave_bits(_rem_signed(rs1, rs2), rs2)
+            if funct3 == 7:    # REMU
+                return interleave_bits((rs1 if rs2 == 0 else rs1 % rs2), rs2)
+        if funct3 == 0:
+            if funct7 & 0x20:  # SUB
+                return interleave_bits(rs1, rs2)
+            return (rs1 + rs2) & M64  # ADD -> index = result
+        # AND/OR/XOR/SLT/SLTU/SLL/SRL/SRA all interleave the raw operands
+        return interleave_bits(rs1, rs2)
+
+    if opcode == 0x13:  # OP_IMM
+        imm = _i_imm(instr)
+        if funct3 == 0:  # ADDI
+            return (rs1 + imm) & M64
+        if funct3 in (1, 5):  # SLLI / SRLI / SRAI: shamt = imm_u32 & 0x3F
+            shamt = (imm & M32) & 0x3F
+            return interleave_bits(rs1, shamt)
+        # ANDI/ORI/XORI/SLTI/SLTIU
+        return interleave_bits(rs1, imm)
+
+    if opcode == 0x63:  # BRANCH
+        return interleave_bits(rs1, rs2)
+
+    if opcode == 0x3B:  # OP_32
+        if funct7 == 1:
+            if funct3 == 0:   # MULW
+                return _sext32(rs1 * rs2)
+            if funct3 == 4:   # DIVW
+                return interleave_bits(rs2 & M32, _divw_signed(rs1, rs2) & M32)
+            if funct3 == 5:   # DIVUW
+                a, b = rs1 & M32, rs2 & M32
+                q = M32 if b == 0 else a // b
+                return interleave_bits(rs2 & M32, q & M32)
+            if funct3 == 6:   # REMW
+                return interleave_bits(_remw_signed(rs1, rs2) & M32, rs2 & M32)
+            if funct3 == 7:   # REMUW
+                a, b = rs1 & M32, rs2 & M32
+                r = a if b == 0 else a % b
+                return interleave_bits(r & M32, rs2 & M32)
+            return _sext32(rs1 + rs2)  # fallback -> Addw
+        if funct3 == 0:
+            if funct7 & 0x20:  # SUBW
+                return interleave_bits(rs1 & M32, rs2 & M32)
+            return _sext32(rs1 + rs2)  # ADDW -> index = sign-extended result
+        if funct3 in (1, 5):  # SLLW/SRLW/SRAW
+            return interleave_bits(rs1 & M32, rs2 & 0x1F)
+        return _sext32(rs1 + rs2)  # fallback
+
+    if opcode == 0x37:  # LUI -> index = sign-extended imm
+        return _u_imm(instr) & M64
+    if opcode == 0x17:  # AUIPC -> index = pc + imm
+        return (step.pc + _u_imm(instr)) & M64
+    if opcode == 0x6F:  # JAL -> index = return address pc+4
+        return (step.pc + 4) & M64
+    if opcode == 0x67:  # JALR -> index = return address pc+4
+        return (step.pc + 4) & M64
+    return None  # LOAD/STORE/OP_IMM_32/SYSTEM: no lookup entry
+
+
+def _i_imm(instr: int) -> int:
+    imm = instr >> 20
+    if imm & 0x800:
+        imm -= 1 << 12
+    return imm & M64
+
+
+def _u_imm(instr: int) -> int:
+    imm = instr & 0xFFFFF000
+    if imm & 0x80000000:
+        imm |= ~M32 & M64  # sign-extend bit 31
+    return imm & M64
+
+
+def _div_signed(rs1: int, rs2: int) -> int:
+    a, b = _s64(rs1), _s64(rs2)
+    if b == 0:
+        return M64  # -1
+    if a == -(1 << 63) and b == -1:
+        return rs1
+    q = abs(a) // abs(b)
+    if (a < 0) != (b < 0):
+        q = -q
+    return q & M64
+
+
+def _rem_signed(rs1: int, rs2: int) -> int:
+    a, b = _s64(rs1), _s64(rs2)
+    if b == 0:
+        return rs1
+    if a == -(1 << 63) and b == -1:
+        return 0
+    r = abs(a) % abs(b)
+    if a < 0:
+        r = -r
+    return r & M64
+
+
+def _divw_signed(rs1: int, rs2: int) -> int:
+    a = _sext32(rs1)
+    b = _sext32(rs2)
+    sa = a - (1 << 64) if a >> 63 else a
+    sb = b - (1 << 64) if b >> 63 else b
+    sa, sb = (sa & M32) - (1 << 32) if (sa & M32) >> 31 else sa & M32, \
+             (sb & M32) - (1 << 32) if (sb & M32) >> 31 else sb & M32
+    if sb == 0:
+        return M32
+    if sa == -(1 << 31) and sb == -1:
+        return sa & M32
+    q = abs(sa) // abs(sb)
+    if (sa < 0) != (sb < 0):
+        q = -q
+    return q & M32
+
+
+def _remw_signed(rs1: int, rs2: int) -> int:
+    sa = (rs1 & M32) - (1 << 32) if (rs1 & M32) >> 31 else rs1 & M32
+    sb = (rs2 & M32) - (1 << 32) if (rs2 & M32) >> 31 else rs2 & M32
+    if sb == 0:
+        return rs1 & M32
+    if sa == -(1 << 31) and sb == -1:
+        return 0
+    r = abs(sa) % abs(sb)
+    if sa < 0:
+        r = -r
+    return r & M32
+
+
+# ---------------------------------------------------------------------------
+# Committed polynomial builders
+# ---------------------------------------------------------------------------
+
+def build_rd_inc(steps, size: int) -> list[int]:
+    poly = [0] * size
+    for i, s in enumerate(steps):
+        if i >= size:
+            break
+        rd = (s.instruction >> 7) & 0x1F
+        if rd != 0 and not getattr(s, "is_noop", False):
+            poly[i] = (s.rd_value - s.rd_pre_value) % P
+    return poly
+
+
+def build_ram_inc(steps, size: int) -> list[int]:
+    poly = [0] * size
+    for i, s in enumerate(steps):
+        if i >= size:
+            break
+        if getattr(s, "is_memory_write", False):
+            pre = s.memory_pre_value or 0
+            post = s.memory_value or 0
+            poly[i] = (post - pre) % P
+    return poly
+
+
+def jolt_lookup_indices(steps) -> list[int]:
+    """Recorded lookup indices in trace order (collector parity)."""
+    out = []
+    for s in steps:
+        if getattr(s, "is_noop", False):
+            continue
+        idx = jolt_lookup_index(s)
+        if idx is not None:
+            out.append(idx)
+    return out
+
+
+def build_instruction_ra(indices: list[int], size: int, shift: int) -> list[int]:
+    mask = (1 << LOG_K_CHUNK) - 1
+    poly = [0] * size
+    for i, idx in enumerate(indices):
+        if i >= size:
+            break
+        poly[i] = (idx >> shift) & mask
+    return poly
+
+
+def build_ram_ra(steps, size: int, shift: int) -> list[int]:
+    mask = (1 << LOG_K_CHUNK) - 1
+    poly = [0] * size
+    for i, s in enumerate(steps):
+        if i >= size:
+            break
+        addr = getattr(s, "memory_addr", None)
+        if addr is not None:
+            poly[i] = (addr >> shift) & mask
+    return poly
+
+
+def build_bytecode_ra(steps, size: int, shift: int) -> list[int]:
+    mask = (1 << LOG_K_CHUNK) - 1
+    poly = [0] * size
+    for i, s in enumerate(steps):
+        if i >= size:
+            break
+        poly[i] = (s.pc >> shift) & mask
+    return poly
+
+
+# ---------------------------------------------------------------------------
+# Commitment phase driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CommitmentPhase:
+    commitments: list[bytes] = dfield(default_factory=list)  # 384B GT each
+    instruction_d: int = 0
+    ram_d: int = 0
+    bytecode_d: int = 0
+    bytecode_poly_size: int = 0
+    memory_poly_size: int = 0
+    reg_poly_size: int = 0
+
+
+def commit_and_absorb(transcript, steps, bytecode_len: int,
+                      memory_trace_len: int, srs=None) -> CommitmentPhase:
+    """Build + commit + absorb all committed polys; mirrors
+    src/zkvm/mod.zig:817-1010. `steps` is the (padded) execution trace."""
+    res = CommitmentPhase()
+    res.bytecode_poly_size = _next_pow2(max(bytecode_len, 2))
+    res.memory_poly_size = _next_pow2(max(memory_trace_len, 2))
+    res.reg_poly_size = _next_pow2(max(len(steps), 2))
+
+    log_bytecode_k = res.bytecode_poly_size.bit_length() - 1
+    log_ram_k = res.memory_poly_size.bit_length() - 1
+    res.instruction_d = (LOG_K_INSTRUCTION + LOG_K_CHUNK - 1) // LOG_K_CHUNK
+    res.bytecode_d = max(1, (log_bytecode_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
+    res.ram_d = max(1, (log_ram_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
+
+    if srs is None:
+        max_size = max(res.bytecode_poly_size, res.memory_poly_size,
+                       res.reg_poly_size)
+        log_size = max(1, (max_size.bit_length() - 1) + 1)
+        srs = dory.setup(log_size)
+
+    polys = [build_rd_inc(steps, res.reg_poly_size),
+             build_ram_inc(steps, res.memory_poly_size)]
+    indices = jolt_lookup_indices(steps)
+    for d in range(res.instruction_d):
+        shift = LOG_K_CHUNK * (res.instruction_d - 1 - d)
+        polys.append(build_instruction_ra(indices, res.reg_poly_size, shift))
+    for d in range(res.ram_d):
+        shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
+        polys.append(build_ram_ra(steps, res.memory_poly_size, shift))
+    for d in range(res.bytecode_d):
+        shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
+        polys.append(build_bytecode_ra(steps, res.bytecode_poly_size, shift))
+
+    for poly in polys:
+        gt = dory.commit(srs, poly)
+        res.commitments.append(dory.commitment_bytes(gt))
+    for c in res.commitments:
+        transcript.append_gt(c)
+    return res
+
+
+def derive_tau(transcript, n_cycle_vars: int) -> list[int]:
+    """τ = num_cycle_vars + 2 UniSkip challenges (src/zkvm/mod.zig:970-982)."""
+    return [transcript.challenge_scalar() for _ in range(n_cycle_vars + 2)]

@@ -289,3 +289,29 @@ class JoltProof:
         out.append(self.one_hot_config.serialize())
         out.append(bytes([self.dory_layout]))
         return b"".join(out)
+
+    def serialize_with_dory(self) -> bytes:
+        """The proof-file layout (reference src/zkvm/mod.zig:1400-1462,
+        serializeJoltProofWithDory): joint Dory proof between stage 7 and the
+        tail, five None flags, and a 5×u64 config tail."""
+        out = [self.opening_claims.serialize(),
+               struct.pack("<Q", len(self.commitments))]
+        out.extend(self.commitments)
+        out.append(self.stage1_uni_skip.serialize() if self.stage1_uni_skip
+                   else struct.pack("<Q", 0))
+        out.append(self.stage1_sumcheck.serialize())
+        out.append(self.stage2_uni_skip.serialize() if self.stage2_uni_skip
+                   else struct.pack("<Q", 0))
+        out.append(self.stage2_sumcheck.serialize())
+        for sc in (self.stage3_sumcheck, self.stage4_sumcheck, self.stage5_sumcheck,
+                   self.stage6_sumcheck, self.stage7_sumcheck):
+            out.append(sc.serialize())
+        if self.joint_opening_proof:
+            out.append(self.joint_opening_proof)
+        else:
+            out.append(struct.pack("<Q", 0))  # empty-proof marker
+        out.append(b"\x00" * 5)
+        out.append(struct.pack("<QQQQQ", self.trace_length, self.ram_k,
+                               self.bytecode_k, self.one_hot_config.log_k_chunk,
+                               self.one_hot_config.lookups_ra_virtual_log_k_chunk))
+        return b"".join(out)

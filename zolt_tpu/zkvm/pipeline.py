@@ -1,0 +1,94 @@
+"""End-to-end Jolt-format prove pipeline.
+
+Mirrors the reference's proveJoltFormat flow (src/zkvm/mod.zig:780-1010):
+run the ELF, Fiat-Shamir preamble, Dory-commit the witness polynomials,
+absorb the GT commitments, derive τ, then drive the 7 proof stages and
+assemble the serializable JoltProof.
+
+The reference run loads Jolt's URS from a file when present and otherwise
+falls back to the deterministic SHA3-seeded setup; we implement the
+deterministic setup (bit-identical to the reference's own `DoryScheme.setup`)
+and also accept pre-computed commitments (e.g. parsed from a golden proof)
+for differential testing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..transcript import Blake2bTranscript
+from ..vm import pad_with_noop, run_elf
+from .commitments import CommitmentPhase, commit_and_absorb, derive_tau
+from .jolt_types import OneHotConfig, ReadWriteConfig
+from .preamble import fiat_shamir_preamble
+from .proof_converter import JoltConversion, convert_with_transcript
+
+LOG_RAM_K = 16
+BYTECODE_K = 1 << 16
+
+
+@dataclass
+class JoltPipelineResult:
+    conv: JoltConversion
+    commitments: CommitmentPhase | None
+    tau: list[int]
+    emulator: object
+    padded_steps: list
+
+
+def prove_jolt(elf_path: str, *, memory_size: int = 32768,
+               srs=None, golden_commitments: list[bytes] | None = None,
+               stages: int = 7) -> JoltPipelineResult:
+    """Full Jolt-format proof for an ELF. `golden_commitments` replaces the
+    commitment phase with externally-provided GT bytes (for differential
+    testing against a proof produced with a different SRS)."""
+    emu = run_elf(elf_path)
+    padded = pad_with_noop(list(emu.trace))
+    trace_length = len(padded)
+    n_cycle_vars = trace_length.bit_length() - 1
+
+    transcript = Blake2bTranscript(b"Jolt")
+    fiat_shamir_preamble(
+        transcript,
+        max_input_size=emu.device.layout.max_input_size,
+        max_output_size=emu.device.layout.max_output_size,
+        memory_size=memory_size,
+        inputs=bytes(emu.device.inputs),
+        outputs=bytes(emu.device.outputs),
+        panic=emu.device.panic,
+        ram_k=1 << LOG_RAM_K,
+        trace_length=trace_length,
+    )
+
+    bytecode_len = len(getattr(emu, "program_bytecode", b"")) or _bytecode_len(elf_path)
+    phase = None
+    if golden_commitments is not None:
+        for c in golden_commitments:
+            transcript.append_gt(c)
+        commitment_bytes = list(golden_commitments)
+    else:
+        phase = commit_and_absorb(transcript, padded, bytecode_len,
+                                  len(emu.ram.trace), srs=srs)
+        commitment_bytes = list(phase.commitments)
+
+    tau = derive_tau(transcript, n_cycle_vars)
+    conv = convert_with_transcript(padded, tau, transcript, emulator=emu,
+                                   log_ram_k=LOG_RAM_K, stages=stages)
+
+    proof = conv.proof
+    proof.commitments = commitment_bytes
+    proof.trace_length = trace_length
+    proof.ram_k = 1 << LOG_RAM_K
+    proof.bytecode_k = BYTECODE_K
+    proof.rw_config = ReadWriteConfig.default(n_cycle_vars, LOG_RAM_K)
+    proof.one_hot_config = OneHotConfig()
+    proof.dory_layout = 0
+    return JoltPipelineResult(conv=conv, commitments=phase, tau=tau,
+                              emulator=emu, padded_steps=padded)
+
+
+def _bytecode_len(elf_path: str) -> int:
+    from ..vm import elf as elf_mod
+
+    _, image = elf_mod.load_file(elf_path).flat_image()
+    return len(image)

@@ -269,9 +269,12 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                   "RightInstructionInput": 1}
             return b.factor_evals[pv[name]]
 
+        _insert_stage2_claims(conv.proof.opening_claims, conv.stage2_batch)
+
         conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
                                    r_spartan, r_product, oc)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
+        _insert_stage3_claims(conv.proof.opening_claims, conv.stage3)
 
         if stages < 4:
             return conv
@@ -286,4 +289,104 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
             conv.stage2_batch, conv.stage3,
             n_cycle_vars, log_ram_k)
         conv.proof.stage4_sumcheck = SIP(conv.stage4.compressed_polys)
+        _insert_stage4_claims(conv.proof.opening_claims, conv.stage4)
+
+        # Stages 5-7: the reference emits zero sumcheck proofs + zero claims
+        # (proof_converter.zig:2628-2683); no transcript absorption.
+        _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4)
     return conv
+
+
+def _insert_stage2_claims(claims: OpeningClaims, b) -> None:
+    """Post-stage-2 opening claims (proof_converter.zig:1290-1400)."""
+    from .jolt_types import CommittedPolynomial as CP
+
+    V, S = VirtualPolynomial.named, SumcheckId
+    VP = VirtualPolynomial
+    OF, IF = VP.NAMES["OpFlags"], VP.NAMES["InstructionFlags"]
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamRafEvaluation), b.raf_final_claim)
+    claims.insert(OpeningId.virtual(V("RamVal"), S.RamReadWriteChecking), b.rwc_val_claim)
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamReadWriteChecking), b.rwc_ra_claim)
+    claims.insert(OpeningId.committed(CP(CP.RAM_INC), S.RamReadWriteChecking), b.rwc_inc_claim)
+    pv = S.SpartanProductVirtualization
+    factor_ids = [V("LeftInstructionInput"), V("RightInstructionInput"),
+                  VP(IF, 6), VP(OF, 6), VP(OF, 5), V("LookupOutput"),
+                  VP(IF, 4), V("NextIsNoop")]
+    for oid, val in zip(factor_ids, b.factor_evals):
+        claims.insert(OpeningId.virtual(oid, pv), val)
+    claims.insert(OpeningId.virtual(V("RamValFinal"), S.RamOutputCheck), b.output_val_final_claim)
+    claims.insert(OpeningId.virtual(V("RamValInit"), S.RamOutputCheck), b.output_val_init_claim)
+    claims.insert(OpeningId.virtual(V("LookupOutput"), S.InstructionClaimReduction), b.instr_lookup_output_claim)
+    claims.insert(OpeningId.virtual(V("LeftLookupOperand"), S.InstructionClaimReduction), b.instr_left_operand_claim)
+    claims.insert(OpeningId.virtual(V("RightLookupOperand"), S.InstructionClaimReduction), b.instr_right_operand_claim)
+
+
+def _insert_stage3_claims(claims: OpeningClaims, s3) -> None:
+    """Post-stage-3 opening claims (proof_converter.zig:1513-1600).
+    CircuitFlags: VirtualInstruction=7, IsFirstInSequence=12; InstructionFlags:
+    LeftOperandIsPC=0, RightOperandIsImm=1, LeftOperandIsRs1Value=2,
+    RightOperandIsRs2Value=3, IsNoop=5 (instruction/mod.zig:56-106)."""
+    V, S = VirtualPolynomial.named, SumcheckId
+    VP = VirtualPolynomial
+    OF, IF = VP.NAMES["OpFlags"], VP.NAMES["InstructionFlags"]
+    sh, ins, reg = s3.shift_claims, s3.instr_claims, s3.reg_claims
+    claims.insert(OpeningId.virtual(V("UnexpandedPC"), S.SpartanShift), sh["unexpanded_pc"])
+    claims.insert(OpeningId.virtual(V("PC"), S.SpartanShift), sh["pc"])
+    claims.insert(OpeningId.virtual(VP(OF, 7), S.SpartanShift), sh["is_virtual"])
+    claims.insert(OpeningId.virtual(VP(OF, 12), S.SpartanShift), sh["is_first_in_sequence"])
+    claims.insert(OpeningId.virtual(VP(IF, 5), S.SpartanShift), sh["is_noop"])
+    iv = S.InstructionInputVirtualization
+    claims.insert(OpeningId.virtual(VP(IF, 2), iv), ins["left_is_rs1"])
+    claims.insert(OpeningId.virtual(V("Rs1Value"), iv), ins["rs1_value"])
+    claims.insert(OpeningId.virtual(VP(IF, 0), iv), ins["left_is_pc"])
+    claims.insert(OpeningId.virtual(V("UnexpandedPC"), iv), ins["unexpanded_pc"])
+    claims.insert(OpeningId.virtual(VP(IF, 3), iv), ins["right_is_rs2"])
+    claims.insert(OpeningId.virtual(V("Rs2Value"), iv), ins["rs2_value"])
+    claims.insert(OpeningId.virtual(VP(IF, 1), iv), ins["right_is_imm"])
+    claims.insert(OpeningId.virtual(V("Imm"), iv), ins["imm"])
+    claims.insert(OpeningId.virtual(V("RdWriteValue"), S.RegistersClaimReduction), reg["rd_write_value"])
+    claims.insert(OpeningId.virtual(V("Rs1Value"), S.RegistersClaimReduction), reg["rs1_value"])
+    claims.insert(OpeningId.virtual(V("Rs2Value"), S.RegistersClaimReduction), reg["rs2_value"])
+    claims.insert(OpeningId.virtual(V("InstructionRafFlag"), S.BytecodeReadRaf), 0)
+    claims.insert(OpeningId.virtual(VP(VP.NAMES["InstructionRa"], 0), S.BytecodeReadRaf), 0)
+    claims.insert(OpeningId.virtual(V("RamRa"), S.IncClaimReduction), 0)
+
+
+def _insert_stage4_claims(claims: OpeningClaims, s4) -> None:
+    """The 9 stage-4 opening claims (proof_converter.zig:2550-2600)."""
+    from .jolt_types import CommittedPolynomial as CP
+
+    rc = s4.regs_claims
+    V, C, S = VirtualPolynomial.named, CP, SumcheckId
+    claims.insert(OpeningId.virtual(V("RegistersVal"), S.RegistersReadWriteChecking), rc["val"])
+    claims.insert(OpeningId.virtual(V("Rs1Ra"), S.RegistersReadWriteChecking), rc["rs1_ra"])
+    claims.insert(OpeningId.virtual(V("Rs2Ra"), S.RegistersReadWriteChecking), rc["rs2_ra"])
+    claims.insert(OpeningId.virtual(V("RdWa"), S.RegistersReadWriteChecking), rc["rd_wa"])
+    claims.insert(OpeningId.committed(C(C.RD_INC), S.RegistersReadWriteChecking), rc["inc"])
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamValEvaluation), s4.val_eval_openings["wa"])
+    claims.insert(OpeningId.committed(C(C.RAM_INC), S.RamValEvaluation), s4.val_eval_openings["inc"])
+    claims.insert(OpeningId.committed(C(C.RAM_INC), S.RamValFinalEvaluation), s4.val_final_openings["inc"])
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamValFinalEvaluation), s4.val_final_openings["wa"])
+
+
+def _add_zero_stages(proof: JoltProof, n_cycle_vars: int, log_k_chunk: int) -> None:
+    from .jolt_types import CommittedPolynomial as CP
+
+    V, C, S = VirtualPolynomial.named, CP, SumcheckId
+    claims = proof.opening_claims
+
+    def zero_proof(sc, rounds):
+        sc.compressed_polys = [[0, 0, 0] for _ in range(rounds)]
+
+    zero_proof(proof.stage5_sumcheck, n_cycle_vars)
+    claims.insert(OpeningId.virtual(V("RdWa"), S.RegistersValEvaluation), 0)
+    claims.insert(OpeningId.committed(C(C.RD_INC), S.RegistersValEvaluation), 0)
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamRaClaimReduction), 0)
+    claims.insert(OpeningId.virtual(V("RamRa"), S.RamRafEvaluation), 0)
+    zero_proof(proof.stage6_sumcheck, n_cycle_vars)
+    claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.Booleanity), 0)
+    claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.RamHammingBooleanity), 0)
+    claims.insert(OpeningId.committed(C(C.RD_INC), S.IncClaimReduction), 0)
+    claims.insert(OpeningId.committed(C(C.RAM_INC), S.IncClaimReduction), 0)
+    zero_proof(proof.stage7_sumcheck, log_k_chunk)
+    claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.HammingWeightClaimReduction), 0)
