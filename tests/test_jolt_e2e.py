@@ -52,10 +52,16 @@ def test_pipeline_tau_matches_log():
 
 
 def test_full_proof_file_byte_exact():
+    """Whole-file reproduction: the ONLY grafted bytes are the 37 GT
+    commitments (computed by the reference with Jolt's URS file, which is not
+    in the repo). Everything else — τ, stages 1-7, claims, the joint Dory
+    opening proof (deterministic SRS + arkworks pairing), configs — is
+    computed from scratch and must match byte-for-byte."""
     data, golden = _load()
     from zolt_tpu.zkvm.pipeline import prove_jolt
 
-    res = prove_jolt(ELF, golden_commitments=golden.commitments)
+    res = prove_jolt(ELF, golden_commitments=golden.commitments,
+                     with_joint_proof=True)
     mine = res.conv.proof
     assert mine.opening_claims.serialize() == golden.opening_claims.serialize()
     for name in ("stage1_sumcheck", "stage2_sumcheck", "stage3_sumcheck",
@@ -65,6 +71,6 @@ def test_full_proof_file_byte_exact():
             getattr(golden, name).compressed_polys, f"{name} differs"
     assert mine.stage1_uni_skip.uni_poly == golden.stage1_uni_skip.uni_poly
     assert mine.stage2_uni_skip.uni_poly == golden.stage2_uni_skip.uni_poly
-    # graft the only SRS-file-dependent piece and require whole-file equality
-    mine.joint_opening_proof = golden.joint_opening_proof
+    assert mine.joint_opening_proof == golden.joint_opening_proof, \
+        "joint Dory opening proof differs"
     assert mine.serialize_with_dory() == data

@@ -115,21 +115,152 @@ def miller_loop(q_emb, p_emb):
 
 
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part via conj/inv/frobenius, hard part by direct
-    integer exponentiation (host-acceptable; TODO(perf): x-chain hard part)."""
+    """Arkworks-compatible final exponentiation: easy part, then the
+    Fuentes-Castañeda hard part — which computes the MULTIPLE
+    f^(2x(6x²+3x+1)·(p⁴-p²+1)/r), not the exact hard exponent. GT byte
+    compatibility with Jolt requires this (reference
+    src/field/pairing.zig:1653-1812 hardPartExponentiationArkworks;
+    validated against Jolt's e(g1,g2) = 950e879d... test vector)."""
     # easy: f^((p^6-1)(p^2+1))
     f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
     f2 = tw.fp12_mul(tw.fp12_frob(f1, 2), f1)
-    # hard: f2^((p^4 - p^2 + 1)/r)
+    # hard (Fuentes-Castañeda multiple)
     hard = (P**4 - P**2 + 1) // FR.p
-    return tw.fp12_pow(f2, hard)
+    ell = 2 * BN_X * (6 * BN_X * BN_X + 3 * BN_X + 1)
+    return tw.fp12_pow(f2, hard * ell)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Arkworks-compatible Miller loop (reference src/field/pairing.zig:933-1610).
+# The generic embedded-curve loop above computes a bilinear pairing but not
+# the arkworks VALUE; Jolt GT byte-compatibility needs this exact chain:
+# signed ATE digits, homogeneous-projective line coefficients, mulBy034.
+# ---------------------------------------------------------------------------
+
+# 6x+2 in the signed-digit order arkworks uses (pairing.zig ATE_LOOP_COUNT)
+_ATE_DIGITS = [
+    0, 0, 0, 1, 0, 1, 0, -1, 0, 0, -1, 0, 0, 0, 1, 0,
+    0, -1, 0, -1, 0, 0, 0, 1, 0, -1, 0, 0, 0, 0, -1, 0,
+    0, 1, 0, -1, 0, 0, 1, 0, 0, 0, 0, 0, -1, 0, 0, -1,
+    0, 1, 0, -1, 0, 0, 0, -1, 0, -1, 0, 0, 0, 1, 0, 1,
+    1,
+]
+
+_TWIST_B = tw.fp2_mul((3, 0), tw.fp2_inv(tw.XI))          # b'' = 3/xi
+_GAMMA12 = tw.fp2_pow(tw.XI, (P - 1) // 3)                # xi^((p-1)/3)
+_GAMMA13 = tw.fp2_pow(tw.XI, (P - 1) // 2)                # xi^((p-1)/2)
+_TWO_INV = pow(2, -1, P)
+
+
+def _fp6_mul_by_01(f, c0, c1):
+    """Fp6 * (c0 + c1 v) sparse mul (pairing.zig fp6MulBy01)."""
+    f0, f1, f2 = f
+    a_a = tw.fp2_mul(f0, c0)
+    b_b = tw.fp2_mul(f1, c1)
+    t1 = tw.fp2_mul(c1, tw.fp2_add(f1, f2))
+    t1 = tw.fp2_add(tw.fp2_mul_by_xi(tw.fp2_sub(t1, b_b)), a_a)
+    t3 = tw.fp2_mul(c0, tw.fp2_add(f0, f2))
+    t3 = tw.fp2_add(tw.fp2_sub(t3, a_a), b_b)
+    t2 = tw.fp2_mul(tw.fp2_add(c0, c1), tw.fp2_add(f0, f1))
+    t2 = tw.fp2_sub(tw.fp2_sub(t2, a_a), b_b)
+    return (t1, t2, t3)
+
+
+def _fp12_mul_by_034(f, c0, c3, c4):
+    fc0, fc1 = f
+    a = tuple(tw.fp2_mul(x, c0) for x in fc0)
+    b = _fp6_mul_by_01(fc1, c3, c4)
+    f_sum = tuple(tw.fp2_add(x, y) for x, y in zip(fc0, fc1))
+    e = _fp6_mul_by_01(f_sum, tw.fp2_add(c0, c3), c4)
+    c1_new = tuple(tw.fp2_sub(tw.fp2_sub(ei, ai), bi) for ei, ai, bi in zip(e, a, b))
+    bv = tw.fp6_mul_by_v(b)
+    c0_new = tuple(tw.fp2_add(ai, bi) for ai, bi in zip(a, bv))
+    return (c0_new, c1_new)
+
+
+def _dbl_step(r):
+    """Homogeneous-projective doubling; returns (new_r, (c0, c1, c2))."""
+    x, y, z = r
+    a = tw.fp2_scalar(tw.fp2_mul(x, y), _TWO_INV)
+    b = tw.fp2_sqr(y)
+    c = tw.fp2_sqr(z)
+    three_c = tw.fp2_add(tw.fp2_add(c, c), c)
+    e = tw.fp2_mul(three_c, _TWIST_B)
+    f = tw.fp2_add(tw.fp2_add(e, e), e)
+    g = tw.fp2_scalar(tw.fp2_add(b, f), _TWO_INV)
+    h = tw.fp2_sub(tw.fp2_sqr(tw.fp2_add(y, z)), tw.fp2_add(b, c))
+    i = tw.fp2_sub(e, b)
+    j = tw.fp2_sqr(x)
+    e_sq = tw.fp2_sqr(e)
+    nx = tw.fp2_mul(a, tw.fp2_sub(b, f))
+    ny = tw.fp2_sub(tw.fp2_sqr(g), tw.fp2_add(tw.fp2_add(e_sq, e_sq), e_sq))
+    nz = tw.fp2_mul(b, h)
+    return (nx, ny, nz), (tw.fp2_neg(h), tw.fp2_add(tw.fp2_add(j, j), j), i)
+
+
+def _add_step(r, q):
+    x, y, z = r
+    qx, qy = q
+    theta = tw.fp2_sub(y, tw.fp2_mul(qy, z))
+    lam = tw.fp2_sub(x, tw.fp2_mul(qx, z))
+    c = tw.fp2_sqr(theta)
+    d = tw.fp2_sqr(lam)
+    e = tw.fp2_mul(lam, d)
+    f = tw.fp2_mul(z, c)
+    g = tw.fp2_mul(x, d)
+    h = tw.fp2_sub(tw.fp2_add(e, f), tw.fp2_add(g, g))
+    nx = tw.fp2_mul(lam, h)
+    ny = tw.fp2_sub(tw.fp2_mul(theta, tw.fp2_sub(g, h)), tw.fp2_mul(e, y))
+    nz = tw.fp2_mul(z, e)
+    jay = tw.fp2_sub(tw.fp2_mul(theta, qx), tw.fp2_mul(lam, qy))
+    return (nx, ny, nz), (lam, tw.fp2_neg(theta), jay)
+
+
+def _mul_by_char(q):
+    """Frobenius endomorphism on G2 (pairing.zig mulByChar)."""
+    qx, qy = q
+    return (tw.fp2_mul(tw.fp2_conj(qx), _GAMMA12),
+            tw.fp2_mul(tw.fp2_conj(qy), _GAMMA13))
+
+
+def miller_loop_ark(p_g1, q_g2):
+    """f_{6x+2,Q}(P) exactly as arkworks/the reference compute it."""
+    if p_g1 is None or q_g2 is None:
+        return tw.FP12_ONE
+    px, py = p_g1[0] % P, p_g1[1] % P
+    r = (q_g2[0], q_g2[1], tw.FP2_ONE)
+    neg_q = (q_g2[0], tw.fp2_neg(q_g2[1]))
+    f = tw.FP12_ONE
+    n = len(_ATE_DIGITS)
+    for idx in range(n - 1, 0, -1):
+        if idx != n - 1:
+            f = tw.fp12_sqr(f)
+        r, (c0, c1, c2) = _dbl_step(r)
+        f = _fp12_mul_by_034(f, tw.fp2_scalar(c0, py), tw.fp2_scalar(c1, px), c2)
+        bit = _ATE_DIGITS[idx - 1]
+        if bit == 1:
+            r, (c0, c1, c2) = _add_step(r, q_g2)
+            f = _fp12_mul_by_034(f, tw.fp2_scalar(c0, py), tw.fp2_scalar(c1, px), c2)
+        elif bit == -1:
+            r, (c0, c1, c2) = _add_step(r, neg_q)
+            f = _fp12_mul_by_034(f, tw.fp2_scalar(c0, py), tw.fp2_scalar(c1, px), c2)
+    q1 = _mul_by_char(q_g2)
+    r, (c0, c1, c2) = _add_step(r, q1)
+    f = _fp12_mul_by_034(f, tw.fp2_scalar(c0, py), tw.fp2_scalar(c1, px), c2)
+    q2 = _mul_by_char(q1)
+    q2 = (q2[0], tw.fp2_neg(q2[1]))
+    r, (c0, c1, c2) = _add_step(r, q2)
+    f = _fp12_mul_by_034(f, tw.fp2_scalar(c0, py), tw.fp2_scalar(c1, px), c2)
+    return f
 
 
 def pairing(p_g1, q_g2):
     """e(P, Q) for host G1 affine P and G2 affine Q. Returns GT (Fp12)."""
     if p_g1 is None or q_g2 is None:
         return tw.FP12_ONE
-    f = miller_loop(twist_g2(q_g2), embed_g1(p_g1))
+    f = miller_loop_ark(p_g1, q_g2)
     return final_exponentiation(f)
 
 
@@ -139,7 +270,7 @@ def multi_pairing(pairs):
     for p_g1, q_g2 in pairs:
         if p_g1 is None or q_g2 is None:
             continue
-        f = tw.fp12_mul(f, miller_loop(twist_g2(q_g2), embed_g1(p_g1)))
+        f = tw.fp12_mul(f, miller_loop_ark(p_g1, q_g2))
     return final_exponentiation(f)
 
 

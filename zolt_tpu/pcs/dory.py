@@ -389,3 +389,197 @@ def verify_structure(srs: DorySRS, commitment, proof: DoryProof, transcript) -> 
         transcript.challenge_scalar()
     transcript.challenge_scalar()
     return proof.final_e1 is not None or proof.final_e2 is not None
+
+
+# ---------------------------------------------------------------------------
+# Fixed-challenge open (reference dory.zig:1052-1368 `open`) + serialization.
+# The reference's joint opening proof in the Jolt proof file uses this
+# deterministic variant: beta = round+1, alpha = round+100, gamma = 999.
+# ---------------------------------------------------------------------------
+
+def _mlb(point: list[int], out_len: int) -> list[int]:
+    """multilinearLagrangeBasis (dory.zig:560-590): in-place doubling with
+    clamping when the output is shorter than 2^len(point)."""
+    out = [0] * out_len
+    if not point or not out_len:
+        if out_len:
+            out[0] = 1
+        return out
+    out[0] = (1 - point[0]) % P
+    if out_len > 1:
+        out[1] = point[0] % P
+    for level in range(1, len(point)):
+        p_i = point[level] % P
+        mid = 1 << level
+        if mid >= out_len:
+            for i in range(out_len):
+                out[i] = out[i] * (1 - p_i) % P
+        else:
+            k = min(mid, out_len - mid)
+            for i in range(k - 1, -1, -1):
+                l_val = out[i]
+                if i + mid < out_len:
+                    out[i + mid] = l_val * p_i % P
+                out[i] = l_val * (1 - p_i) % P
+    return out
+
+
+def _multi_pair(g1s, g2s):
+    n = min(len(g1s), len(g2s))
+    pairs = [(g1s[i], g2s[i]) for i in range(n)
+             if g1s[i] is not None and g2s[i] is not None]
+    return multi_pairing(pairs)
+
+
+def _msm_g1(points, scalars):
+    n = min(len(points), len(scalars))
+    acc = None
+    for i in range(n):
+        if points[i] is None or scalars[i] % P == 0:
+            continue
+        acc = G1.add(acc, G1.scalar_mul(points[i], scalars[i] % P)) if acc is not None \
+            else G1.scalar_mul(points[i], scalars[i] % P)
+    return acc
+
+
+def _msm_g2(points, scalars):
+    n = min(len(points), len(scalars))
+    acc = None
+    for i in range(n):
+        if points[i] is None or scalars[i] % P == 0:
+            continue
+        term = G2.scalar_mul(points[i], scalars[i] % P)
+        acc = G2.add(acc, term) if acc is not None else term
+    return acc
+
+
+def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
+    """Deterministic reduce-and-fold proof matching the reference's `open`."""
+    nu, sigma = srs.nu, srs.sigma
+    num_rounds = max(nu, sigma)
+    num_cols = 1 << sigma
+
+    num_rows = (len(evals) + num_cols - 1) // num_cols
+    row_comms = []
+    for r in range(num_rows):
+        seg = evals[r * num_cols : r * num_cols + num_cols]
+        row_comms.append(_msm_g1(srs.g1_vec[: len(seg)], seg))
+
+    left_len, right_len = 1 << nu, 1 << sigma
+    pd = len(point)
+    if pd == 0:
+        left_vec, right_vec = [1], [1]
+    elif pd <= sigma:
+        right_vec = _mlb(point, 1 << pd)
+        left_vec = [1]
+    else:
+        right_vec = _mlb(point[:sigma], right_len)
+        left_vec = _mlb(point[sigma:], min(1 << (pd - sigma), left_len))
+
+    v_vec = [0] * num_cols
+    for row in range(1 << nu):
+        if row >= len(left_vec):
+            break
+        coeff = left_vec[row]
+        for col in range(num_cols):
+            idx = row * num_cols + col
+            if idx < len(evals):
+                v_vec[col] = (v_vec[col] + coeff * evals[idx]) % P
+
+    padded_rows = list(row_comms[:num_cols]) + [None] * max(0, num_cols - len(row_comms))
+    t_vec_v = _msm_g1(padded_rows, v_vec)
+    c = multi_pairing([(t_vec_v, srs.g2_vec[0])] if t_vec_v else [])
+    gamma1_v = _msm_g1(srs.g1_vec[: len(v_vec)], v_vec)
+    d2 = multi_pairing([(gamma1_v, srs.g2_vec[0])] if gamma1_v else [])
+    e1 = _msm_g1((row_comms + [None] * (1 << nu))[: 1 << nu], left_vec)
+    vmv = VMVMessage(c=c, d2=d2, e1=e1)
+
+    vec_len = num_cols
+    v1 = list(padded_rows)
+    v2 = [G2.scalar_mul(srs.g2_vec[0], v_vec[i]) if i < len(v_vec) and v_vec[i] else None
+          for i in range(vec_len)]
+    s1 = list(right_vec) + [0] * (vec_len - len(right_vec))
+    s2 = list(left_vec) + [0] * (vec_len - len(left_vec))
+
+    col_len, row_len = 1 << sigma, 1 << nu
+    firsts, seconds = [], []
+    for rnd in range(num_rounds):
+        current_len = max(col_len, row_len)
+        n2 = current_len // 2
+        g2_size = min(n2, row_len)
+        d1_left = _multi_pair(v1[:g2_size], srs.g2_vec[:g2_size])
+        d1_right = _multi_pair(v1[n2 : min(n2 + g2_size, current_len)], srs.g2_vec[:g2_size])
+        g1_size = min(n2, col_len)
+        d2_left = _multi_pair(srs.g1_vec[:g1_size], v2[:g1_size])
+        d2_right = _multi_pair(srs.g1_vec[:g1_size], v2[n2 : min(n2 + g1_size, current_len)])
+        e1_beta = _msm_g1(srs.g1_vec[:col_len], s2[:col_len])
+        e2_beta = _msm_g2(srs.g2_vec[:row_len], s1[:row_len])
+        firsts.append(FirstReduceMessage(d1_left, d1_right, d2_left, d2_right, e1_beta, e2_beta))
+
+        beta = (rnd + 1) % P
+        beta_inv = pow(beta, -1, P)
+        for i in range(col_len):
+            v1[i] = G1.add(v1[i], G1.scalar_mul(srs.g1_vec[i], beta)) if v1[i] is not None \
+                else G1.scalar_mul(srs.g1_vec[i], beta)
+        for i in range(row_len):
+            t = G2.scalar_mul(srs.g2_vec[i], beta_inv)
+            v2[i] = G2.add(v2[i], t) if v2[i] is not None else t
+
+        v1_half = min(n2, col_len)
+        v2_half = min(n2, row_len)
+        c_plus = _multi_pair(v1[:v1_half], v2[n2 : min(n2 + v2_half, current_len)])
+        c_minus = _multi_pair(v1[n2 : min(n2 + v1_half, current_len)], v2[:v2_half])
+        e1_plus = _msm_g1(v1[:v1_half], s2[n2 : min(n2 + v1_half, current_len)])
+        e1_minus = _msm_g1(v1[n2 : min(n2 + v1_half, current_len)], s2[:v1_half])
+        e2_plus = _msm_g2(v2[n2 : min(n2 + v2_half, current_len)], s1[:v2_half])
+        e2_minus = _msm_g2(v2[:v2_half], s1[n2 : min(n2 + v2_half, current_len)])
+        seconds.append(SecondReduceMessage(c_plus, c_minus, e1_plus, e1_minus, e2_plus, e2_minus))
+
+        alpha = (rnd + 100) % P
+        alpha_inv = pow(alpha, -1, P)
+        for i in range(v1_half):
+            left = G1.scalar_mul(v1[i], alpha) if v1[i] is not None else None
+            right = v1[i + n2]
+            v1[i] = G1.add(left, right) if left is not None and right is not None \
+                else (left if left is not None else right)
+        for i in range(v2_half):
+            left = G2.scalar_mul(v2[i], alpha_inv) if v2[i] is not None else None
+            right = v2[i + n2]
+            v2[i] = G2.add(left, right) if left is not None and right is not None \
+                else (left if left is not None else right)
+        for i in range(v2_half):
+            s1[i] = (alpha * s1[i] + s1[i + n2]) % P
+        for i in range(v1_half):
+            s2[i] = (alpha_inv * s2[i] + s2[i + n2]) % P
+        if col_len > 1:
+            col_len //= 2
+        if row_len > 1:
+            row_len //= 2
+
+    gamma = 999
+    gamma_inv = pow(gamma, -1, P)
+    scaled_h1 = G1.scalar_mul(G1.G1_GEN, gamma * s1[0] % P)
+    final_e1 = G1.add(v1[0], scaled_h1) if v1[0] is not None else scaled_h1
+    scaled_h2 = G2.scalar_mul(G2.G2_GEN, gamma_inv * s2[0] % P)
+    final_e2 = G2.add(v2[0], scaled_h2) if v2[0] is not None else scaled_h2
+    return DoryProof(vmv=vmv, first=firsts, second=seconds,
+                     final_e1=final_e1, final_e2=final_e2, nu=nu, sigma=sigma)
+
+
+def serialize_dory_proof(proof: DoryProof) -> bytes:
+    """writeDoryProof layout (jolt_serialization.zig:148-175)."""
+    import struct as _struct
+
+    out = [tw.fp12_to_bytes(proof.vmv.c), tw.fp12_to_bytes(proof.vmv.d2),
+           compress_g1(proof.vmv.e1), _struct.pack("<I", len(proof.first))]
+    for m in proof.first:
+        out += [tw.fp12_to_bytes(m.d1_left), tw.fp12_to_bytes(m.d1_right),
+                tw.fp12_to_bytes(m.d2_left), tw.fp12_to_bytes(m.d2_right),
+                compress_g1(m.e1_beta), compress_g2(m.e2_beta)]
+    for m in proof.second:
+        out += [tw.fp12_to_bytes(m.c_plus), tw.fp12_to_bytes(m.c_minus),
+                compress_g1(m.e1_plus), compress_g1(m.e1_minus),
+                compress_g2(m.e2_plus), compress_g2(m.e2_minus)]
+    out += [compress_g1(proof.final_e1), compress_g2(proof.final_e2),
+            _struct.pack("<II", proof.nu, proof.sigma)]
+    return b"".join(out)

@@ -38,7 +38,7 @@ class JoltPipelineResult:
 
 def prove_jolt(elf_path: str, *, memory_size: int = 32768,
                srs=None, golden_commitments: list[bytes] | None = None,
-               stages: int = 7) -> JoltPipelineResult:
+               stages: int = 7, with_joint_proof: bool = False) -> JoltPipelineResult:
     """Full Jolt-format proof for an ELF. `golden_commitments` replaces the
     commitment phase with externally-provided GT bytes (for differential
     testing against a proof produced with a different SRS)."""
@@ -83,8 +83,30 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     proof.rw_config = ReadWriteConfig.default(n_cycle_vars, LOG_RAM_K)
     proof.one_hot_config = OneHotConfig()
     proof.dory_layout = 0
+    if with_joint_proof:
+        proof.joint_opening_proof = build_joint_opening_proof(
+            elf_path, len(emu.ram.trace), trace_length)
     return JoltPipelineResult(conv=conv, commitments=phase, tau=tau,
                               emulator=emu, padded_steps=padded)
+
+
+def build_joint_opening_proof(elf_path: str, memory_trace_len: int,
+                              trace_length: int) -> bytes:
+    """The proof-file's joint Dory opening (src/zkvm/mod.zig:1428-1450):
+    bytecode evals opened at the fixed point (i+1)·12345 with the
+    deterministic SRS sized to the largest committed polynomial."""
+    from ..pcs import dory
+    from ..vm import elf as elf_mod
+
+    _, image = elf_mod.load_file(elf_path).flat_image()
+    bytecode_size = max(2, 1 << (len(image) - 1).bit_length()) if image else 2
+    memory_size_p = max(2, 1 << (max(memory_trace_len, 1) - 1).bit_length())
+    max_size = max(bytecode_size, memory_size_p, trace_length)
+    log_size = max(1, max_size.bit_length())
+    evals = list(image) + [0] * (bytecode_size - len(image))
+    point = [(i + 1) * 12345 for i in range(log_size)]
+    srs = dory.setup(log_size)
+    return dory.serialize_dory_proof(dory.open_fixed(srs, evals, point))
 
 
 def _bytecode_len(elf_path: str) -> int:
