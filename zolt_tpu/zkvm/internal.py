@@ -1,0 +1,450 @@
+"""Reference-parity internal prover (the non-Jolt "ZOLT" proof format).
+
+Mirrors src/zkvm/mod.zig:366-440 (prove) + src/zkvm/prover.zig:241-1160
+(MultiStageProver) byte-for-byte:
+
+  Keccak transcript "Jolt" → absorb inputs → HyperKZG-commit bytecode /
+  memory-values / rd-values polys (deterministic τ=0x12345678 SRS) → absorb
+  the five 64-byte commitment blobs → six stages:
+
+  S1 JoltR1CS Spartan (eq·Az·Bz, identically zero for a valid witness;
+     13 zero round polys absorbed as round_poly_0/1/2) — prover.zig:350-452
+  S2 RAM RAF (ra empty above RAM_START for pure-register programs) — :468-564
+  S3 Lasso (eq-weighted index-bit sumcheck over the lookup indices) — :579-700
+  S4 RAM ValEvaluation (inc·wa·lt) — :713-817
+  S5 register-eq sumcheck over rd one-hot — :830-962
+  S6 booleanity (violations ≡ 0) — :991-1111
+
+Only stage 1 absorbs round polys; stages 2-6 only squeeze labeled challenges.
+Serialization is the "ZOLT" v1 container (serialization.zig:283-447).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field as dfield
+from functools import lru_cache
+
+from ..field.params import FR, R
+from ..msm import msm as g1_msm
+from ..pcs import srs as srs_mod
+from ..r1cs import constraints as rc
+from ..r1cs import inputs as ri
+from ..transcript import KeccakTranscript
+from ..vm.layout import RAM_START_ADDRESS
+from .commitments import jolt_lookup_index
+
+P = FR.p
+
+LOG_REGS = 5  # log2(32)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _ceil_log2(n: int) -> int:
+    return 0 if n <= 1 else (n - 1).bit_length()
+
+
+def _eq_le(r: list[int], idx: int) -> int:
+    out = 1
+    for i, ri in enumerate(r):
+        out = out * (ri if (idx >> i) & 1 else (1 - ri)) % P
+    return out
+
+
+@dataclass
+class StageProof:
+    round_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    final_claims: list[int] = dfield(default_factory=list)
+
+
+@dataclass
+class InternalProof:
+    bc_commitment: tuple | None = None
+    mem_commitment: tuple | None = None
+    reg_commitment: tuple | None = None
+    log_t: int = 0
+    log_k: int = 0
+    stage_proofs: list[StageProof] = dfield(default_factory=list)
+
+    def serialize(self) -> bytes:
+        """ZOLT v1 container (serialization.zig:283-330)."""
+        out = [b"ZOLT", struct.pack("<I", 1)]
+        zero64 = b"\x00" * 64
+
+        def commit_bytes(c):
+            if c is None:
+                return zero64
+            return c[0].to_bytes(32, "big") + c[1].to_bytes(32, "big")
+
+        out += [commit_bytes(self.bc_commitment), zero64, zero64, b"\x00" * 32]
+        out += [commit_bytes(self.mem_commitment), zero64, zero64, zero64]
+        out += [commit_bytes(self.reg_commitment), zero64, zero64, zero64]
+        # R1CSProof placeholder (spartan/mod.zig:71-94)
+        out += [struct.pack("<Q", 1), b"\x00" * 32,         # tau
+                b"\x00" * 96,                                # eval_claims
+                struct.pack("<Q", 1), b"\x00" * 32,          # eval_point
+                b"\x00" * 64,                                # claim + final_eval
+                struct.pack("<QQ", 0, 0)]                    # rounds, final_point
+        out.append(b"\x01")
+        out.append(struct.pack("<QQ", self.log_t, self.log_k))
+        for sp in self.stage_proofs:
+            out.append(struct.pack("<Q", len(sp.round_polys)))
+            for poly in sp.round_polys:
+                out.append(struct.pack("<Q", len(poly)))
+                out += [(v % P).to_bytes(32, "little") for v in poly]
+            out.append(struct.pack("<Q", len(sp.challenges)))
+            out += [(v % P).to_bytes(32, "little") for v in sp.challenges]
+            out.append(struct.pack("<Q", len(sp.final_claims)))
+            out += [(v % P).to_bytes(32, "little") for v in sp.final_claims]
+        return b"".join(out)
+
+
+def _host_msm(points, scalars):
+    """Windowed host MSM — these commitment polys are tiny (≤ trace length),
+    far below the size where the device Pippenger pays for its compile."""
+    from ..curve import host as G1
+
+    acc = None
+    for pt, s in zip(points, scalars):
+        if pt is None or s == 0:
+            continue
+        term = G1.scalar_mul(pt, s)
+        acc = G1.add(acc, term) if acc is not None else term
+    return acc
+
+
+def _kzg_commit(powers, poly):
+    vals = [v % P for v in poly]
+    if not any(vals):
+        return None
+    return _host_msm(powers[: len(vals)], vals)
+
+
+def _commit_bytes_for_transcript(c) -> bytes:
+    if c is None:
+        return b"\x00" * 64
+    return c[0].to_bytes(32, "big") + c[1].to_bytes(32, "big")
+
+
+# ---------------------------------------------------------------------------
+# Stage provers
+# ---------------------------------------------------------------------------
+
+def _stage1(padded_steps, witness_rows, transcript) -> StageProof:
+    sp = StageProof()
+    n_cycles = len(padded_steps)
+    total = n_cycles * rc.NUM_CONSTRAINTS
+    padded_c = _next_pow2(total)
+    log_n = padded_c.bit_length() - 1
+    tau = [transcript.challenge_scalar(b"spartan_tau") for _ in range(log_n)]
+
+    az = [0] * padded_c
+    bz = [0] * padded_c
+    for cycle, row in enumerate(witness_rows):
+        for i, (cond, left, right) in enumerate(rc.CONSTRAINTS):
+            idx = cycle * rc.NUM_CONSTRAINTS + i
+            az[idx] = rc.lc_eval(cond, row)
+            bz[idx] = (rc.lc_eval(left, row) - rc.lc_eval(right, row)) % P
+
+    # eq table over tau, big-endian (EqPolynomial.evals)
+    eq = [1]
+    for t in tau:
+        nxt = []
+        for v in eq:
+            nxt.append(v * (1 - t) % P)
+            nxt.append(v * t % P)
+        eq = nxt
+    combined = [eq[i] * az[i] % P * bz[i] % P for i in range(padded_c)]
+
+    sp.final_claims.append(sum(combined) % P)
+    cur = combined
+    cur_len = padded_c
+    for _ in range(log_n):
+        if cur_len <= 1:
+            p0 = cur[0] if cur_len == 1 else 0
+            poly = [p0, 0, 0]
+        else:
+            half = cur_len // 2
+            p0 = sum(cur[2 * i] for i in range(half)) % P
+            p1 = sum(cur[2 * i + 1] for i in range(half)) % P
+            poly = [p0, p1, (2 * p1 - p0) % P]
+        sp.round_polys.append(poly)
+        transcript.append_scalar(b"round_poly_0", poly[0])
+        transcript.append_scalar(b"round_poly_1", poly[1])
+        transcript.append_scalar(b"round_poly_2", poly[2])
+        r = transcript.challenge_scalar(b"spartan_round")
+        sp.challenges.append(r)
+        if cur_len > 1:
+            half = cur_len // 2
+            cur = [((1 - r) * cur[2 * i] + r * cur[2 * i + 1]) % P
+                   for i in range(half)]
+            cur_len = half
+
+    sp.final_claims.append(cur[0] if cur else 0)
+
+    def mle(evals, point):
+        out = 0
+        for i, v in enumerate(evals):
+            if v:
+                out = (out + _eq_le(point, i) * v) % P
+        return out
+
+    sp.final_claims.append(mle(az, sp.challenges))
+    sp.final_claims.append(mle(bz, sp.challenges))
+    sp.final_claims.append(0)  # Cz ≡ 0
+    return sp
+
+
+def _stage2(accesses, transcript, log_t: int, log_k: int,
+            start_address: int) -> StageProof:
+    sp = StageProof()
+    r_cycle = [transcript.challenge_scalar(b"r_cycle") for _ in range(log_t)]
+
+    # ra[k] = Σ_j eq_le(r_cycle, j) over accesses at remapped address k
+    # (raf_checking.zig RaPolynomial.fromTrace; eq over ceil_log2(len) vars)
+    n_acc = len(accesses)
+    log_acc = _ceil_log2(max(n_acc, 1)) if n_acc else 0
+    k_size = 1 << log_k
+    ra = [0] * k_size
+    for j, a in enumerate(accesses):
+        if a.address >= start_address:
+            k = (a.address - start_address) // 8
+            if k < k_size:
+                ra[k] = (ra[k] + _eq_le(r_cycle[:log_acc], j)) % P
+
+    claim = 0
+    for k in range(k_size):
+        if ra[k]:
+            claim = (claim + ra[k] * (start_address + 8 * k)) % P
+    sp.final_claims.append(claim)
+
+    bound: list[int] = []
+    num_vars = log_k
+    for rnd in range(log_k):
+        active = 1 << num_vars
+        half = active // 2
+        base = start_address % P
+        power = 8
+        for v in bound:
+            base = (base + v * power) % P
+            power *= 2
+        s0 = s2 = 0
+        for i in range(half):
+            lo, hi = ra[2 * i], ra[2 * i + 1]
+            at2 = (2 * hi - lo) % P
+            rem = 0
+            rp = power * 2
+            idx = i
+            for _ in range(log_k - rnd - 1):
+                if idx & 1:
+                    rem += rp
+                idx >>= 1
+                rp *= 2
+            s0 = (s0 + lo * ((base + rem) % P)) % P
+            s2 = (s2 + at2 * ((base + power * 2 + rem) % P)) % P
+        sp.round_polys.append([s0, s2])  # stores [s(0), s(2)]
+        r = transcript.challenge_scalar(b"raf_round")
+        sp.challenges.append(r)
+        for i in range(half):
+            ra[i] = ((1 - r) * ra[2 * i] + r * ra[2 * i + 1]) % P
+        num_vars -= 1
+        bound.append(r)
+    sp.final_claims.append(ra[0])
+    return sp
+
+
+def _stage3(steps, transcript, log_t: int) -> StageProof:
+    sp = StageProof()
+    gamma = transcript.challenge_scalar(b"lasso_gamma")
+    del gamma  # sampled but unused by the round computation (prover.zig:585)
+    indices = []
+    for s in steps:
+        if getattr(s, "is_noop", False):
+            continue
+        idx = jolt_lookup_index(s)
+        if idx is not None:
+            indices.append(idx)
+    if not indices:
+        return sp
+    r_reduction = [transcript.challenge_scalar(b"r_reduction") for _ in range(log_t)]
+    log_K = 16
+
+    # eq(r_reduction, j): outer = log_t/2 HIGH bits, inner = rest LOW bits,
+    # little-endian within each part (lasso/split_eq.zig:118-167)
+    n_out = log_t // 2
+    n_in = log_t - n_out
+
+    def build(ws):
+        out = [1]
+        for w in ws:
+            nxt = [0] * (2 * len(out))
+            for j, v in enumerate(out):
+                nxt[j] = v * (1 - w) % P
+                nxt[j + len(out)] = v * w % P
+            out = nxt
+        return out
+
+    E_out = build(r_reduction[:n_out])
+    E_in = build(r_reduction[n_out:])
+    padded = 1 << log_t
+    eq = [0] * padded
+    for j in range(padded):
+        if j < len(indices):
+            eq[j] = E_out[j >> n_in] * E_in[j & ((1 << n_in) - 1)] % P
+    sp.final_claims.append(sum(eq) % P)
+
+    addr_challenges = []
+    eq_len = padded
+    for rnd in range(log_K + log_t):
+        if rnd < log_K:  # address phase: split by index bit `rnd`
+            s0 = s1 = 0
+            for j, idx in enumerate(indices):
+                if (idx >> rnd) & 1:
+                    s1 = (s1 + eq[j]) % P
+                else:
+                    s0 = (s0 + eq[j]) % P
+            coeffs = [s0, (s1 - s0) % P, 0]
+        else:  # cycle phase: fold high half
+            if eq_len <= 1:
+                coeffs = [eq[0] if eq_len else 0, 0, 0]
+            else:
+                half = eq_len // 2
+                s0 = sum(eq[:half]) % P
+                s1 = sum(eq[half:eq_len]) % P
+                coeffs = [s0, (s1 - s0) % P, 0]
+        sp.round_polys.append(coeffs)
+        r = transcript.challenge_scalar(b"lasso_round")
+        sp.challenges.append(r)
+        if rnd < log_K:
+            addr_challenges.append(r)
+            for j, idx in enumerate(indices):
+                eq[j] = eq[j] * (r if (idx >> rnd) & 1 else (1 - r)) % P
+        else:
+            if eq_len > 1:
+                half = eq_len // 2
+                for j in range(half):
+                    eq[j] = ((1 - r) * eq[j] + r * eq[j + half]) % P
+                eq_len = half
+    # final eval = ExpandingTable values[0] = Π (1 - c) over address rounds
+    fe = 1
+    for c in addr_challenges:
+        fe = fe * (1 - c) % P
+    sp.final_claims.append(fe)
+    return sp
+
+
+def _stage4(accesses, transcript, trace_len: int, log_t: int, log_k: int,
+            start_address: int) -> StageProof:
+    from .stage4 import ValEvaluationProver
+
+    sp = StageProof()
+    r_address = [transcript.challenge_scalar(b"r_address") for _ in range(log_k)]
+    r_cycle = [transcript.challenge_scalar(b"r_cycle_val") for _ in range(log_t)]
+    if trace_len == 0:
+        return sp
+    prover = ValEvaluationProver(accesses, {}, trace_len, 1 << log_k,
+                                 r_address, r_cycle, start_address)
+    sp.final_claims.append(prover.current_claim)
+    for _ in range(prover.num_rounds()):
+        evals = prover.round_evals()
+        sp.round_polys.append(list(evals))
+        r = transcript.challenge_scalar(b"val_eval_round")
+        sp.challenges.append(r)
+        prover.bind_with_poly(r, evals)
+    sp.final_claims.append(prover.inc[0] * prover.wa[0] % P * prover.lt[0] % P)
+    return sp
+
+
+def _stage5(padded_steps, transcript, log_t: int) -> StageProof:
+    sp = StageProof()
+    r_register = [transcript.challenge_scalar(b"r_register") for _ in range(LOG_REGS)]
+    r_cycle = [transcript.challenge_scalar(b"r_cycle_reg") for _ in range(log_t)]
+    del r_cycle  # sampled but unused (prover.zig:846-856)
+    n = _next_pow2(len(padded_steps))
+    evals = [0] * n
+    for j, s in enumerate(padded_steps):
+        rd = (s.instruction >> 7) & 0x1F
+        evals[j] = _eq_le(r_register, rd)
+    sp.final_claims.append(sum(evals) % P)
+    cur_len = n
+    for _ in range(_ceil_log2(len(padded_steps))):
+        half = cur_len // 2
+        s0 = sum(evals[:half]) % P
+        s1 = sum(evals[half:cur_len]) % P
+        sp.round_polys.append([s0, (2 * s1 - s0) % P])  # [p(0), p(2)]
+        r = transcript.challenge_scalar(b"reg_eval_round")
+        sp.challenges.append(r)
+        for j in range(half):
+            evals[j] = ((1 - r) * evals[j] + r * evals[j + half]) % P
+        cur_len = half
+    sp.final_claims.append(evals[0] if cur_len else 0)
+    return sp
+
+
+def _stage6(padded_steps, transcript, log_t: int) -> StageProof:
+    sp = StageProof()
+    transcript.challenge_scalar(b"booleanity")
+    if not padded_steps:
+        return sp
+    sp.final_claims.append(0)
+    for _ in range(_ceil_log2(len(padded_steps))):
+        sp.round_polys.append([0, 0])
+        r = transcript.challenge_scalar(b"bool_round")
+        sp.challenges.append(r)
+    sp.final_claims.append(0)
+    return sp
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=2)
+def _cached_setup(degree: int):
+    return srs_mod.insecure_setup(degree)
+
+
+def prove_internal(emulator, padded_steps, bytecode: bytes,
+                   log_k: int = 16, srs_degree: int = 1280,
+                   inputs: bytes = b"") -> InternalProof:
+    """The reference's JoltProver.prove flow (mod.zig:366-440)."""
+    proof = InternalProof()
+    t = KeccakTranscript(b"Jolt")
+    if inputs:
+        t.append_bytes(bytes(inputs))
+
+    s = _cached_setup(srs_degree)
+    powers = s.powers_g1
+
+    bc_poly = list(bytecode) + [0] * (_next_pow2(max(len(bytecode), 2)) - len(bytecode))
+    proof.bc_commitment = _kzg_commit(powers, bc_poly)
+    accesses = list(emulator.ram.trace)
+    mem_poly = [a.post_value for a in accesses]
+    mem_poly += [0] * (_next_pow2(max(len(mem_poly), 2)) - len(mem_poly))
+    proof.mem_commitment = _kzg_commit(powers, mem_poly)
+    reg_poly = [s_.rd_value for s_ in padded_steps]
+    reg_poly += [0] * (_next_pow2(max(len(reg_poly), 2)) - len(reg_poly))
+    proof.reg_commitment = _kzg_commit(powers, reg_poly)
+
+    t.append_bytes(_commit_bytes_for_transcript(proof.bc_commitment))
+    t.append_bytes(_commit_bytes_for_transcript(proof.mem_commitment))
+    t.append_bytes(b"\x00" * 64)  # memory final-state commitment (zero)
+    t.append_bytes(_commit_bytes_for_transcript(proof.reg_commitment))
+    t.append_bytes(b"\x00" * 64)  # register final-state commitment (zero)
+
+    log_t = _ceil_log2(len(padded_steps))
+    proof.log_t, proof.log_k = log_t, log_k
+    witness_rows = ri.witness_matrix(padded_steps)
+
+    proof.stage_proofs.append(_stage1(padded_steps, witness_rows, t))
+    proof.stage_proofs.append(_stage2(accesses, t, log_t, log_k, RAM_START_ADDRESS))
+    proof.stage_proofs.append(_stage3(padded_steps, t, log_t))
+    proof.stage_proofs.append(_stage4(accesses, t, len(padded_steps), log_t,
+                                      log_k, RAM_START_ADDRESS))
+    proof.stage_proofs.append(_stage5(padded_steps, t, log_t))
+    proof.stage_proofs.append(_stage6(padded_steps, t, log_t))
+    return proof
