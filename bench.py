@@ -1,14 +1,17 @@
-"""Benchmark: end-to-end fibonacci.elf prove wall-clock on the real chip.
+"""Benchmark: end-to-end fibonacci.elf Jolt-format prove wall-clock.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 The reference's only recorded end-to-end datapoint is a fibonacci.elf
 Jolt-format prove at 517,637.88 ms (debug build with heavy logging,
-/root/reference/logs/zolt.log; see BASELINE.md). vs_baseline reports the
-speedup factor of our prove over that number (>1 = faster than reference).
+/root/reference/logs/zolt.log; see BASELINE.md). This measures the same
+flagship path — emulate, Fiat-Shamir preamble, 37 Dory GT commitments,
+τ derivation, the 7 proof stages, the joint Dory opening proof, and
+arkworks serialization — on this machine. vs_baseline is the speedup
+factor over the reference number (>1 = faster).
 
-A warmup prove populates the in-process + persistent XLA compilation caches;
-the timed run reflects steady-state prover throughput.
+A warmup run populates the in-process XLA compilation caches; the timed
+run reflects steady-state prover throughput.
 """
 
 import json
@@ -18,16 +21,13 @@ FIB_ELF = "/root/reference/examples/fibonacci.elf"
 REFERENCE_MS = 517_637.88
 
 
-def _prove_once():
-    from zolt_tpu.r1cs import constraints as rc
-    from zolt_tpu.vm import run_elf
-    from zolt_tpu.zkvm import prove_program, verify
-    from zolt_tpu.zkvm.stages import _ceil_log2
+def _prove_once() -> int:
+    from zolt_tpu.zkvm.pipeline import prove_jolt
 
-    emu = run_elf(FIB_ELF)
-    proof, padded = prove_program(emu, log_k=10)
-    verify(proof, _ceil_log2(len(padded) * rc.NUM_CONSTRAINTS))
-    return proof
+    res = prove_jolt(FIB_ELF, with_joint_proof=True)
+    blob = res.conv.proof.serialize_with_dory()
+    assert len(blob) > 40000, "unexpectedly small proof"
+    return len(blob)
 
 
 def main() -> None:
@@ -38,7 +38,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "fibonacci_prove_wall_clock",
+                "metric": "fibonacci_jolt_format_prove_wall_clock",
                 "value": dt_ms,
                 "unit": "ms",
                 "vs_baseline": REFERENCE_MS / dt_ms,

@@ -64,15 +64,47 @@ def cmd_decode(args) -> int:
 
 
 def cmd_prove(args) -> int:
-    from . import serialization
-    from .zkvm import prove_program
-
     t0 = time.time()
+    if args.jolt_format:
+        from .zkvm.pipeline import prove_jolt
+
+        res = prove_jolt(args.elf, with_joint_proof=True)
+        t1 = time.time()
+        data = res.conv.proof.serialize_with_dory()
+        emu, padded = res.emulator, res.padded_steps
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
+        print(f"prove (jolt-format, 7 stages + Dory): {t1 - t0:.2f}s")
+        print(f"proof: {len(data)} bytes -> {args.output}")
+        return 0
+    if args.legacy:
+        from . import serialization
+        from .zkvm import prove_program
+
+        emu = _load_and_run(args.elf)
+        t1 = time.time()
+        proof, padded = prove_program(emu, log_k=args.log_k)
+        t2 = time.time()
+        data = serialization.to_json(proof).encode() if args.json else serialization.serialize(proof)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
+        print(f"emulate: {t1 - t0:.2f}s  prove: {t2 - t1:.2f}s")
+        print(f"proof: {len(data)} bytes -> {args.output}")
+        return 0
+    # default: reference-parity internal ZOLT v1 format
+    from .vm import elf as elf_mod
+    from .vm import pad_with_noop
+    from .zkvm.internal import prove_internal
+
     emu = _load_and_run(args.elf)
     t1 = time.time()
-    proof, padded = prove_program(emu, log_k=args.log_k)
+    padded = pad_with_noop(list(emu.trace))
+    _, image = elf_mod.load_file(args.elf).flat_image()
+    proof = prove_internal(emu, padded, bytes(image), log_k=16)
     t2 = time.time()
-    data = serialization.to_json(proof).encode() if args.json else serialization.serialize(proof)
+    data = proof.serialize()
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
@@ -88,8 +120,23 @@ def cmd_verify(args) -> int:
     from .zkvm.stages import _ceil_log2
 
     data = open(args.proof, "rb").read()
-    fmt = serialization.detect_format(data)
-    proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
+    if data[:4] == b"ZOLT" and data[4:8] == b"\x01\x00\x00\x00":
+        from .zkvm.internal import deserialize_internal, verify_internal
+
+        t0 = time.time()
+        try:
+            verify_internal(deserialize_internal(data))
+        except AssertionError as e:
+            print(f"FAILED: {e}")
+            return 1
+        print(f"PASSED ({time.time() - t0:.2f}s, format=zolt-internal)")
+        return 0
+    try:
+        fmt = serialization.detect_format(data)
+        proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
+    except Exception as e:
+        print(f"FAILED: unrecognized proof format ({e})")
+        return 1
     ncv = proof.log_t + _ceil_log2(rc.NUM_CONSTRAINTS)
     t0 = time.time()
     try:
@@ -152,6 +199,10 @@ def main(argv=None) -> int:
     pp.add_argument("-o", "--output", default="proof.bin")
     pp.add_argument("--json", action="store_true")
     pp.add_argument("--log-k", type=int, default=10)
+    pp.add_argument("--jolt-format", action="store_true",
+                    help="emit the Jolt-compatible arkworks proof (Dory commitments)")
+    pp.add_argument("--legacy", action="store_true",
+                    help="emit the device-accelerated legacy container")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")

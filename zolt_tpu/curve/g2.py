@@ -63,13 +63,62 @@ def double(a: Point) -> Point:
     return add(a, a)
 
 
+_F2_ZERO = (0, 0)
+_F2_ONE = (1, 0)
+
+
+def _jac_dbl2(X, Y, Z):
+    if Z == _F2_ZERO or Y == _F2_ZERO:
+        return (_F2_ZERO, _F2_ONE, _F2_ZERO)
+    A = tw.fp2_sqr(X)
+    B = tw.fp2_sqr(Y)
+    C = tw.fp2_sqr(B)
+    t = tw.fp2_sqr(tw.fp2_add(X, B))
+    D = tw.fp2_scalar(tw.fp2_sub(tw.fp2_sub(t, A), C), 2)
+    E = tw.fp2_scalar(A, 3)
+    F = tw.fp2_sqr(E)
+    X3 = tw.fp2_sub(F, tw.fp2_scalar(D, 2))
+    Y3 = tw.fp2_sub(tw.fp2_mul(E, tw.fp2_sub(D, X3)), tw.fp2_scalar(C, 8))
+    Z3 = tw.fp2_scalar(tw.fp2_mul(Y, Z), 2)
+    return (X3, Y3, Z3)
+
+
+def _jac_add_affine2(X1, Y1, Z1, x2, y2):
+    if Z1 == _F2_ZERO:
+        return (x2, y2, _F2_ONE)
+    Z1Z1 = tw.fp2_sqr(Z1)
+    U2 = tw.fp2_mul(x2, Z1Z1)
+    S2 = tw.fp2_mul(tw.fp2_mul(y2, Z1Z1), Z1)
+    if U2 == X1:
+        if S2 == Y1:
+            return _jac_dbl2(X1, Y1, Z1)
+        return (_F2_ZERO, _F2_ONE, _F2_ZERO)
+    H = tw.fp2_sub(U2, X1)
+    HH = tw.fp2_sqr(H)
+    I = tw.fp2_scalar(HH, 4)
+    J = tw.fp2_mul(H, I)
+    rr = tw.fp2_scalar(tw.fp2_sub(S2, Y1), 2)
+    V = tw.fp2_mul(X1, I)
+    X3 = tw.fp2_sub(tw.fp2_sub(tw.fp2_sqr(rr), J), tw.fp2_scalar(V, 2))
+    Y3 = tw.fp2_sub(tw.fp2_mul(rr, tw.fp2_sub(V, X3)),
+                    tw.fp2_scalar(tw.fp2_mul(Y1, J), 2))
+    Z3 = tw.fp2_sub(tw.fp2_sub(tw.fp2_sqr(tw.fp2_add(Z1, H)), Z1Z1), HH)
+    return (X3, Y3, Z3)
+
+
 def scalar_mul(pt: Point, k: int) -> Point:
+    """Jacobian double-and-add; one Fp2 inversion at the end."""
     k %= FR.p
-    acc: Point = None
-    base = pt
-    while k:
-        if k & 1:
-            acc = add(acc, base)
-        base = add(base, base)
-        k >>= 1
-    return acc
+    if pt is None or k == 0:
+        return None
+    x, y = pt
+    X, Y, Z = _F2_ZERO, _F2_ONE, _F2_ZERO
+    for bit in bin(k)[2:]:
+        X, Y, Z = _jac_dbl2(X, Y, Z)
+        if bit == "1":
+            X, Y, Z = _jac_add_affine2(X, Y, Z, x, y)
+    if Z == _F2_ZERO:
+        return None
+    zinv = tw.fp2_inv(Z)
+    z2 = tw.fp2_sqr(zinv)
+    return (tw.fp2_mul(X, z2), tw.fp2_mul(tw.fp2_mul(Y, z2), zinv))

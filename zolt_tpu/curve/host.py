@@ -55,16 +55,55 @@ def double(a: Point) -> Point:
     return add(a, a)
 
 
+def _jac_dbl(X, Y, Z):
+    if Z == 0 or Y == 0:
+        return (0, 1, 0)
+    A = X * X % P
+    B = Y * Y % P
+    C = B * B % P
+    D = 2 * ((X + B) * (X + B) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y * Z % P
+    return (X3, Y3, Z3)
+
+
+def _jac_add_affine(X1, Y1, Z1, x2, y2):
+    if Z1 == 0:
+        return (x2, y2, 1)
+    Z1Z1 = Z1 * Z1 % P
+    U2 = x2 * Z1Z1 % P
+    S2 = y2 * Z1Z1 * Z1 % P
+    if U2 == X1:
+        if S2 == Y1:
+            return _jac_dbl(X1, Y1, Z1)
+        return (0, 1, 0)
+    H = (U2 - X1) % P
+    HH = H * H % P
+    I = 4 * HH % P
+    J = H * I % P
+    rr = 2 * (S2 - Y1) % P
+    V = X1 * I % P
+    X3 = (rr * rr - J - 2 * V) % P
+    Y3 = (rr * (V - X3) - 2 * Y1 * J) % P
+    Z3 = ((Z1 + H) * (Z1 + H) - Z1Z1 - HH) % P
+    return (X3, Y3, Z3)
+
+
 def scalar_mul(pt: Point, k: int) -> Point:
+    """Jacobian double-and-add; one inversion at the end."""
     k %= FR.p
-    acc: Point = None
-    base = pt
-    while k:
-        if k & 1:
-            acc = add(acc, base)
-        base = add(base, base)
-        k >>= 1
-    return acc
+    if pt is None or k == 0:
+        return None
+    x, y = pt
+    X, Y, Z = 0, 1, 0
+    for bit in bin(k)[2:]:
+        X, Y, Z = _jac_dbl(X, Y, Z)
+        if bit == "1":
+            X, Y, Z = _jac_add_affine(X, Y, Z, x, y)
+    return jacobian_to_affine(X, Y, Z)
 
 
 def msm(points: list[Point], scalars: list[int]) -> Point:

@@ -123,11 +123,35 @@ def final_exponentiation(f):
     validated against Jolt's e(g1,g2) = 950e879d... test vector)."""
     # easy: f^((p^6-1)(p^2+1))
     f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
-    f2 = tw.fp12_mul(tw.fp12_frob(f1, 2), f1)
-    # hard (Fuentes-Castañeda multiple)
-    hard = (P**4 - P**2 + 1) // FR.p
-    ell = 2 * BN_X * (6 * BN_X * BN_X + 3 * BN_X + 1)
-    return tw.fp12_pow(f2, hard * ell)
+    r = tw.fp12_mul(tw.fp12_frob(f1, 2), f1)
+    # hard: the x-chain (63-bit exponents ×3 + ~20 muls — far cheaper than a
+    # direct ~950-bit pow), reference pairing.zig:1812-1872
+    m = tw.fp12_mul
+
+    def exp_neg_x(g):
+        return tw.fp12_conj(tw.fp12_pow(g, BN_X))
+
+    y0 = exp_neg_x(r)
+    y1 = tw.fp12_sqr(y0)
+    y2 = tw.fp12_sqr(y1)
+    y3 = m(y2, y1)
+    y4 = exp_neg_x(y3)
+    y5 = tw.fp12_sqr(y4)
+    y6 = exp_neg_x(y5)
+    y3 = tw.fp12_conj(y3)
+    y6 = tw.fp12_conj(y6)
+    y7 = m(y6, y4)
+    y8 = m(y7, y3)
+    y9 = m(y8, y1)
+    y10 = m(y8, y4)
+    y11 = m(y10, r)
+    y12 = tw.fp12_frob(y9, 1)
+    y13 = m(y12, y11)
+    y8 = tw.fp12_frob(y8, 2)
+    y14 = m(y8, y13)
+    y15 = m(tw.fp12_conj(r), y9)
+    y15 = tw.fp12_frob(y15, 3)
+    return m(y15, y14)
 
 
 

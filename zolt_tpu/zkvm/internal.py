@@ -448,3 +448,188 @@ def prove_internal(emulator, padded_steps, bytecode: bytes,
     proof.stage_proofs.append(_stage5(padded_steps, t, log_t))
     proof.stage_proofs.append(_stage6(padded_steps, t, log_t))
     return proof
+
+
+# ---------------------------------------------------------------------------
+# Deserialization + verification (reference serialization.zig:327-447,
+# verifier.zig:47-776, mod.zig:1846-2040)
+# ---------------------------------------------------------------------------
+
+def deserialize_internal(data: bytes) -> InternalProof:
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        v = data[pos : pos + n]
+        assert len(v) == n, "unexpected EOF"
+        pos += n
+        return v
+
+    def u64():
+        return int.from_bytes(take(8), "little")
+
+    assert take(4) == b"ZOLT", "bad magic"
+    assert int.from_bytes(take(4), "little") == 1, "bad version"
+    proof = InternalProof()
+
+    def commit():
+        raw = take(64)
+        x = int.from_bytes(raw[:32], "big")
+        y = int.from_bytes(raw[32:], "big")
+        return None if x == 0 and y == 0 else (x, y)
+
+    proof.bc_commitment = commit()
+    take(64 * 2 + 32)
+    proof.mem_commitment = commit()
+    take(64 * 3)
+    proof.reg_commitment = commit()
+    take(64 * 3)
+    tl = u64(); take(32 * tl)
+    take(96)
+    el = u64(); take(32 * el)
+    take(64)
+    u64()
+    fl = u64(); take(32 * fl)
+    has = take(1)[0]
+    if not has:
+        return proof
+    proof.log_t, proof.log_k = u64(), u64()
+    for _ in range(6):
+        sp = StageProof()
+        for _ in range(u64()):
+            m = u64()
+            sp.round_polys.append([int.from_bytes(take(32), "little") for _ in range(m)])
+        for _ in range(u64()):
+            sp.challenges.append(int.from_bytes(take(32), "little"))
+        for _ in range(u64()):
+            sp.final_claims.append(int.from_bytes(take(32), "little"))
+        proof.stage_proofs.append(sp)
+    assert pos == len(data), f"trailing bytes: {len(data) - pos}"
+    return proof
+
+
+def _eval_at(evals: list[int], r: int) -> int:
+    """Lagrange evaluation through evals at 0,1,2,... (verifier.zig:850-900)."""
+    n = len(evals)
+    if n == 0:
+        return 0
+    if n == 1:
+        return evals[0]
+    if n == 2:
+        return ((1 - r) * evals[0] + r * evals[1]) % P
+    inv2 = pow(2, -1, P)
+    if n == 3:
+        l0 = (r - 1) * (r - 2) % P * inv2 % P
+        l1 = (-r * (r - 2)) % P
+        l2 = r * (r - 1) % P * inv2 % P
+        return (evals[0] * l0 + evals[1] * l1 + evals[2] * l2) % P
+    inv6 = pow(6, -1, P)
+    l0 = (r - 1) * (r - 2) % P * (r - 3) % P * (-inv6) % P
+    l1 = r * (r - 2) % P * (r - 3) % P * inv2 % P
+    l2 = r * (r - 1) % P * (r - 3) % P * (-inv2) % P
+    l3 = r * (r - 1) % P * (r - 2) % P * inv6 % P
+    return (evals[0] * l0 + evals[1] * l1 + evals[2] * l2 + evals[3] * l3) % P
+
+
+class InternalVerificationError(AssertionError):
+    pass
+
+
+def verify_internal(proof: InternalProof, inputs: bytes = b"",
+                    strict: bool = True) -> bool:
+    """JoltVerifier.verify + MultiStageVerifier (transcript resync +
+    p(0)+p(1)=claim per round)."""
+    t = KeccakTranscript(b"Jolt")
+    if inputs:
+        t.append_bytes(bytes(inputs))
+    t.append_bytes(_commit_bytes_for_transcript(proof.bc_commitment))
+    t.append_bytes(_commit_bytes_for_transcript(proof.mem_commitment))
+    t.append_bytes(b"\x00" * 64)
+    t.append_bytes(_commit_bytes_for_transcript(proof.reg_commitment))
+    t.append_bytes(b"\x00" * 64)
+    log_t, log_k = proof.log_t, proof.log_k
+    sps = proof.stage_proofs
+
+    def check(ok, msg):
+        if strict and not ok:
+            raise InternalVerificationError(msg)
+
+    # stage 1: evals [p0,p1,p2], round polys absorbed
+    sp = sps[0]
+    if sp.round_polys:
+        for _ in range(len(sp.round_polys)):
+            t.challenge_scalar(b"spartan_tau")
+        claim = sp.final_claims[0] if sp.final_claims else 0
+        for i, poly in enumerate(sp.round_polys):
+            check((poly[0] + poly[1]) % P == claim % P, f"stage1 round {i}")
+            t.append_scalar(b"round_poly_0", poly[0])
+            t.append_scalar(b"round_poly_1", poly[1])
+            if len(poly) > 2:
+                t.append_scalar(b"round_poly_2", poly[2])
+            r = t.challenge_scalar(b"spartan_round")
+            claim = _eval_at(poly, r)
+
+    # stage 2: [p(0), p(2)], p(1) from claim
+    sp = sps[1]
+    if sp.round_polys:
+        for _ in range(log_t):
+            t.challenge_scalar(b"r_cycle")
+        claim = sp.final_claims[0] if sp.final_claims else 0
+        for poly in sp.round_polys:
+            p0, p2 = poly[0], poly[1]
+            p1 = (claim - p0) % P
+            r = t.challenge_scalar(b"raf_round")
+            claim = _eval_at([p0, p1, p2], r)
+
+    # stage 3: COEFFICIENTS [c0, c1, c2]
+    sp = sps[2]
+    if sp.round_polys:
+        t.challenge_scalar(b"lasso_gamma")
+        for _ in range(log_t):
+            t.challenge_scalar(b"r_reduction")
+        claim = sp.final_claims[0] if sp.final_claims else 0
+        for i, poly in enumerate(sp.round_polys):
+            c0, c1 = poly[0], poly[1]
+            c2 = poly[2] if len(poly) > 2 else 0
+            check((2 * c0 + c1 + c2) % P == claim % P, f"stage3 round {i}")
+            r = t.challenge_scalar(b"lasso_round")
+            claim = (c0 + c1 * r + c2 * r * r) % P
+
+    # stage 4: 4 evals, degree 3
+    sp = sps[3]
+    if sp.round_polys:
+        for _ in range(16):
+            t.challenge_scalar(b"r_address")
+        for _ in range(log_t):
+            t.challenge_scalar(b"r_cycle_val")
+        claim = sp.final_claims[0] if sp.final_claims else 0
+        for i, poly in enumerate(sp.round_polys):
+            check((poly[0] + poly[1]) % P == claim % P, f"stage4 round {i}")
+            r = t.challenge_scalar(b"val_eval_round")
+            claim = _eval_at(poly, r)
+
+    # stage 5: [p(0), p(2)]
+    sp = sps[4]
+    if sp.round_polys:
+        for _ in range(LOG_REGS):
+            t.challenge_scalar(b"r_register")
+        for _ in range(log_t):
+            t.challenge_scalar(b"r_cycle_reg")
+        claim = sp.final_claims[0] if sp.final_claims else 0
+        for poly in sp.round_polys:
+            p0, p2 = poly[0], poly[1]
+            p1 = (claim - p0) % P
+            r = t.challenge_scalar(b"reg_eval_round")
+            claim = _eval_at([p0, p1, p2], r)
+
+    # stage 6: booleanity, claim must stay 0
+    sp = sps[5]
+    t.challenge_scalar(b"booleanity")
+    claim = sp.final_claims[0] if sp.final_claims else 0
+    check(claim == 0, "stage6 nonzero initial claim")
+    for i, poly in enumerate(sp.round_polys):
+        p0, p2 = poly[0], poly[1]
+        p1 = (claim - p0) % P
+        r = t.challenge_scalar(b"bool_round")
+        claim = _eval_at([p0, p1, p2], r)
+    return True
