@@ -164,6 +164,43 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_srs(args) -> int:
+    """Inspect a PTAU ceremony file or raw SRS (reference main.zig:804-880)."""
+    import os
+
+    from .pcs import srs as srs_mod
+
+    data = open(args.file, "rb").read()
+    size_mb = len(data) / (1024 * 1024)
+    print("SRS File Inspector")
+    print("==================")
+    print(f"File: {args.file} ({len(data)} bytes, {size_mb:.2f} MB)")
+    if data[:4] == srs_mod.PTAU_MAGIC:
+        srs = srs_mod.load_ptau(data)
+        print(f"Format: snarkjs PTAU v1")
+        print(f"  Power: 2^{srs.power} = {1 << srs.power} points")
+        print(f"  Ceremony power: 2^{srs.ceremony_power}")
+        print(f"  G1 points: {len(srs.powers_of_tau_g1)}")
+        print(f"  G2 points: {len(srs.powers_of_tau_g2)}")
+        print(f"  Alpha*tau G1: {len(srs.alpha_tau_g1 or [])}")
+        print(f"  Beta*tau G1: {len(srs.beta_tau_g1 or [])}")
+        if srs.powers_of_tau_g1:
+            g1 = srs.powers_of_tau_g1[0]
+            print(f"First G1 point: x={g1[0]:#066x}")
+            print(f"                y={g1[1]:#066x}")
+            print("on curve:", (g1[1]**2 - g1[0]**3 - 3) % srs_mod.FP.p == 0)
+        return 0
+    try:
+        srs = srs_mod.load_raw_binary(data)
+        print("Format: zolt raw binary")
+        print(f"  G1 powers: {len(srs.powers_g1)}")
+        print(f"  tau_g2 x0: {srs.tau_g2[0][0]:#x}")
+        return 0
+    except Exception as e:
+        print(f"Unrecognized SRS format: {e}")
+        return 1
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -212,6 +249,10 @@ def main(argv=None) -> int:
     ps = sub.add_parser("stats", help="proof statistics")
     ps.add_argument("proof")
     ps.set_defaults(fn=cmd_stats)
+
+    psrs = sub.add_parser("srs", help="inspect a PTAU/raw SRS file")
+    psrs.add_argument("file")
+    psrs.set_defaults(fn=cmd_srs)
 
     pi = sub.add_parser("info", help="version and device info")
     pi.set_defaults(fn=cmd_info)
