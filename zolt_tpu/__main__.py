@@ -77,6 +77,19 @@ def cmd_prove(args) -> int:
         print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
         print(f"prove (jolt-format, 7 stages + Dory): {t1 - t0:.2f}s")
         print(f"proof: {len(data)} bytes -> {args.output}")
+        if args.export_preprocessing:
+            from .vm import elf as elf_mod
+            from .vm.layout import MemoryConfig, MemoryLayout
+            from .zkvm import preprocessing as prep
+
+            base, image = elf_mod.load_file(args.elf).flat_image()
+            layout = MemoryLayout.create(
+                MemoryConfig(program_size=len(image), memory_size=32768))
+            pp_data = prep.export_preprocessing(
+                bytes(image), base, layout, max(1024, len(padded)), srs_log_size=16)
+            with open(args.export_preprocessing, "wb") as f:
+                f.write(pp_data)
+            print(f"preprocessing: {len(pp_data)} bytes -> {args.export_preprocessing}")
         return 0
     if args.legacy:
         from . import serialization
@@ -238,6 +251,8 @@ def main(argv=None) -> int:
     pp.add_argument("--log-k", type=int, default=10)
     pp.add_argument("--jolt-format", action="store_true",
                     help="emit the Jolt-compatible arkworks proof (Dory commitments)")
+    pp.add_argument("--export-preprocessing", metavar="PATH",
+                    help="write the Jolt verifier preprocessing file")
     pp.add_argument("--legacy", action="store_true",
                     help="emit the device-accelerated legacy container")
     pp.set_defaults(fn=cmd_prove)
