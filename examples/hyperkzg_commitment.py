@@ -1,0 +1,27 @@
+"""HyperKZG commit/open/verify — mirror of examples/hyperkzg_commitment.zig."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from zolt_tpu.field.params import FR
+from zolt_tpu.pcs import hyperkzg, srs
+from zolt_tpu.transcript import KeccakTranscript
+
+
+def main() -> None:
+    poly = [(i * 31 + 5) % FR.p for i in range(16)]  # 4-variable multilinear
+    setup = srs.insecure_setup(64)
+    commitment = hyperkzg.commit(setup, poly)
+    print(f"commitment: ({commitment[0]:#x}, {commitment[1]:#x})")
+
+    point = [3, 5, 7, 11]
+    proof, value = hyperkzg.open_at(setup, poly, point, KeccakTranscript(b"hkzg"))
+    ok = hyperkzg.verify(setup, commitment, point, value, proof, KeccakTranscript(b"hkzg"))
+    print(f"opening value: {value:#x}, verified: {ok}")
+    assert ok
+
+
+if __name__ == "__main__":
+    main()

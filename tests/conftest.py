@@ -7,10 +7,14 @@ config-default level, so the JAX_PLATFORMS env var alone does not win —
 jax.config.update does."""
 
 import os
+import sys
 
 # The persistent XLA compilation cache segfaults this jax build's CPU backend
-# on cache writes (zstandard path); disable it for the test suite.
-os.environ["ZOLT_TPU_NO_CACHE"] = "1"
+# when writes go through zstandard.backend_c; blocking the zstandard import
+# makes jax fall back to zlib compression, which is stable. Keeping the cache
+# matters: the legacy device provers compile dozens of per-shape kernels and a
+# cold CPU run takes tens of minutes without it.
+sys.modules["zstandard"] = None
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -12,10 +12,19 @@ FIB_ELF = "/root/reference/examples/fibonacci.elf"
 
 
 def small_proof():
-    emu = Emulator(MemoryConfig(program_size=1024))
-    emu.load_program((0x00500093).to_bytes(4, "little") + (0x0000006F).to_bytes(4, "little"))
-    emu.run()
-    proof, _ = prove_program(emu, log_k=10)
+    """Synthetic multi-stage proof: serialization round-trips don't need a
+    real prove (the provers are covered by the e2e differential tests)."""
+    from zolt_tpu.zkvm.prover import MultiStageProof
+    from zolt_tpu.zkvm.stages import StageProof
+
+    proof = MultiStageProof(log_t=4, log_k=10)
+    for i in range(6):
+        sp = StageProof()
+        sp.round_polys = [[(i * 31 + j * 7 + k) % (2**200 + 3) for k in range(3)]
+                          for j in range(4)]
+        sp.challenges = [(i * 1009 + j) for j in range(4)]
+        sp.final_claims = [i + 1, 12345678901234567890 + i]
+        proof.stage_proofs.append(sp)
     return proof
 
 

@@ -65,3 +65,65 @@ def test_open_and_structural_verify():
     assert dory.verify_structure(srs, c, proof, tv)
     # transcript determinism: prover and verifier end in identical states
     assert tp.state == tv.state
+
+
+def _mle_eval_via_matrix(evals, point, srs):
+    left, right = dory._split_point(point, srs.sigma, srs.nu)
+    num_cols = 1 << srs.sigma
+    y = 0
+    for r in range(1 << srs.nu):
+        for c in range(num_cols):
+            idx = r * num_cols + c
+            if idx < len(evals):
+                y += left[r] * right[c] * evals[idx]
+    return y % P
+
+
+def test_dory_algebraic_verify_accepts():
+    srs = dory.setup(4)  # square: sigma = nu = 2
+    evals = rand_ints(16)
+    point = rand_ints(4)
+    c = dory.commit(srs, evals)
+    y = _mle_eval_via_matrix(evals, point, srs)
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs, evals, point, tp)
+    tv = Blake2bTranscript(b"dory")
+    assert dory.verify_with_transcript(srs, c, point, y, proof, tv)
+    assert tp.state == tv.state
+
+
+def test_dory_algebraic_verify_rejects_wrong_eval():
+    srs = dory.setup(4)
+    evals = rand_ints(16)
+    point = rand_ints(4)
+    c = dory.commit(srs, evals)
+    y = _mle_eval_via_matrix(evals, point, srs)
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs, evals, point, tp)
+    tv = Blake2bTranscript(b"dory")
+    assert not dory.verify_with_transcript(srs, c, point, (y + 1) % P, proof, tv)
+
+
+def test_dory_algebraic_verify_rejects_wrong_commitment():
+    srs = dory.setup(4)
+    evals = rand_ints(16)
+    point = rand_ints(4)
+    y = _mle_eval_via_matrix(evals, point, srs)
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs, evals, point, tp)
+    bad_c = dory.commit(srs, rand_ints(16))
+    tv = Blake2bTranscript(b"dory")
+    assert not dory.verify_with_transcript(srs, bad_c, point, y, proof, tv)
+
+
+def test_dory_algebraic_verify_rejects_tampered_message():
+    srs = dory.setup(4)
+    evals = rand_ints(16)
+    point = rand_ints(4)
+    c = dory.commit(srs, evals)
+    y = _mle_eval_via_matrix(evals, point, srs)
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs, evals, point, tp)
+    proof.second[0].c_plus = tw.fp12_mul(proof.second[0].c_plus, proof.second[0].c_minus)
+    tv = Blake2bTranscript(b"dory")
+    assert not dory.verify_with_transcript(srs, c, point, y, proof, tv)

@@ -27,7 +27,14 @@ def num_constraint_vars(padded):
     return _ceil_log2(len(padded) * rc.NUM_CONSTRAINTS)
 
 
-def test_prove_verify_small_program():
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def legacy_proof():
+    """One legacy device-path prove shared by the module (the per-shape kernel
+    compiles dominate; correctness at other sizes is covered by the host-path
+    differential tests)."""
     emu = run_program([
         0x00500093,  # addi x1, x0, 5
         0x00000113,  # addi x2, x0, 0
@@ -36,7 +43,11 @@ def test_prove_verify_small_program():
         0xFE101CE3,  # bne x1, x0, -8
         0x0000006F,
     ])
-    proof, padded = prove_program(emu, log_k=10)
+    return prove_program(emu, log_k=10, min_pad=16)
+
+
+def test_prove_verify_small_program(legacy_proof):
+    proof, padded = legacy_proof
     assert verify(proof, num_constraint_vars(padded))
 
 
@@ -46,21 +57,25 @@ def test_prove_verify_memory_program():
         0x12300093, lui_x2, 0x00113023, 0x00013183, 0x40208233, 0x022081B3,
         0x0000006F,
     ])
-    proof, padded = prove_program(emu, log_k=10)
+    proof, padded = prove_program(emu, log_k=10, min_pad=16)
     assert verify(proof, num_constraint_vars(padded))
 
 
-def test_verify_rejects_tampered_stage1():
-    emu = run_program([0x00500093, 0x0000006F])
-    proof, padded = prove_program(emu, log_k=10)
+def test_verify_rejects_tampered_stage1(legacy_proof):
+    import copy
+
+    proof, padded = legacy_proof
+    proof = copy.deepcopy(proof)
     proof.stage_proofs[0].round_polys[3][0] = (proof.stage_proofs[0].round_polys[3][0] + 1) % (2**200)
     with pytest.raises(AssertionError):
         verify(proof, num_constraint_vars(padded))
 
 
-def test_verify_rejects_tampered_lasso_claim():
-    emu = run_program([0x00500093, 0x0000006F])
-    proof, padded = prove_program(emu, log_k=10)
+def test_verify_rejects_tampered_lasso_claim(legacy_proof):
+    import copy
+
+    proof, padded = legacy_proof
+    proof = copy.deepcopy(proof)
     sp = proof.stage_proofs[2]
     sp.final_claims[0] = (sp.final_claims[0] + 1)
     with pytest.raises(AssertionError):
@@ -69,8 +84,15 @@ def test_verify_rejects_tampered_lasso_claim():
 
 @pytest.mark.skipif(not os.path.exists(FIB_ELF), reason="reference ELF not present")
 def test_prove_verify_fibonacci():
+    """Fibonacci e2e through the reference-parity host prover (the legacy
+    device path at this size is covered by test_prove_verify_small_program;
+    fibonacci byte-exactness lives in test_internal_e2e/test_jolt_e2e)."""
+    from zolt_tpu.vm import elf as elf_mod
+    from zolt_tpu.zkvm.internal import prove_internal, verify_internal
+
     emu = run_elf(FIB_ELF)
-    proof, padded = prove_program(emu, log_k=10)
-    assert verify(proof, num_constraint_vars(padded))
-    # six stages present
+    padded = pad_with_noop(list(emu.trace))
+    _, image = elf_mod.load_file(FIB_ELF).flat_image()
+    proof = prove_internal(emu, padded, bytes(image))
+    assert verify_internal(proof)
     assert len(proof.stage_proofs) == 6

@@ -152,3 +152,90 @@ def test_fibonacci_elf_golden():
     assert len(emu.trace) > 10
     padded = pad_with_noop(list(emu.trace))
     assert (len(padded) & (len(padded) - 1)) == 0 and len(padded) >= 256
+
+
+def test_guest_assembler_sum_loop():
+    """Asm-built sum-1..10 program runs and halts via ECALL."""
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(1, 0, 10)          # x1 = 10
+    a.label("loop")
+    a.add(2, 2, 1)            # x2 += x1
+    a.addi(1, 1, -1)          # x1 -= 1
+    a.bne(1, 0, "loop")
+    a.ecall()
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program(a.bytes())
+    emu.run()
+    assert emu.registers.registers[2] == 55
+
+
+def test_guest_assembler_output_and_halt():
+    """write_output_byte/commit land in the JoltDevice output region."""
+    from zolt_tpu.vm.guest import Asm
+
+    cfg = MemoryConfig(program_size=1024)
+    lay = MemoryLayout.create(cfg)
+    a = Asm()
+    a.addi(10, 0, 42)
+    a.write_output_byte(10, lay, offset=0)
+    a.halt(lay)
+    emu = Emulator(cfg)
+    emu.load_program(a.bytes())
+    emu.run()
+    out = emu.get_outputs()
+    assert out[:1] == b"\x2a"
+
+
+def test_guest_assembler_branch_encoding_matches_decoder():
+    """Every Asm encoding round-trips through the decoder."""
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(5, 6, -1)
+    a.lui(7, 0x80001)
+    a.sw(2, 3, -4)
+    a.ld(8, 9, 16)
+    a.beq(1, 2, 8)
+    a.jal(1, 2048)
+    a.mul(3, 4, 5)
+    words = a.bytes()
+    assert len(words) == 7 * 4
+    d = dec.decode(int.from_bytes(words[0:4], "little"))
+    assert (d.rd, d.rs1, d.imm) == (5, 6, -1)
+    d = dec.decode(int.from_bytes(words[8:12], "little"))
+    assert (d.rs1, d.rs2, d.imm) == (2, 3, -4)
+    d = dec.decode(int.from_bytes(words[16:20], "little"))
+    assert d.imm == 8
+    d = dec.decode(int.from_bytes(words[20:24], "little"))
+    assert d.imm == 2048
+
+
+def test_guest_hint_reader():
+    from zolt_tpu.vm.guest import Hint
+
+    h = Hint((123456789).to_bytes(8, "little") + (77).to_bytes(4, "little") + b"xy")
+    assert h.read_u64() == 123456789
+    assert h.read_u32() == 77
+    assert h.read_bytes(2) == b"xy"
+    import pytest as _p
+    with _p.raises(ValueError):
+        h.read_u32()
+
+
+def test_lookup_bits_helpers():
+    from zolt_tpu.utils import LookupBits, ceil_log2, next_power_of_two
+    from zolt_tpu.vm.tables import interleave_bits, uninterleave_bits
+
+    lb = LookupBits.interleave(0b1011, 0b0110, 4)
+    assert int(lb) == interleave_bits(0b1011, 0b0110, 4)
+    x, y = lb.uninterleave()
+    assert (int(x), int(y)) == (0b1011, 0b0110)
+    assert uninterleave_bits(int(lb), 4) == (0b1011, 0b0110)
+
+    b = LookupBits(0b1101, 4)
+    assert b.pop_msb() == 1 and b.pop_msb() == 1 and b.pop_msb() == 0 and b.pop_msb() == 1
+    p, s = LookupBits(0b110110, 6).split(2)
+    assert (int(p), len(p), int(s), len(s)) == (0b1101, 4, 0b10, 2)
+    assert next_power_of_two(5) == 8 and ceil_log2(9) == 4

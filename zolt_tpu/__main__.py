@@ -165,6 +165,18 @@ def cmd_stats(args) -> int:
     from . import serialization
 
     data = open(args.proof, "rb").read()
+    if data[:4] == b"ZOLT" and data[4:8] == b"\x01\x00\x00\x00":
+        from .zkvm.internal import deserialize_internal
+
+        proof = deserialize_internal(data)
+        print(f"format: zolt-internal, {len(data)} bytes, log_t={proof.log_t}, log_k={proof.log_k}")
+        names = ["stage1 spartan", "stage2 ram-raf", "stage3 lasso", "stage4 ram-val",
+                 "stage5 registers", "stage6 booleanity"]
+        for name, sp in zip(names, proof.stage_proofs):
+            n_el = sum(len(rp) for rp in sp.round_polys) + len(sp.challenges) + len(sp.final_claims)
+            print(f"  {name:<18} rounds={len(sp.round_polys):>3}  field elements={n_el:>5}"
+                  f"  ({n_el * 32} bytes)")
+        return 0
     fmt = serialization.detect_format(data)
     proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
     print(f"format: {fmt}, {len(data)} bytes, log_t={proof.log_t}, log_k={proof.log_k}")
@@ -212,6 +224,14 @@ def cmd_srs(args) -> int:
     except Exception as e:
         print(f"Unrecognized SRS format: {e}")
         return 1
+
+
+def cmd_bench(args) -> int:
+    from .benchmarks import run_benchmarks
+
+    sections = set(args.only.split(",")) if args.only else None
+    run_benchmarks(sections=sections, quick=args.quick)
+    return 0
 
 
 def cmd_info(args) -> int:
@@ -268,6 +288,12 @@ def main(argv=None) -> int:
     psrs = sub.add_parser("srs", help="inspect a PTAU/raw SRS file")
     psrs.add_argument("file")
     psrs.set_defaults(fn=cmd_srs)
+
+    pb = sub.add_parser("bench", help="run micro-benchmarks")
+    pb.add_argument("--quick", action="store_true", help="smaller sizes")
+    pb.add_argument("--only", help="comma-separated sections "
+                    "(field,poly,msm,commit,emulator,prover)")
+    pb.set_defaults(fn=cmd_bench)
 
     pi = sub.add_parser("info", help="version and device info")
     pi.set_defaults(fn=cmd_info)

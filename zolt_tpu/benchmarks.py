@@ -1,0 +1,180 @@
+"""Micro-benchmark harness: field ops, batch ops, poly eval, MSM, HyperKZG
+commit, emulator, prover, proof size, verifier.
+
+Mirrors the reference's benchmark surface (src/bench.zig:31-704: field
+arithmetic ns/op, batch operations, polynomial operations, MSM ms/op,
+HyperKZG commit us/op, emulator us/op, prover ms/op, proof size, verifier),
+re-expressed for a JAX device: kernels are jit-compiled once (warmup) and
+timed steady-state with `block_until_ready`, and batch throughput is the
+headline number — per-element latency on an accelerator is meaningless
+without the batch axis.
+
+Run via `python -m zolt_tpu bench [--quick]`.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _time(fn, iters: int, *, warmup: int = 1) -> float:
+    """Seconds per call, steady-state."""
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_field(report, quick: bool) -> None:
+    import jax
+    import numpy as np
+
+    from .field import FR, limb
+    from .field.limb import FR_C
+
+    n = 1 << (12 if quick else 16)
+    rng = np.random.default_rng(0)
+    vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(2 * n)]
+    a = jax.device_put(np.asarray(limb.encode(vals[:n], FR_C)))
+    b = jax.device_put(np.asarray(limb.encode(vals[n:], FR_C)))
+
+    ops = {
+        "add": jax.jit(lambda x, y: limb.add(x, y, FR_C)),
+        "sub": jax.jit(lambda x, y: limb.sub(x, y, FR_C)),
+        "mont_mul": jax.jit(lambda x, y: limb.mont_mul(x, y, FR_C)),
+        "mont_sqr": jax.jit(lambda x, y: limb.mont_sqr(x, FR_C)),
+        "batch_inverse": jax.jit(lambda x, y: limb.batch_inverse(x, FR_C)),
+    }
+    report("Field Arithmetic (BN254 Fr, batch n=%d):" % n)
+    for name, fn in ops.items():
+        sec = _time(lambda: fn(a, b).block_until_ready(), 3 if "inv" in name else 10)
+        report(f"  {name:<14} {sec / n * 1e9:>9.2f} ns/elem   "
+               f"({n / sec / 1e6:>8.2f} M elem/s)")
+
+
+def bench_poly(report, quick: bool) -> None:
+    import jax
+    import numpy as np
+
+    from .field import FR, limb
+    from .field.limb import FR_C
+    from .poly import dense
+
+    report("Polynomial Operations:")
+    rng = np.random.default_rng(1)
+    for log_n in ([10, 12] if quick else [10, 14, 16]):
+        n = 1 << log_n
+        vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(n)]
+        ev = jax.device_put(np.asarray(limb.encode(vals, FR_C)))
+        r = jax.device_put(np.asarray(limb.encode([12345], FR_C)[0]))
+        bind = jax.jit(lambda e, x: dense.bind_low(e, x, FR_C))
+        sec = _time(lambda: bind(ev, r).block_until_ready(), 10)
+        report(f"  bind_low (n=2^{log_n:<2})  {sec * 1e6:>9.1f} us/op")
+        point = [int.from_bytes(rng.bytes(16), "little") % FR.p for _ in range(log_n)]
+        sec = _time(lambda: np.asarray(dense.evaluate(ev, point, FR_C)), 3)
+        report(f"  mle_eval (n=2^{log_n:<2})  {sec * 1e6:>9.1f} us/op")
+
+
+def bench_msm(report, quick: bool) -> None:
+    import numpy as np
+
+    from .curve import host as chost
+    from .field import FR
+    from .msm import pippenger
+
+    report("Multi-Scalar Multiplication (G1):")
+    rng = np.random.default_rng(2)
+    g = chost.G1_GEN
+    for log_n in ([6, 8] if quick else [6, 8, 10]):
+        n = 1 << log_n
+        pts = [chost.scalar_mul(g, int(rng.integers(1, 1 << 30))) for _ in range(n)]
+        scalars = [int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
+        sec = _time(lambda: pippenger.msm(pts, scalars), 2)
+        report(f"  msm (n=2^{log_n})   {sec * 1e3:>9.2f} ms/op   "
+               f"({n / sec:>10.0f} pts/s)")
+
+
+def bench_commit(report, quick: bool) -> None:
+    import numpy as np
+
+    from .field import FR
+    from .pcs import hyperkzg, srs as srs_mod
+
+    report("HyperKZG Commitment:")
+    rng = np.random.default_rng(3)
+    log_n = 8 if quick else 10
+    n = 1 << log_n
+    srs = srs_mod.insecure_setup(n, tau=0x12345678)
+    coeffs = [int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
+    sec = _time(lambda: hyperkzg.commit_ints(srs, coeffs), 2)
+    report(f"  commit (n=2^{log_n})  {sec * 1e3:>9.2f} ms/op")
+
+
+def bench_emulator(report, quick: bool) -> None:
+    from .vm import Emulator
+    from .vm.layout import MemoryConfig
+
+    def sum_loop():
+        emu = Emulator(MemoryConfig(program_size=4096))
+        # sum 1..100: addi x1,x0,100 ; loop: add x2,x2,x1 ; addi x1,x1,-1 ;
+        # bne x1,x0,loop ; jal x0,0
+        emu.load_program(b"".join(w.to_bytes(4, "little") for w in [
+            0x06400093, 0x00110133, 0xFFF08093, 0xFE101CE3, 0x0000006F]))
+        emu.run()
+        assert emu.registers.registers[2] == 5050
+        return emu
+
+    sec = _time(sum_loop, 3)
+    emu = sum_loop()
+    report("Emulator Execution:")
+    report(f"  sum 1-100 loop   {sec * 1e6:>9.1f} us/op   "
+           f"({emu.cycle / sec:>10.0f} cycles/s)")
+
+
+def bench_prover(report, quick: bool) -> None:
+    from .vm import pad_with_noop, run_elf
+    from .vm import elf as elf_mod
+    from .zkvm.internal import prove_internal, verify_internal
+
+    fib = "/root/reference/examples/fibonacci.elf"
+    import os
+
+    if not os.path.exists(fib):
+        report("zkVM Prover: fibonacci.elf not present, skipped")
+        return
+    report("zkVM Prover (fibonacci.elf, internal 6-stage):")
+    emu = run_elf(fib)
+    padded = pad_with_noop(list(emu.trace))
+    _, image = elf_mod.load_file(fib).flat_image()
+    proof = prove_internal(emu, padded, bytes(image))  # warmup + artifact
+    sec = _time(lambda: prove_internal(emu, padded, bytes(image)), 1)
+    report(f"  prove            {sec * 1e3:>9.1f} ms/op")
+    blob = proof.serialize()
+    report(f"  proof size       {len(blob):>9} bytes")
+    sec = _time(lambda: verify_internal(proof), 1)
+    report(f"  verify           {sec * 1e3:>9.1f} ms/op")
+
+
+SECTIONS = {
+    "field": bench_field,
+    "poly": bench_poly,
+    "msm": bench_msm,
+    "commit": bench_commit,
+    "emulator": bench_emulator,
+    "prover": bench_prover,
+}
+
+
+def run_benchmarks(sections=None, quick: bool = False, report=print) -> None:
+    from . import __version__
+
+    report(f"zolt-tpu benchmarks v{__version__}")
+    report("=" * 32)
+    for name, fn in SECTIONS.items():
+        if sections and name not in sections:
+            continue
+        fn(report, quick)
+        report("")
+    report("Benchmarks complete.")

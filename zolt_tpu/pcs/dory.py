@@ -363,6 +363,155 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
                      final_e1=final_e1, final_e2=final_e2, nu=nu, sigma=sigma)
 
 
+def _smul1(pt, k: int):
+    k %= P
+    if pt is None or k == 0:
+        return None
+    return G1.scalar_mul(pt, k)
+
+
+def _smul2(pt, k: int):
+    k %= P
+    if pt is None or k == 0:
+        return None
+    return G2.scalar_mul(pt, k)
+
+
+_LADDER_CACHE: dict = {}
+
+
+def verifier_ladders(srs: DorySRS) -> dict:
+    """Per-level SRS pairing constants for the reduce verifier:
+    chi[k]   = <Γ1[:k], Γ2[:k]>          (k a power of two)
+    d1r[k]   = <Γ1[k:2k], Γ2[:k]>
+    d2r[k]   = <Γ1[:k], Γ2[k:2k]>
+    Mirrors the export's DoryVerifierSetup (reference preprocessing.zig:
+    854-975); cached per SRS identity."""
+    key = (id(srs), srs.sigma, srs.nu)
+    if key in _LADDER_CACHE:
+        return _LADDER_CACHE[key]
+    chi, d1r, d2r = {}, {}, {}
+    k = 1
+    limit = min(len(srs.g1_vec), len(srs.g2_vec))
+    while k <= limit:
+        chi[k] = multi_pairing(list(zip(srs.g1_vec[:k], srs.g2_vec[:k])))
+        if 2 * k <= len(srs.g1_vec):
+            d1r[k] = multi_pairing(list(zip(srs.g1_vec[k:2 * k], srs.g2_vec[:k])))
+        if 2 * k <= len(srs.g2_vec):
+            d2r[k] = multi_pairing(list(zip(srs.g1_vec[:k], srs.g2_vec[k:2 * k])))
+        k *= 2
+    out = {"chi": chi, "d1r": d1r, "d2r": d2r}
+    _LADDER_CACHE[key] = out
+    return out
+
+
+def verify_with_transcript(srs: DorySRS, commitment, point: list[int],
+                           claimed_eval: int, proof: DoryProof,
+                           transcript) -> bool:
+    """REAL algebraic Dory verification of `open_with_transcript`.
+
+    The reference's verify is a placeholder that returns true
+    (dory.zig:1381-1396); this implements the actual Dory-Reduce verifier
+    (Lee 2020) for the square matrix layout (σ == ν): track
+    (C, D1, D2, E1, E2) through the β/α rounds using the χ/Δ SRS ladders,
+    fold the public s-vectors alongside, and check the final scalar-product
+    pairing equation
+        e(E1_fin, E2_fin) == C · e(γ⁻¹E1, h2) · e(h1, γE2) · e(h1, h2)^{s1·s2}.
+    """
+    sigma, nu = srs.sigma, srs.nu
+    if sigma != nu:
+        raise ValueError("algebraic Dory verification requires a square "
+                         "matrix layout (even num_vars); pad the polynomial")
+    num_rounds = max(nu, sigma)
+    num_cols = 1 << sigma
+
+    left_vec, right_vec = _split_point(point, sigma, nu)
+    s1 = (list(right_vec) + [0] * num_cols)[:num_cols]
+    s2 = (list(left_vec) + [0] * num_cols)[:num_cols]
+
+    lad = verifier_ladders(srs)
+    chi, d1r_lad, d2r_lad = lad["chi"], lad["d1r"], lad["d2r"]
+
+    # Initial state: the commitment binds D1; the claimed evaluation binds E2.
+    c_state = proof.vmv.c
+    d1_state = commitment
+    d2_state = proof.vmv.d2
+    e1_state = proof.vmv.e1
+    e2_state = _smul2(srs.g2_vec[0], claimed_eval)
+
+    transcript.append_gt(tw.fp12_to_bytes(proof.vmv.c))
+    transcript.append_gt(tw.fp12_to_bytes(proof.vmv.d2))
+    transcript.append_bytes(compress_g1(proof.vmv.e1))
+
+    if len(proof.first) != num_rounds or len(proof.second) != num_rounds:
+        return False
+
+    cur = num_cols
+    for fm, sm in zip(proof.first, proof.second):
+        n2 = cur // 2
+        transcript.append_gt(tw.fp12_to_bytes(fm.d1_left))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d1_right))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d2_left))
+        transcript.append_gt(tw.fp12_to_bytes(fm.d2_right))
+        transcript.append_bytes(compress_g1(fm.e1_beta))
+        transcript.append_bytes(compress_g2(fm.e2_beta))
+        beta = transcript.challenge_scalar()
+        beta_inv = pow(beta, -1, P) if beta else 1
+
+        # β-shift: v1 += βΓ1, v2 += β⁻¹Γ2
+        c_state = tw.fp12_mul(
+            tw.fp12_mul(c_state, tw.fp12_pow(d1_state, beta_inv)),
+            tw.fp12_mul(tw.fp12_pow(d2_state, beta), chi[cur]))
+        e1_state = G1.add(e1_state, _smul1(fm.e1_beta, beta))
+        e2_state = G2.add(e2_state, _smul2(fm.e2_beta, beta_inv))
+
+        transcript.append_gt(tw.fp12_to_bytes(sm.c_plus))
+        transcript.append_gt(tw.fp12_to_bytes(sm.c_minus))
+        transcript.append_bytes(compress_g1(sm.e1_plus))
+        transcript.append_bytes(compress_g1(sm.e1_minus))
+        transcript.append_bytes(compress_g2(sm.e2_plus))
+        transcript.append_bytes(compress_g2(sm.e2_minus))
+        alpha = transcript.challenge_scalar()
+        alpha_inv = pow(alpha, -1, P) if alpha else 1
+
+        # α-fold
+        c_state = tw.fp12_mul(
+            tw.fp12_mul(c_state, tw.fp12_pow(sm.c_plus, alpha)),
+            tw.fp12_pow(sm.c_minus, alpha_inv))
+        d1_state = tw.fp12_mul(
+            tw.fp12_pow(tw.fp12_mul(fm.d1_left, tw.fp12_pow(chi[n2], beta)), alpha),
+            tw.fp12_mul(fm.d1_right, tw.fp12_pow(d1r_lad[n2], beta)))
+        d2_state = tw.fp12_mul(
+            tw.fp12_pow(tw.fp12_mul(fm.d2_left, tw.fp12_pow(chi[n2], beta_inv)), alpha_inv),
+            tw.fp12_mul(fm.d2_right, tw.fp12_pow(d2r_lad[n2], beta_inv)))
+        e1_state = G1.add(G1.add(e1_state, _smul1(sm.e1_plus, alpha)),
+                          _smul1(sm.e1_minus, alpha_inv))
+        e2_state = G2.add(G2.add(e2_state, _smul2(sm.e2_plus, alpha)),
+                          _smul2(sm.e2_minus, alpha_inv))
+        s1 = [(alpha * s1[i] + s1[i + n2]) % P for i in range(n2)]
+        s2 = [(alpha_inv * s2[i] + s2[i + n2]) % P for i in range(n2)]
+        cur = n2
+
+    gamma = transcript.challenge_scalar()
+    gamma_inv = pow(gamma, -1, P) if gamma else 1
+
+    lhs = multi_pairing([(proof.final_e1, proof.final_e2)]
+                        if proof.final_e1 is not None and proof.final_e2 is not None
+                        else [])
+    pairs = []
+    t = _smul1(e1_state, gamma_inv)
+    if t is not None:
+        pairs.append((t, G2.G2_GEN))
+    t = _smul2(e2_state, gamma)
+    if t is not None:
+        pairs.append((G1.G1_GEN, t))
+    t = _smul1(G1.G1_GEN, s1[0] * s2[0])
+    if t is not None:
+        pairs.append((t, G2.G2_GEN))
+    rhs = tw.fp12_mul(c_state, multi_pairing(pairs))
+    return lhs == rhs
+
+
 def verify_structure(srs: DorySRS, commitment, proof: DoryProof, transcript) -> bool:
     """Replay the transcript and check message shape/counts. The algebraic
     Dory verification equations land in a later round (reference's verify is

@@ -59,12 +59,14 @@ class TraceStep:
 NOOP_STEP = TraceStep(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, False, 0, False, True)
 
 
-def pad_with_noop(steps: list[TraceStep]) -> list[TraceStep]:
-    """Min 256, else next_pow2(len+1) (reference tracer/mod.zig:82-121)."""
+def pad_with_noop(steps: list[TraceStep], min_pad: int = 256) -> list[TraceStep]:
+    """Min 256, else next_pow2(len+1) (reference tracer/mod.zig:82-121).
+    min_pad below 256 deviates from the reference and exists for tests that
+    exercise the device kernels at small compile-friendly shapes."""
     n = len(steps)
     if n and steps[-1].is_noop:
         return steps
-    padded = 256 if n < 256 else 1 << (n + 1 - 1).bit_length()
+    padded = min_pad if n < min_pad else 1 << (n + 1 - 1).bit_length()
     if padded < n + 1:
         padded <<= 1
     return steps + [NOOP_STEP] * (padded - n)

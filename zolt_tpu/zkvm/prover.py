@@ -68,10 +68,10 @@ def verify(proof: MultiStageProof, num_constraint_vars: int,
     return True
 
 
-def prove_program(emulator, log_k: int = 16) -> tuple[MultiStageProof, list]:
+def prove_program(emulator, log_k: int = 16, min_pad: int = 256) -> tuple[MultiStageProof, list]:
     """Convenience: pad the trace and prove from a finished emulator."""
     from ..vm import pad_with_noop
 
-    padded = pad_with_noop(list(emulator.trace))
+    padded = pad_with_noop(list(emulator.trace), min_pad=min_pad)
     proof = prove(padded, emulator.ram.trace, emulator.lookup_entries, log_k=log_k)
     return proof, padded
