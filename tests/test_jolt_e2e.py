@@ -74,3 +74,53 @@ def test_full_proof_file_byte_exact():
     assert mine.joint_opening_proof == golden.joint_opening_proof, \
         "joint Dory opening proof differs"
     assert mine.serialize_with_dory() == data
+
+
+# ---------------------------------------------------------------------------
+# Jolt-format verifier (beyond the reference: it has no in-repo verifier for
+# this format and relies on the external Rust Jolt verifier)
+# ---------------------------------------------------------------------------
+
+def test_golden_proof_verifies():
+    _, proof = _load()
+    from zolt_tpu.zkvm.jolt_verifier import verify_jolt
+
+    assert verify_jolt(proof, ELF)
+
+
+def test_verifier_rejects_tampered_round_poly():
+    _, proof = _load()
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+
+    proof.stage1_sumcheck.compressed_polys[3][0] += 1
+    with pytest.raises(VerifyError):
+        verify_jolt(proof, ELF)
+
+
+def test_verifier_rejects_tampered_opening_claim():
+    _, proof = _load()
+    from zolt_tpu.zkvm.jolt_types import OpeningId, SumcheckId, VirtualPolynomial
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+
+    oid = OpeningId.virtual(VirtualPolynomial.named("RamAddress"), SumcheckId.SpartanOuter)
+    proof.opening_claims.insert(oid, proof.opening_claims.get(oid) + 1)
+    with pytest.raises(VerifyError):
+        verify_jolt(proof, ELF)
+
+
+def test_verifier_rejects_unsatisfied_r1cs():
+    _, proof = _load()
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+
+    proof.stage1_uni_skip.uni_poly[5] += 1
+    with pytest.raises(VerifyError, match="vanish"):
+        verify_jolt(proof, ELF)
+
+
+def test_verifier_rejects_wrong_io_claim():
+    """Claiming different public outputs desyncs the preamble -> challenges."""
+    _, proof = _load()
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+
+    with pytest.raises(VerifyError):
+        verify_jolt(proof, ELF, outputs=b"\x01")

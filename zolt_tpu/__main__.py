@@ -144,6 +144,26 @@ def cmd_verify(args) -> int:
             return 1
         print(f"PASSED ({time.time() - t0:.2f}s, format=zolt-internal)")
         return 0
+    if args.elf:
+        from .zkvm.jolt_deserialize import deserialize_jolt_proof
+        from .zkvm.jolt_verifier import VerifyError, verify_jolt
+
+        t0 = time.time()
+        try:
+            for variant in ("with_dory", "canonical"):
+                try:
+                    proof = deserialize_jolt_proof(data, variant=variant)
+                    break
+                except Exception:
+                    proof = None
+            if proof is None:
+                raise VerifyError("unrecognized Jolt proof layout")
+            verify_jolt(proof, args.elf, inputs=bytes.fromhex(args.inputs or ""))
+        except VerifyError as e:
+            print(f"FAILED: {e}")
+            return 1
+        print(f"PASSED ({time.time() - t0:.2f}s, format=jolt-arkworks)")
+        return 0
     try:
         fmt = serialization.detect_format(data)
         proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
@@ -279,6 +299,9 @@ def main(argv=None) -> int:
 
     pv = sub.add_parser("verify", help="verify a proof")
     pv.add_argument("proof")
+    pv.add_argument("--elf", help="program ELF: verify a Jolt-format "
+                    "(arkworks) proof against this program")
+    pv.add_argument("--inputs", help="program input bytes (hex)")
     pv.set_defaults(fn=cmd_verify)
 
     ps = sub.add_parser("stats", help="proof statistics")

@@ -1,0 +1,527 @@
+"""Verifier for the Jolt-format (arkworks) 7-stage proof.
+
+The reference has NO in-repo verifier for this format — it relies on the
+external Rust Jolt verifier (scripts/build_verify.sh). This module implements
+the verifying twin of `convert_with_transcript`: replay the full Blake2b
+Fiat-Shamir transcript (preamble → GT commitments → τ → stages 1-7, absorbing
+opening claims from the proof), evolve every sumcheck claim through the
+compressed round polynomials via hint recovery, and enforce the algebraic
+output checks:
+
+  stage 1: UniSkip base-domain zeros (R1CS satisfaction binding), and the
+    final-claim identity
+        claim == α · K(τ_high, r0) · eq(τ_low, r) · Az(r) · Bz(r)
+    with Az/Bz reconstructed from the 36 absorbed input claims through the
+    19 uniform-constraint linear combinations (the verifier-side matrix
+    evaluation Jolt performs).
+  stage 2 UniSkip: s₂(yᵢ) == K(τ_high₂, yᵢ)·product_claimᵢ on the base
+    domain, tying the product-virtual polynomial to stage-1's claims.
+  stages 2-4 batches: transcript replay + claim evolution through every
+    round + input-claim reconstruction from earlier stages' opening claims.
+  stages 5-7: zero proofs with zero claims (matching the reference's
+    placeholder schedule, proof_converter.zig:2629-2677).
+
+Claim-map entries the verifier recomputes (uni-skip claims, stage-2/3/4
+input claims) are cross-checked against the proof's opening_claims; a
+mismatch anywhere desynchronizes the transcript and fails the final checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..field.params import FR
+from ..poly import unipoly
+from ..poly.special import GruenSplitEq
+from ..r1cs import constraints as rc
+from ..r1cs import inputs as ri
+from ..r1cs import uniskip as us
+from ..transcript import Blake2bTranscript
+from .jolt_types import (
+    CommittedPolynomial,
+    JoltProof,
+    OpeningId,
+    SumcheckId,
+    VirtualPolynomial,
+)
+from .preamble import fiat_shamir_preamble
+from .proof_converter import R1CS_VIRTUAL_POLYS
+from .stage2_batch import eval_from_hint
+from .stage4 import LOG_K as REGS_LOG_K, compute_initial_ram_eval
+from .streaming_outer import FIRST_GROUP_SIZE, SECOND_GROUP_SIZE, _witness_az_bz
+
+P = FR.p
+
+V = VirtualPolynomial.named
+CP = CommittedPolynomial
+
+
+class VerifyError(AssertionError):
+    pass
+
+
+def _check(cond: bool, msg: str) -> None:
+    if not cond:
+        raise VerifyError(msg)
+
+
+def _get(claims, oid: OpeningId, what: str) -> int:
+    v = claims.get(oid)
+    _check(v is not None, f"missing opening claim: {what}")
+    return v
+
+
+@dataclass
+class VerifyContext:
+    proof: JoltProof
+    claims: object
+    transcript: Blake2bTranscript
+    n_cycle_vars: int
+    log_ram_k: int
+    tau: list[int] = None
+
+
+def _replay_rounds(transcript, compressed_polys, claim: int) -> tuple[int, list[int]]:
+    """Absorb each compressed round poly, derive the challenge, evolve the
+    claim via hint recovery. Returns (final_claim, challenges)."""
+    challenges = []
+    for compressed in compressed_polys:
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        challenges.append(r)
+        claim = eval_from_hint(compressed, claim, r)
+    return claim, challenges
+
+
+def _absorb_uniskip(transcript, coeffs: list[int]) -> int:
+    transcript.append_message(b"UncompressedUniPoly_begin")
+    for c in coeffs:
+        transcript.append_scalar(c)
+    transcript.append_message(b"UncompressedUniPoly_end")
+    return transcript.challenge_scalar()
+
+
+# ---------------------------------------------------------------------------
+# Stage 1
+# ---------------------------------------------------------------------------
+
+def _verify_stage1(ctx: VerifyContext) -> list[int]:
+    """Returns the stage-1 challenges. Enforces UniSkip base-domain zeros and
+    the final Az·Bz output identity."""
+    proof, tp = ctx.proof, ctx.transcript
+    s1 = proof.stage1_uni_skip.uni_poly
+    _check(len(s1) == us.OUTER_NUM_COEFFS, "stage1 uniskip coeff count")
+
+    # R1CS satisfaction binding: s1 vanishes on the whole base domain.
+    for y in range(us.OUTER_BASE_LEFT, us.OUTER_BASE_LEFT + us.OUTER_DOMAIN):
+        _check(unipoly.horner_eval(s1, y % P) == 0,
+               f"stage1 uniskip poly does not vanish at base point {y}")
+
+    r0 = _absorb_uniskip(tp, s1)
+    uni_skip_claim = unipoly.horner_eval(s1, r0)
+    _check(_get(ctx.claims, OpeningId.virtual(V("UnivariateSkip"), SumcheckId.SpartanOuter),
+                "UnivariateSkip@SpartanOuter") == uni_skip_claim,
+           "stage1 uniskip claim mismatch")
+
+    tp.append_scalar(uni_skip_claim)  # cache_openings
+    tp.append_scalar(uni_skip_claim)  # batched input claim
+    batching_coeff = tp.challenge_scalar_full()
+
+    polys = proof.stage1_sumcheck.compressed_polys
+    _check(len(polys) == ctx.n_cycle_vars + 1, "stage1 round count")
+    claim = batching_coeff * uni_skip_claim % P
+    claim, challenges = _replay_rounds(tp, polys, claim)
+
+    # 36 input claims, absorbed in Jolt order.
+    input_claims = []
+    for poly in R1CS_VIRTUAL_POLYS:
+        c = _get(ctx.claims, OpeningId.virtual(poly, SumcheckId.SpartanOuter),
+                 f"{poly}@SpartanOuter")
+        input_claims.append(c)
+        tp.append_scalar(c)
+
+    # Output check: claim == α·K(τ_high,r0)·eq(τ_low,r)·Az(r)·Bz(r)
+    tau = ctx.tau
+    split_eq = GruenSplitEq(tau[:-1],
+                            scaling_factor=us.lagrange_kernel(us.OUTER_DOMAIN, r0, tau[-1]))
+    for r in challenges:
+        split_eq.bind(r)
+    eq_final = split_eq.current_scalar
+
+    w = list(input_claims) + [0] * (ri.NUM_INPUTS - len(input_claims))
+    lag = us.lagrange_evals(us.OUTER_DOMAIN, r0)
+    az_g, bz_g = [], []
+    for group in (0, 1):
+        a, b = _witness_az_bz(w, group)
+        gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
+        az_g.append(sum(lag[t] * a[t] for t in range(gsize)) % P)
+        bz_g.append(sum(lag[t] * b[t] for t in range(gsize)) % P)
+    r_group = challenges[0]
+    az_final = (az_g[0] + r_group * (az_g[1] - az_g[0])) % P
+    bz_final = (bz_g[0] + r_group * (bz_g[1] - bz_g[0])) % P
+
+    expected = batching_coeff * eq_final % P * az_final % P * bz_final % P
+    _check(claim == expected, "stage1 final output check failed")
+    return challenges
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 UniSkip
+# ---------------------------------------------------------------------------
+
+PRODUCT_CLAIM_NAMES = ["Product", "WriteLookupOutputToRD", "WritePCtoRD",
+                       "ShouldBranch", "ShouldJump"]
+
+
+def _verify_stage2_uniskip(ctx: VerifyContext) -> tuple[int, int, int]:
+    """Returns (tau_high2, r0_2, uni_skip_claim_2)."""
+    proof, tp = ctx.proof, ctx.transcript
+    tau_high2 = tp.challenge_scalar()
+    s2 = proof.stage2_uni_skip.uni_poly
+    _check(len(s2) == us.PV_NUM_COEFFS, "stage2 uniskip coeff count")
+
+    base_claims = [
+        _get(ctx.claims, OpeningId.virtual(V(n), SumcheckId.SpartanOuter),
+             f"{n}@SpartanOuter")
+        for n in PRODUCT_CLAIM_NAMES]
+    for i, y in enumerate(range(us.PV_BASE_LEFT, us.PV_BASE_LEFT + us.PV_DOMAIN)):
+        expected = us.lagrange_kernel(us.PV_DOMAIN, y % P, tau_high2) * base_claims[i] % P
+        _check(unipoly.horner_eval(s2, y % P) == expected,
+               f"stage2 uniskip base-domain check failed at {y}")
+
+    r0_2 = _absorb_uniskip(tp, s2)
+    claim2 = unipoly.horner_eval(s2, r0_2)
+    _check(_get(ctx.claims,
+                OpeningId.virtual(V("UnivariateSkip"), SumcheckId.SpartanProductVirtualization),
+                "UnivariateSkip@PV") == claim2, "stage2 uniskip claim mismatch")
+    tp.append_scalar(claim2)
+    return tau_high2, r0_2, claim2
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 batch
+# ---------------------------------------------------------------------------
+
+STAGE2_CACHE_ORDER_FACTORS = [
+    ("LeftInstructionInput", 0), ("RightInstructionInput", 0),
+    ("InstructionFlags", 6), ("OpFlags", 6), ("OpFlags", 5),
+    ("LookupOutput", 0), ("InstructionFlags", 4), ("NextIsNoop", 0),
+]
+
+
+def _stage2_factor_oid(name: str, idx: int) -> OpeningId:
+    VP = VirtualPolynomial
+    pv = SumcheckId.SpartanProductVirtualization
+    if name in ("InstructionFlags", "OpFlags"):
+        return OpeningId.virtual(VP(VP.NAMES[name], idx), pv)
+    return OpeningId.virtual(V(name), pv)
+
+
+def _verify_stage2_batch(ctx: VerifyContext, uni_skip_claim_2: int) -> dict:
+    proof, tp, claims = ctx.proof, ctx.transcript, ctx.claims
+    n_cycle, log_k = ctx.n_cycle_vars, ctx.log_ram_k
+    max_rounds = log_k + n_cycle
+
+    so = SumcheckId.SpartanOuter
+    ram_addr = _get(claims, OpeningId.virtual(V("RamAddress"), so), "RamAddress")
+    ram_rv = _get(claims, OpeningId.virtual(V("RamReadValue"), so), "RamReadValue")
+    ram_wv = _get(claims, OpeningId.virtual(V("RamWriteValue"), so), "RamWriteValue")
+    lookup_out = _get(claims, OpeningId.virtual(V("LookupOutput"), so), "LookupOutput")
+    left_op = _get(claims, OpeningId.virtual(V("LeftLookupOperand"), so), "LeftLookupOperand")
+    right_op = _get(claims, OpeningId.virtual(V("RightLookupOperand"), so), "RightLookupOperand")
+
+    gamma_rwc = tp.challenge_scalar_full()
+    r_address = [tp.challenge_scalar() for _ in range(log_k)]
+    gamma_instr = tp.challenge_scalar_full()
+
+    input_claims = [
+        uni_skip_claim_2 % P,
+        ram_addr,
+        (ram_rv + gamma_rwc * ram_wv) % P,
+        0,
+        (lookup_out + gamma_instr * left_op
+         + gamma_instr * gamma_instr % P * right_op) % P,
+    ]
+    rounds_per = [n_cycle, log_k, log_k + n_cycle, log_k, n_cycle]
+    for c in input_claims:
+        tp.append_scalar(c)
+    alphas = [tp.challenge_scalar_full() for _ in range(5)]
+
+    batched = 0
+    for i in range(5):
+        batched = (batched
+                   + (input_claims[i] << (max_rounds - rounds_per[i])) % P * alphas[i]) % P
+
+    polys = proof.stage2_sumcheck.compressed_polys
+    _check(len(polys) == max_rounds, "stage2 round count")
+    final_claim, challenges = _replay_rounds(tp, polys, batched)
+
+    # cache_openings absorption in prover order, values from the claim map.
+    pv = SumcheckId.SpartanProductVirtualization
+    factor_evals = [_get(claims, _stage2_factor_oid(n, i), f"factor {n}")
+                    for n, i in STAGE2_CACHE_ORDER_FACTORS]
+    raf_final = _get(claims, OpeningId.virtual(V("RamRa"), SumcheckId.RamRafEvaluation), "RamRa@RAF")
+    rwc_val = _get(claims, OpeningId.virtual(V("RamVal"), SumcheckId.RamReadWriteChecking), "RamVal@RWC")
+    rwc_ra = _get(claims, OpeningId.virtual(V("RamRa"), SumcheckId.RamReadWriteChecking), "RamRa@RWC")
+    rwc_inc = _get(claims, OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamReadWriteChecking), "RamInc@RWC")
+    out_vf = _get(claims, OpeningId.virtual(V("RamValFinal"), SumcheckId.RamOutputCheck), "ValFinal@Output")
+    out_vi = _get(claims, OpeningId.virtual(V("RamValInit"), SumcheckId.RamOutputCheck), "ValInit@Output")
+    icr = SumcheckId.InstructionClaimReduction
+    instr_lo = _get(claims, OpeningId.virtual(V("LookupOutput"), icr), "LookupOutput@ICR")
+    instr_left = _get(claims, OpeningId.virtual(V("LeftLookupOperand"), icr), "Left@ICR")
+    instr_right = _get(claims, OpeningId.virtual(V("RightLookupOperand"), icr), "Right@ICR")
+    for v_ in (factor_evals + [raf_final, rwc_val, rwc_ra, rwc_inc,
+                               out_vf, out_vi, instr_lo, instr_left, instr_right]):
+        tp.append_scalar(v_)
+
+    return {
+        "challenges": challenges, "final_claim": final_claim, "alphas": alphas,
+        "gamma_rwc": gamma_rwc, "gamma_instr": gamma_instr, "r_address": r_address,
+        "factor_evals": factor_evals, "raf_final_claim": raf_final,
+        "rwc_val_claim": rwc_val, "rwc_ra_claim": rwc_ra, "rwc_inc_claim": rwc_inc,
+        "output_val_final_claim": out_vf, "output_val_init_claim": out_vi,
+        "instr_claims": (instr_lo, instr_left, instr_right),
+        "input_claims": input_claims, "rounds_per": rounds_per,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stage 3
+# ---------------------------------------------------------------------------
+
+STAGE3_CACHE_ORDER = [
+    ("UnexpandedPC", "SpartanShift"), ("PC", "SpartanShift"),
+    ("OpFlags:7", "SpartanShift"), ("OpFlags:12", "SpartanShift"),
+    ("InstructionFlags:5", "SpartanShift"),
+    ("InstructionFlags:2", "InstructionInputVirtualization"),
+    ("Rs1Value", "InstructionInputVirtualization"),
+    ("InstructionFlags:0", "InstructionInputVirtualization"),
+    ("UnexpandedPC", "InstructionInputVirtualization"),
+    ("InstructionFlags:3", "InstructionInputVirtualization"),
+    ("Rs2Value", "InstructionInputVirtualization"),
+    ("InstructionFlags:1", "InstructionInputVirtualization"),
+    ("Imm", "InstructionInputVirtualization"),
+    ("RdWriteValue", "RegistersClaimReduction"),
+    ("Rs1Value", "RegistersClaimReduction"),
+    ("Rs2Value", "RegistersClaimReduction"),
+]
+
+
+def _stage3_oid(name: str, sid_name: str) -> OpeningId:
+    VP = VirtualPolynomial
+    sid = getattr(SumcheckId, sid_name)
+    if ":" in name:
+        base, idx = name.split(":")
+        return OpeningId.virtual(VP(VP.NAMES[base], int(idx)), sid)
+    return OpeningId.virtual(V(name), sid)
+
+
+def _verify_stage3(ctx: VerifyContext, s2: dict) -> dict:
+    proof, tp, claims = ctx.proof, ctx.transcript, ctx.claims
+    n_cycle = ctx.n_cycle_vars
+    so = SumcheckId.SpartanOuter
+    pv = SumcheckId.SpartanProductVirtualization
+
+    g_shift = tp.challenge_scalar_full()
+    gp = [1]
+    for _ in range(4):
+        gp.append(gp[-1] * g_shift % P)
+    g_instr = tp.challenge_scalar_full()
+    g_instr2 = g_instr * g_instr % P
+    g_reg = tp.challenge_scalar_full()
+    g_reg2 = g_reg * g_reg % P
+
+    def c(name, sid, idx=0):
+        if name in ("NextIsNoop",):
+            return _get(claims, OpeningId.virtual(V(name), pv), name)
+        return _get(claims, OpeningId.virtual(V(name), sid), name)
+
+    shift_input = (c("NextUnexpandedPC", so) + gp[1] * c("NextPC", so)
+                   + gp[2] * c("NextIsVirtual", so)
+                   + gp[3] * c("NextIsFirstInSequence", so)
+                   + gp[4] * (1 - c("NextIsNoop", pv))) % P
+    instr_input = ((c("RightInstructionInput", so) + g_instr * c("LeftInstructionInput", so))
+                   + g_instr2 * (_get(claims, _stage2_factor_oid("RightInstructionInput", 0), "ri@pv")
+                                 + g_instr * _get(claims, _stage2_factor_oid("LeftInstructionInput", 0), "li@pv"))) % P
+    reg_input = (c("RdWriteValue", so) + g_reg * c("Rs1Value", so)
+                 + g_reg2 * c("Rs2Value", so)) % P
+
+    tp.append_scalar(shift_input)
+    tp.append_scalar(instr_input)
+    tp.append_scalar(reg_input)
+    alphas = [tp.challenge_scalar_full() for _ in range(3)]
+
+    batched = sum(a * ic for a, ic in
+                  zip(alphas, (shift_input, instr_input, reg_input))) % P
+    polys = proof.stage3_sumcheck.compressed_polys
+    _check(len(polys) == n_cycle, "stage3 round count")
+    final_claim, challenges = _replay_rounds(tp, polys, batched)
+
+    vals = [_get(claims, _stage3_oid(n, s), f"{n}@{s}") for n, s in STAGE3_CACHE_ORDER]
+    for v_ in vals:
+        tp.append_scalar(v_)
+    reg_claims = {"rd_write_value": vals[13], "rs1_value": vals[14], "rs2_value": vals[15]}
+    return {"challenges": challenges, "final_claim": final_claim,
+            "reg_claims": reg_claims, "alphas": alphas}
+
+
+# ---------------------------------------------------------------------------
+# Stage 4
+# ---------------------------------------------------------------------------
+
+def _verify_stage4(ctx: VerifyContext, s2: dict, s3: dict, initial_ram: dict,
+                   start_address: int) -> dict:
+    proof, tp, claims = ctx.proof, ctx.transcript, ctx.claims
+    n_cycle, log_k = ctx.n_cycle_vars, ctx.log_ram_k
+    max_rounds = REGS_LOG_K + n_cycle
+
+    gamma = tp.challenge_scalar_full()
+
+    phase1 = n_cycle // 2
+    phase2 = log_k
+    phase3_cycle_len = n_cycle - phase1
+    phase3_addr_len = log_k - phase2
+    ch2 = s2["challenges"]
+    r_address_be = [0] * log_k
+    for i in range(phase2):
+        src = phase1 + i
+        if src < len(ch2):
+            dest = phase3_addr_len + (phase2 - 1 - i)
+            if dest < log_k:
+                r_address_be[dest] = ch2[src]
+    p3a_start = phase1 + phase2 + phase3_cycle_len
+    for i in range(phase3_addr_len):
+        src = p3a_start + i
+        if src < len(ch2):
+            r_address_be[phase3_addr_len - 1 - i] = ch2[src]
+
+    init_eval_val_eval = compute_initial_ram_eval(
+        initial_ram, start_address, r_address_be, log_k)
+    out_start = max(0, len(ch2) - log_k)
+    r_address_output = [0] * log_k
+    for i in range(log_k):
+        src = out_start + i
+        if src < len(ch2):
+            r_address_output[log_k - 1 - i] = ch2[src]
+    init_eval_val_final = compute_initial_ram_eval(
+        initial_ram, start_address, r_address_output, log_k)
+
+    rcl = s3["reg_claims"]
+    input_regs = (rcl["rd_write_value"]
+                  + gamma * (rcl["rs1_value"] + gamma * rcl["rs2_value"])) % P
+    input_val_eval = (s2["rwc_val_claim"] - init_eval_val_eval) % P
+    input_val_final = (s2["output_val_final_claim"] - init_eval_val_final) % P
+
+    tp.append_scalar(input_regs)
+    tp.append_scalar(input_val_eval)
+    tp.append_scalar(input_val_final)
+    alphas = [tp.challenge_scalar_full() for _ in range(3)]
+
+    rounds_per = [max_rounds, n_cycle, n_cycle]
+    batched = 0
+    for i, ic in enumerate((input_regs, input_val_eval, input_val_final)):
+        batched = (batched + (ic << (max_rounds - rounds_per[i])) % P * alphas[i]) % P
+
+    polys = proof.stage4_sumcheck.compressed_polys
+    _check(len(polys) == max_rounds, "stage4 round count")
+    final_claim, challenges = _replay_rounds(tp, polys, batched)
+
+    rrwc = SumcheckId.RegistersReadWriteChecking
+    order = [
+        OpeningId.virtual(V("RegistersVal"), rrwc),
+        OpeningId.virtual(V("Rs1Ra"), rrwc),
+        OpeningId.virtual(V("Rs2Ra"), rrwc),
+        OpeningId.virtual(V("RdWa"), rrwc),
+        OpeningId.committed(CP(CP.RD_INC), rrwc),
+        OpeningId.virtual(V("RamRa"), SumcheckId.RamValEvaluation),
+        OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamValEvaluation),
+        OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamValFinalEvaluation),
+        OpeningId.virtual(V("RamRa"), SumcheckId.RamValFinalEvaluation),
+    ]
+    for oid in order:
+        tp.append_scalar(_get(claims, oid, "stage4 cache opening"))
+    return {"challenges": challenges, "final_claim": final_claim}
+
+
+# ---------------------------------------------------------------------------
+# Stages 5-7 (zero-proof schedule)
+# ---------------------------------------------------------------------------
+
+def _verify_zero_stages(ctx: VerifyContext) -> None:
+    proof, claims = ctx.proof, ctx.claims
+    for name, sc, rounds in (("stage5", proof.stage5_sumcheck, ctx.n_cycle_vars),
+                             ("stage6", proof.stage6_sumcheck, ctx.n_cycle_vars),
+                             ("stage7", proof.stage7_sumcheck, 4)):
+        _check(len(sc.compressed_polys) == rounds, f"{name} round count")
+        for cp in sc.compressed_polys:
+            _check(all(c == 0 for c in cp), f"{name} must be a zero proof")
+    zero_ids = [
+        OpeningId.virtual(V("RdWa"), SumcheckId.RegistersValEvaluation),
+        OpeningId.committed(CP(CP.RD_INC), SumcheckId.RegistersValEvaluation),
+        OpeningId.virtual(V("RamRa"), SumcheckId.RamRaClaimReduction),
+        OpeningId.virtual(V("RamHammingWeight"), SumcheckId.Booleanity),
+        OpeningId.virtual(V("RamHammingWeight"), SumcheckId.RamHammingBooleanity),
+        OpeningId.committed(CP(CP.RD_INC), SumcheckId.IncClaimReduction),
+        OpeningId.committed(CP(CP.RAM_INC), SumcheckId.IncClaimReduction),
+        OpeningId.virtual(V("RamHammingWeight"), SumcheckId.HammingWeightClaimReduction),
+    ]
+    for oid in zero_ids:
+        v_ = claims.get(oid)
+        _check(v_ is None or v_ == 0, "stage5-7 claims must be zero")
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def verify_jolt(proof: JoltProof, elf_path: str, *,
+                inputs: bytes = b"", outputs: bytes = b"", panic: bool = False,
+                memory_size: int = 32768,
+                max_input_size: int = 4096, max_output_size: int = 4096) -> bool:
+    """Verify a Jolt-format proof against the public program + I/O claim.
+
+    Raises VerifyError with a description on failure; returns True on success.
+    """
+    from ..vm import Emulator
+    from ..vm import elf as elf_mod
+    from ..vm.layout import MemoryConfig
+
+    trace_length = proof.trace_length
+    _check(trace_length and (trace_length & (trace_length - 1)) == 0,
+           "trace_length must be a power of two")
+    n_cycle_vars = trace_length.bit_length() - 1
+    log_ram_k = max(1, proof.ram_k).bit_length() - 1
+
+    # Rebuild the initial RAM word map (program image at its load address) —
+    # the verifier-side preprocessing (reference preprocessing.zig RAM section).
+    parsed = elf_mod.load_file(elf_path)
+    base, image = parsed.flat_image()
+    emu = Emulator(MemoryConfig(program_size=max(1024, len(image))))
+    emu.load_program_at(bytes(image), base)
+    if inputs:
+        emu.set_inputs(inputs)
+    initial_ram = dict(emu.ram.memory)
+    start_address = emu.device.layout.lowest_address()
+
+    tp = Blake2bTranscript(b"Jolt")
+    fiat_shamir_preamble(
+        tp, max_input_size=max_input_size, max_output_size=max_output_size,
+        memory_size=memory_size, inputs=inputs, outputs=outputs, panic=panic,
+        ram_k=proof.ram_k, trace_length=trace_length)
+    for cbytes in proof.commitments:
+        tp.append_gt(cbytes)
+    tau = [tp.challenge_scalar() for _ in range(n_cycle_vars + 2)]
+
+    ctx = VerifyContext(proof=proof, claims=proof.opening_claims, transcript=tp,
+                        n_cycle_vars=n_cycle_vars, log_ram_k=log_ram_k, tau=tau)
+
+    _verify_stage1(ctx)
+    tau_high2, r0_2, claim2 = _verify_stage2_uniskip(ctx)
+    s2 = _verify_stage2_batch(ctx, claim2)
+    s3 = _verify_stage3(ctx, s2)
+    _verify_stage4(ctx, s2, s3, initial_ram, start_address)
+    _verify_zero_stages(ctx)
+    return True
