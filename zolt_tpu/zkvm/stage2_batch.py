@@ -837,6 +837,12 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
             instr.bind(r)
 
     res.final_claim = batched_claim
+    # per-instance final claims (consumed by the Jolt-format verifier's
+    # output-check development/tests)
+    res.instance_final_claims = [
+        product.current_claim, raf.current_claim if raf else 0,
+        rwc.current_claim, output.current_claim,
+        instr.current_claim if instr else 0]
 
     # -- post-batch opening claims (cache_openings) -------------------------
     # 8 product-factor MLE evals at reversed(last n_cycle challenges)
