@@ -107,10 +107,16 @@ def _jac_add_affine2(X1, Y1, Z1, x2, y2):
 
 
 def scalar_mul(pt: Point, k: int) -> Point:
-    """Jacobian double-and-add; one Fp2 inversion at the end."""
+    """Jacobian double-and-add; one Fp2 inversion at the end. Routed
+    through the native BN254 runtime when available."""
     k %= FR.p
     if pt is None or k == 0:
         return None
+    from ..native import g2_msm_native
+
+    out = g2_msm_native([pt], [k])
+    if out is not None:
+        return out
     x, y = pt
     X, Y, Z = _F2_ZERO, _F2_ONE, _F2_ZERO
     for bit in bin(k)[2:]:

@@ -93,10 +93,16 @@ def _jac_add_affine(X1, Y1, Z1, x2, y2):
 
 
 def scalar_mul(pt: Point, k: int) -> Point:
-    """Jacobian double-and-add; one inversion at the end."""
+    """Jacobian double-and-add; one inversion at the end. Routed through
+    the native BN254 runtime when available."""
     k %= FR.p
     if pt is None or k == 0:
         return None
+    from ..native import g1_msm_native
+
+    out = g1_msm_native([pt], [k])
+    if out is not None:
+        return out
     x, y = pt
     X, Y, Z = 0, 1, 0
     for bit in bin(k)[2:]:
@@ -107,6 +113,12 @@ def scalar_mul(pt: Point, k: int) -> Point:
 
 
 def msm(points: list[Point], scalars: list[int]) -> Point:
+    from ..native import g1_msm_native
+
+    if any(s % FR.p for s in scalars):
+        out = g1_msm_native(points, scalars)
+        if out is not None:
+            return out
     acc: Point = None
     for pt, s in zip(points, scalars):
         acc = add(acc, scalar_mul(pt, s))

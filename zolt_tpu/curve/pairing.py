@@ -129,14 +129,25 @@ def final_exponentiation(f):
     m = tw.fp12_mul
 
     def exp_neg_x(g):
-        return tw.fp12_conj(tw.fp12_pow(g, BN_X))
+        # g is in the cyclotomic subgroup after the easy part: use
+        # Granger-Scott squaring in the square-and-multiply ladder.
+        acc = tw.FP12_ONE
+        base = g
+        e = BN_X
+        while e:
+            if e & 1:
+                acc = m(acc, base)
+            e >>= 1
+            if e:
+                base = tw.fp12_cyclotomic_sqr(base)
+        return tw.fp12_conj(acc)
 
     y0 = exp_neg_x(r)
-    y1 = tw.fp12_sqr(y0)
-    y2 = tw.fp12_sqr(y1)
+    y1 = tw.fp12_cyclotomic_sqr(y0)
+    y2 = tw.fp12_cyclotomic_sqr(y1)
     y3 = m(y2, y1)
     y4 = exp_neg_x(y3)
-    y5 = tw.fp12_sqr(y4)
+    y5 = tw.fp12_cyclotomic_sqr(y4)
     y6 = exp_neg_x(y5)
     y3 = tw.fp12_conj(y3)
     y6 = tw.fp12_conj(y6)
@@ -289,7 +300,15 @@ def pairing(p_g1, q_g2):
 
 
 def multi_pairing(pairs):
-    """Π e(P_i, Q_i) with a single shared final exponentiation."""
+    """Π e(P_i, Q_i) with a single shared final exponentiation. Routed
+    through the native BN254 runtime when available (zolt_tpu/native,
+    differentially tested against this Python path)."""
+    pairs = list(pairs)
+    from ..native import multi_pairing_native
+
+    out = multi_pairing_native(pairs)
+    if out is not None:
+        return out
     f = tw.FP12_ONE
     for p_g1, q_g2 in pairs:
         if p_g1 is None or q_g2 is None:

@@ -105,19 +105,63 @@ def fp6_neg(x):
 
 
 def fp6_mul(x, y):
-    a0, a1, a2 = x
-    b0, b1, b2 = y
-    t0 = fp2_mul(a0, b0)
-    t1 = fp2_mul(a1, b1)
-    t2 = fp2_mul(a2, b2)
-    c0 = fp2_add(t0, fp2_mul_by_xi(fp2_sub(fp2_mul(fp2_add(a1, a2), fp2_add(b1, b2)), fp2_add(t1, t2))))
-    c1 = fp2_add(fp2_sub(fp2_mul(fp2_add(a0, a1), fp2_add(b0, b1)), fp2_add(t0, t1)), fp2_mul_by_xi(t2))
-    c2 = fp2_add(fp2_sub(fp2_mul(fp2_add(a0, a2), fp2_add(b0, b2)), fp2_add(t0, t2)), t1)
+    """Toom-style Fp6 mul with the Fp2 layer inlined (hot path: every
+    fp12_mul makes three of these; avoiding tuple/call churn matters)."""
+    (a0r, a0i), (a1r, a1i), (a2r, a2i) = x
+    (b0r, b0i), (b1r, b1i), (b2r, b2i) = y
+    # t_k = a_k * b_k in Fp2 (Karatsuba: 3 int muls each)
+    v = a0r * b0r
+    w = a0i * b0i
+    t0r, t0i = (v - w) % P, ((a0r + a0i) * (b0r + b0i) - v - w) % P
+    v = a1r * b1r
+    w = a1i * b1i
+    t1r, t1i = (v - w) % P, ((a1r + a1i) * (b1r + b1i) - v - w) % P
+    v = a2r * b2r
+    w = a2i * b2i
+    t2r, t2i = (v - w) % P, ((a2r + a2i) * (b2r + b2i) - v - w) % P
+    # c0 = t0 + ξ·((a1+a2)(b1+b2) − t1 − t2)
+    sr, si = a1r + a2r, a1i + a2i
+    ur, ui = b1r + b2r, b1i + b2i
+    v = sr * ur
+    w = si * ui
+    mr, mi = (v - w - t1r - t2r) % P, ((sr + si) * (ur + ui) - v - w - t1i - t2i) % P
+    c0 = ((t0r + 9 * mr - mi) % P, (t0i + mr + 9 * mi) % P)
+    # c1 = (a0+a1)(b0+b1) − t0 − t1 + ξ·t2
+    sr, si = a0r + a1r, a0i + a1i
+    ur, ui = b0r + b1r, b0i + b1i
+    v = sr * ur
+    w = si * ui
+    c1 = ((v - w - t0r - t1r + 9 * t2r - t2i) % P,
+          ((sr + si) * (ur + ui) - v - w - t0i - t1i + t2r + 9 * t2i) % P)
+    # c2 = (a0+a2)(b0+b2) − t0 − t2 + t1
+    sr, si = a0r + a2r, a0i + a2i
+    ur, ui = b0r + b2r, b0i + b2i
+    v = sr * ur
+    w = si * ui
+    c2 = ((v - w - t0r - t2r + t1r) % P,
+          ((sr + si) * (ur + ui) - v - w - t0i - t2i + t1i) % P)
     return (c0, c1, c2)
 
 
 def fp6_sqr(x):
-    return fp6_mul(x, x)
+    """CH-SQR2: 2 Fp2 muls + 3 Fp2 squarings, Fp2 layer inlined."""
+    (a0r, a0i), (a1r, a1i), (a2r, a2i) = x
+    # s0 = a0², s1 = 2·a0·a1, s2 = (a0 − a1 + a2)², s3 = 2·a1·a2, s4 = a2²
+    s0r, s0i = (a0r + a0i) * (a0r - a0i) % P, 2 * a0r * a0i % P
+    v = a0r * a1r
+    w = a0i * a1i
+    s1r, s1i = 2 * (v - w) % P, 2 * ((a0r + a0i) * (a1r + a1i) - v - w) % P
+    dr, di = a0r - a1r + a2r, a0i - a1i + a2i
+    s2r, s2i = (dr + di) * (dr - di) % P, 2 * dr * di % P
+    v = a1r * a2r
+    w = a1i * a2i
+    s3r, s3i = 2 * (v - w) % P, 2 * ((a1r + a1i) * (a2r + a2i) - v - w) % P
+    s4r, s4i = (a2r + a2i) * (a2r - a2i) % P, 2 * a2r * a2i % P
+    # c0 = s0 + ξ·s3 ; c1 = s1 + ξ·s4 ; c2 = s1 + s2 + s3 − s0 − s4
+    c0 = ((s0r + 9 * s3r - s3i) % P, (s0i + s3r + 9 * s3i) % P)
+    c1 = ((s1r + 9 * s4r - s4i) % P, (s1i + s4r + 9 * s4i) % P)
+    c2 = ((s1r + s2r + s3r - s0r - s4r) % P, (s1i + s2i + s3i - s0i - s4i) % P)
+    return (c0, c1, c2)
 
 
 def fp6_mul_by_v(x):
@@ -166,7 +210,45 @@ def fp12_mul(x, y):
 
 
 def fp12_sqr(x):
-    return fp12_mul(x, x)
+    """Complex squaring: c0 = (a0+a1)(a0+v·a1) − t − v·t, c1 = 2t with
+    t = a0·a1 — 2 Fp6 muls instead of fp12_mul's 3."""
+    a0, a1 = x
+    t = fp6_mul(a0, a1)
+    u = fp6_mul(fp6_add(a0, a1), fp6_add(a0, fp6_mul_by_v(a1)))
+    c0 = fp6_sub(fp6_sub(u, t), fp6_mul_by_v(t))
+    c1 = fp6_add(t, t)
+    return (c0, c1)
+
+
+def fp12_cyclotomic_sqr(x):
+    """Granger–Scott squaring for elements of the cyclotomic subgroup
+    (unit-norm results of the easy part of final exponentiation): 3 Fp4
+    squarings ≈ 9 Fp2 muls, ~2× faster than generic fp12_sqr. Valid only
+    when x^(p^4 − p^2 + 1) == 1."""
+    ((x00, x01, x02), (x10, x11, x12)) = x
+    # Fp4 squaring: (a,b) -> (a² + ξ·b², 2ab)
+    def fp4_sqr(a, b):
+        a2 = fp2_sqr(a)
+        b2 = fp2_sqr(b)
+        return (fp2_add(a2, fp2_mul_by_xi(b2)),
+                fp2_sub(fp2_sub(fp2_sqr(fp2_add(a, b)), a2), b2))
+    t0, t1 = fp4_sqr(x00, x11)
+    t2, t3 = fp4_sqr(x10, x02)
+    t4, t5 = fp4_sqr(x01, x12)
+    t5 = fp2_mul_by_xi(t5)
+
+    def _c(t, xv, plus):
+        if plus:
+            return fp2_add(fp2_scalar(fp2_sub(t, xv), 2), t)
+        return fp2_add(fp2_scalar(fp2_add(t, xv), 2), t)
+
+    c00 = _c(t0, x00, True)
+    c01 = _c(t2, x01, True)
+    c02 = _c(t4, x02, True)
+    c10 = _c(t5, x10, False)
+    c11 = _c(t1, x11, False)
+    c12 = _c(t3, x12, False)
+    return ((c00, c01, c02), (c10, c11, c12))
 
 
 def fp12_conj(x):

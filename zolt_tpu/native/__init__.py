@@ -1,0 +1,187 @@
+"""Native BN254 runtime loader.
+
+Compiles `bn254.c` with the system C compiler on first use (cached next to
+the source), loads it via ctypes, and injects the tower constants from the
+Python implementation so the two cannot drift. Every entry point has a pure-
+Python fallback; set ZOLT_TPU_NO_NATIVE=1 to force it (CI determinism or an
+environment without a toolchain).
+
+The Python tower/pairing code remains the oracle — tests/test_native.py
+differentially checks every native op against it on random inputs, and the
+golden-proof byte-exactness tests gate the integration end to end.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_LIB = None
+_TRIED = False
+
+
+def _constants_blob() -> bytes:
+    from ..curve import pairing as pr
+    from ..field import tower as tw
+    from ..field.params import FP
+
+    P = FP.p
+    R2 = (1 << 512) % P
+    ninv = (-pow(P, -1, 1 << 64)) % (1 << 64)
+
+    def fp_b(x: int) -> bytes:
+        return (x % P).to_bytes(32, "little")
+
+    def fp2_b(x) -> bytes:
+        return fp_b(x[0]) + fp_b(x[1])
+
+    return (P.to_bytes(32, "little") + fp_b(R2) + ninv.to_bytes(8, "little")
+            + fp_b(pow(2, -1, P))
+            + fp2_b(tw._G6_1) + fp2_b(tw._G6_2) + fp2_b(tw._GW)
+            + fp2_b(pr._GAMMA12) + fp2_b(pr._GAMMA13) + fp2_b(pr._TWIST_B))
+
+
+def _build_and_load():
+    src_dir = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(src_dir, "bn254.c")
+    so = os.path.join(src_dir, "libbn254.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        cc = os.environ.get("CC", "cc")
+        cmd = [cc, "-O3", "-fomit-frame-pointer", "-shared", "-fPIC",
+               "-o", so + ".tmp", src]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+    lib = ctypes.CDLL(so)
+    lib.bn254_init.argtypes = [ctypes.c_char_p]
+    lib.bn254_multi_pairing.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_char_p]
+    lib.bn254_fp12_pow.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.bn254_g1_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g2_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_init(_constants_blob())
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable/disabled."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("ZOLT_TPU_NO_NATIVE"):
+        return None
+    try:
+        _LIB = _build_and_load()
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers (same conventions as the Python code: points are
+# (x, y) int tuples or None; GT elements are the tower's nested tuples)
+# ---------------------------------------------------------------------------
+
+def multi_pairing_native(pairs):
+    """Π e(Pᵢ, Qᵢ) with one final exponentiation; None on fallback needed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field import tower as tw
+
+    g1b, g2b, mask = bytearray(), bytearray(), bytearray()
+    n = 0
+    for p, q in pairs:
+        if p is None or q is None:
+            continue
+        g1b += int(p[0]).to_bytes(32, "little") + int(p[1]).to_bytes(32, "little")
+        (x0, x1), (y0, y1) = q
+        g2b += (int(x0).to_bytes(32, "little") + int(x1).to_bytes(32, "little")
+                + int(y0).to_bytes(32, "little") + int(y1).to_bytes(32, "little"))
+        mask.append(1)
+        n += 1
+    out = ctypes.create_string_buffer(384)
+    lib.bn254_multi_pairing(bytes(g1b), bytes(g2b), bytes(mask), n, out)
+    return _gt_from_coeff_bytes(out.raw)
+
+
+def _gt_from_coeff_bytes(b: bytes):
+    cs = [int.from_bytes(b[i * 32:(i + 1) * 32], "little") for i in range(12)]
+    return (((cs[0], cs[1]), (cs[2], cs[3]), (cs[4], cs[5])),
+            ((cs[6], cs[7]), (cs[8], cs[9]), (cs[10], cs[11])))
+
+
+def _gt_to_coeff_bytes(gt) -> bytes:
+    out = b""
+    for fp6c in gt:
+        for fp2c in fp6c:
+            out += int(fp2c[0]).to_bytes(32, "little") + int(fp2c[1]).to_bytes(32, "little")
+    return out
+
+
+def fp12_pow_native(gt, e: int):
+    lib = get_lib()
+    if lib is None or e < 0 or e >= 1 << 256:
+        return None
+    out = ctypes.create_string_buffer(384)
+    lib.bn254_fp12_pow(_gt_to_coeff_bytes(gt), int(e).to_bytes(32, "little"), out)
+    return _gt_from_coeff_bytes(out.raw)
+
+
+def g1_msm_native(points, scalars):
+    """Σ sᵢ·Pᵢ over G1 (affine int-tuple points, canonical int scalars)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field.params import FR
+
+    pb, sb = bytearray(), bytearray()
+    n = 0
+    for p, s in zip(points, scalars):
+        s = s % FR.p
+        if p is None or s == 0:
+            continue
+        pb += int(p[0]).to_bytes(32, "little") + int(p[1]).to_bytes(32, "little")
+        sb += s.to_bytes(32, "little")
+        n += 1
+    if n == 0:
+        return None
+    out = ctypes.create_string_buffer(65)
+    lib.bn254_g1_msm(bytes(pb), bytes(sb), n, out)
+    if out.raw[0] == 0:
+        return None
+    return (int.from_bytes(out.raw[1:33], "little"),
+            int.from_bytes(out.raw[33:65], "little"))
+
+
+def g2_msm_native(points, scalars):
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field.params import FR
+
+    pb, sb = bytearray(), bytearray()
+    n = 0
+    for p, s in zip(points, scalars):
+        s = s % FR.p
+        if p is None or s == 0:
+            continue
+        (x0, x1), (y0, y1) = p
+        pb += (int(x0).to_bytes(32, "little") + int(x1).to_bytes(32, "little")
+               + int(y0).to_bytes(32, "little") + int(y1).to_bytes(32, "little"))
+        sb += s.to_bytes(32, "little")
+        n += 1
+    if n == 0:
+        return None
+    out = ctypes.create_string_buffer(129)
+    lib.bn254_g2_msm(bytes(pb), bytes(sb), n, out)
+    if out.raw[0] == 0:
+        return None
+    return ((int.from_bytes(out.raw[1:33], "little"),
+             int.from_bytes(out.raw[33:65], "little")),
+            (int.from_bytes(out.raw[65:97], "little"),
+             int.from_bytes(out.raw[97:129], "little")))

@@ -582,6 +582,11 @@ def _multi_pair(g1s, g2s):
 
 def _msm_g1(points, scalars):
     n = min(len(points), len(scalars))
+    from ..native import g1_msm_native
+
+    out = g1_msm_native(points[:n], scalars[:n])
+    if out is not None:
+        return out
     acc = None
     for i in range(n):
         if points[i] is None or scalars[i] % P == 0:
@@ -593,6 +598,11 @@ def _msm_g1(points, scalars):
 
 def _msm_g2(points, scalars):
     n = min(len(points), len(scalars))
+    from ..native import g2_msm_native
+
+    out = g2_msm_native(points[:n], scalars[:n])
+    if out is not None:
+        return out
     acc = None
     for i in range(n):
         if points[i] is None or scalars[i] % P == 0:

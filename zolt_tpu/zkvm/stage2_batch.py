@@ -197,22 +197,21 @@ class RafEvaluationProver:
             base = (base + v * power) % P
             power *= 2
         current_power = power
-        s0 = s2 = 0
+        # u(i) = base + 2·current_power·i on the lo lane (the per-bit rem
+        # walk telescopes to 2·cp·i), u2(i) = u(i) + 2·current_power
+        cp2 = 2 * current_power
+        s_lo = s_lo_i = s_2 = s_2_i = 0
         for i in range(half):
             ra_lo, ra_hi = self.ra[2 * i], self.ra[2 * i + 1]
-            ra2 = (2 * ra_hi - ra_lo) % P
-            rem = 0
-            rp = current_power * 2
-            idx = i
-            for _ in range(self.num_vars + len(self.bound_values) - self.round - 1):
-                if idx & 1:
-                    rem += rp
-                idx >>= 1
-                rp *= 2
-            u0 = (base + rem) % P
-            u2 = (base + 2 * current_power + rem) % P
-            s0 = (s0 + ra_lo * u0) % P
-            s2 = (s2 + ra2 * u2) % P
+            if ra_lo:
+                s_lo += ra_lo
+                s_lo_i += ra_lo * i
+            if ra_hi or ra_lo:
+                ra2 = 2 * ra_hi - ra_lo
+                s_2 += ra2
+                s_2_i += ra2 * i
+        s0 = (s_lo * base + s_lo_i * cp2) % P
+        s2 = (s_2 * (base + cp2) + s_2_i * cp2) % P
         s1 = (self.current_claim - s0) % P
         s3 = (s0 - 3 * s1 + 3 * s2) % P
         return [s0, s1, s2, s3]
@@ -626,12 +625,17 @@ class OutputSumcheckProver:
     def round_evals(self) -> list[int]:
         half = self.current_size // 2
         s = [0, 0, 0, 0]
+        io_mask, val_final, val_io, eq = self.io_mask, self.val_final, self.val_io, self.eq
         for gidx in range(half):
             i0, i1 = 2 * gidx, 2 * gidx + 1
-            eq0, eq1 = self.eq[i0], self.eq[i1]
-            io0, io1 = self.io_mask[i0], self.io_mask[i1]
-            v0 = (self.val_final[i0] - self.val_io[i0]) % P
-            v1 = (self.val_final[i1] - self.val_io[i1]) % P
+            io0, io1 = io_mask[i0], io_mask[i1]
+            v0 = (val_final[i0] - val_io[i0]) % P
+            v1 = (val_final[i1] - val_io[i1]) % P
+            # the io_mask and (val_final − val_io) supports are sparse:
+            # outside both, every t-eval term is zero
+            if not (io0 or io1) or not (v0 or v1):
+                continue
+            eq0, eq1 = eq[i0], eq[i1]
             deq, dio, dv = (eq1 - eq0) % P, (io1 - io0) % P, (v1 - v0) % P
             for t in range(4):
                 e = (eq0 + t * deq) % P
@@ -645,7 +649,10 @@ class OutputSumcheckProver:
         for arr in (self.eq, self.io_mask, self.val_final, self.val_io, self.val_init):
             for gidx in range(half):
                 lo, hi = arr[2 * gidx], arr[2 * gidx + 1]
-                arr[gidx] = (lo + r * (hi - lo)) % P
+                if lo or hi:
+                    arr[gidx] = (lo + r * (hi - lo)) % P
+                else:
+                    arr[gidx] = 0
         self.current_size = half
 
     def update_claim(self, evals4: list[int], r: int) -> None:
