@@ -81,3 +81,18 @@ def test_verify_rejects_tampered_witness(small_srs):
     C = hyperkzg.commit_ints(small_srs, evals)
     assert not hyperkzg.verify(small_srs, C, x, value, proof,
                                Blake2bTranscript(b"hkzg"))
+
+
+def test_mock_commitment_roundtrip_and_binding():
+    """MockCommitment parity (reference commitment/mod.zig:64-96)."""
+    from zolt_tpu.pcs import mock
+
+    evals = [3, 1, 4, 1, 5, 9, 2, 6]
+    point = [11, 22, 33]
+    c = mock.commit(evals)
+    value, proof = mock.open_at(evals, point)
+    assert mock.verify(c, point, value, proof)
+    assert not mock.verify(c, point, value + 1, proof)
+    bad = list(proof)
+    bad[0] += 1
+    assert not mock.verify(c, point, value, bad)

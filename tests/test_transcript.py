@@ -123,3 +123,37 @@ def test_preamble_golden_vector_vs_reference_log():
     t.append_u64(65536)
     t.append_u64(256)
     assert t2.state == t.state
+
+
+def test_poseidon_transcript_determinism_and_sensitivity():
+    from zolt_tpu.transcript import PoseidonTranscript
+
+    a = PoseidonTranscript(b"test")
+    b = PoseidonTranscript(b"test")
+    a.absorb(12345)
+    b.absorb(12345)
+    assert a.squeeze() == b.squeeze()
+    c = PoseidonTranscript(b"test")
+    c.absorb(12346)
+    d = PoseidonTranscript(b"other")
+    d.absorb(12345)
+    out_a = PoseidonTranscript(b"test")
+    out_a.absorb(12345)
+    assert c.squeeze() != out_a.squeeze()
+    assert d.squeeze() != out_a.squeeze()
+
+
+def test_poseidon_sbox_and_mds_shape():
+    """Algorithm parameters match the reference (8 full + 56 partial rounds,
+    t=3, x^5 S-box, [2,1,1] circulant MDS — transcripts/mod.zig:233-375)."""
+    from zolt_tpu.transcript import poseidon
+
+    assert poseidon.FULL_ROUNDS == 8
+    assert poseidon.PARTIAL_ROUNDS == 56
+    assert poseidon.STATE_WIDTH == 3
+    # reference's deriveRoundConstant(0, 0)
+    seed = 0x9E3779B97F4A7C15
+    seed ^= seed >> 33
+    seed = (seed * 0xFF51AFD7ED558CCD) % (1 << 64)
+    seed ^= seed >> 33
+    assert poseidon._ROUND_CONSTANTS[0][0] == seed % poseidon.P

@@ -197,7 +197,39 @@ def cmd_stats(args) -> int:
             print(f"  {name:<18} rounds={len(sp.round_polys):>3}  field elements={n_el:>5}"
                   f"  ({n_el * 32} bytes)")
         return 0
-    fmt = serialization.detect_format(data)
+    try:
+        fmt = serialization.detect_format(data)
+    except Exception:
+        fmt = "unknown"
+    if fmt == "unknown":
+        from .zkvm.jolt_deserialize import deserialize_jolt_proof
+
+        proof = None
+        for variant in ("with_dory", "canonical"):
+            try:
+                proof = deserialize_jolt_proof(data, variant=variant)
+                break
+            except Exception:
+                pass
+        if proof is None:
+            print("unrecognized proof format")
+            return 1
+        print(f"format: jolt-arkworks ({variant}), {len(data)} bytes")
+        print(f"trace_length={proof.trace_length}, ram_K={proof.ram_k}, "
+              f"bytecode_K={proof.bytecode_k}")
+        print(f"commitments: {len(proof.commitments)} GT elements "
+              f"({len(proof.commitments) * 384} bytes)")
+        print(f"opening claims: {len(proof.opening_claims)}")
+        stages = [("stage1 uniskip", proof.stage1_uni_skip.uni_poly),
+                  ("stage2 uniskip", proof.stage2_uni_skip.uni_poly)]
+        for i in range(1, 8):
+            sc = getattr(proof, f"stage{i}_sumcheck")
+            n_el = sum(len(cp) for cp in sc.compressed_polys)
+            print(f"  stage{i} sumcheck   rounds={len(sc.compressed_polys):>3}"
+                  f"  field elements={n_el:>5}  ({n_el * 32} bytes)")
+        for name, poly in stages:
+            print(f"  {name:<17} coeffs={len(poly):>3}  ({len(poly) * 32} bytes)")
+        return 0
     proof = serialization.from_json(data.decode()) if fmt == "json" else serialization.deserialize(data)
     print(f"format: {fmt}, {len(data)} bytes, log_t={proof.log_t}, log_k={proof.log_k}")
     names = ["stage1 spartan", "stage2 ram-raf", "stage3 lasso", "stage4 ram-val",
@@ -315,7 +347,7 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="run micro-benchmarks")
     pb.add_argument("--quick", action="store_true", help="smaller sizes")
     pb.add_argument("--only", help="comma-separated sections "
-                    "(field,poly,msm,commit,emulator,prover)")
+                    "(field,poly,msm,commit,emulator,prover,scaling)")
     pb.set_defaults(fn=cmd_bench)
 
     pi = sub.add_parser("info", help="version and device info")

@@ -157,6 +157,58 @@ def bench_prover(report, quick: bool) -> None:
     report(f"  verify           {sec * 1e3:>9.1f} ms/op")
 
 
+def bench_scaling(report, quick: bool) -> None:
+    """Device sumcheck-round throughput vs table size: one fused kernel per
+    round (evaluate p(0),p(1),p(2) + fold with the challenge) — the hot
+    structure every prover stage maps onto."""
+    import jax
+    import numpy as np
+
+    from .field import FR, limb
+    from .field.limb import FR_C
+    from .poly import dense
+
+    report("Sumcheck round scaling (2-factor product, fused eval+fold):")
+
+    def make_step():
+        def step(tables, r):
+            n = tables.shape[1]
+            outs = []
+            los, diffs = [], []
+            for k in range(tables.shape[0]):
+                pairs = tables[k].reshape(n // 2, 2, -1)
+                lo, hi = pairs[:, 0, :], pairs[:, 1, :]
+                los.append(lo)
+                diffs.append(limb.sub(hi, lo, FR_C))
+            for t in range(3):
+                prod = None
+                for lo, d in zip(los, diffs):
+                    val = lo
+                    for _ in range(t):
+                        val = limb.add(val, d, FR_C)
+                    prod = val if prod is None else limb.mont_mul(prod, val, FR_C)
+                outs.append(dense.sum_mod(prod, FR_C))
+            import jax.numpy as jnp
+
+            bound = jnp.stack([limb.add(lo, limb.mont_mul(r[None], d, FR_C), FR_C)
+                               for lo, d in zip(los, diffs)])
+            return jnp.stack(outs), bound
+        return jax.jit(step)
+
+    step = make_step()
+    rng = np.random.default_rng(7)
+    r = jax.device_put(np.asarray(limb.encode([987654321], FR_C)[0]))
+    for log_n in ([10, 12] if quick else [10, 12, 14, 16]):
+        n = 1 << log_n
+        vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(2 * n)]
+        tables = jax.device_put(np.stack([
+            np.asarray(limb.encode(vals[:n], FR_C)),
+            np.asarray(limb.encode(vals[n:], FR_C))]))
+        sec = _time(lambda: jax.block_until_ready(step(tables, r)), 5, warmup=2)
+        report(f"  round (T=2^{log_n:<2})  {sec * 1e3:>8.2f} ms "
+               f"({n / sec / 1e6:>7.2f} M eval-pairs/s)")
+
+
 SECTIONS = {
     "field": bench_field,
     "poly": bench_poly,
@@ -164,6 +216,7 @@ SECTIONS = {
     "commit": bench_commit,
     "emulator": bench_emulator,
     "prover": bench_prover,
+    "scaling": bench_scaling,
 }
 
 
