@@ -46,3 +46,50 @@ def test_sharded_round_matches_single_device():
     bound_a = [int(v) for v in limb.decode(np.asarray(bound[0]))]
     ref_a = [int(v) for v in limb.decode(dense.bind_low(A, rl))]
     assert bound_a == ref_a
+
+
+def test_sharded_full_sumcheck_prove_verifies():
+    """Full mesh-sharded multi-round sumcheck with a real Blake2b transcript:
+    every round must satisfy p(0)+p(1) == claim, the verifier's challenges
+    must match (same transcript), and the final claim must equal the product
+    of the fully-bound factor values."""
+    from zolt_tpu.parallel import make_mesh, sharded_sumcheck_prove
+    from zolt_tpu.transcript import Blake2bTranscript
+
+    n = 128
+    k = 3  # eq * az * bz shape (stage-1 structure)
+    tables = [rand_ints(n) for _ in range(k)]
+    claim = 0
+    for i in range(n):
+        prod = 1
+        for t in tables:
+            prod = prod * t[i] % P
+        claim = (claim + prod) % P
+
+    mesh = make_mesh()
+    tp = Blake2bTranscript(b"sharded")
+    round_evals, challenges, finals = sharded_sumcheck_prove(mesh, tables, tp)
+    assert len(round_evals) == 7 and len(challenges) == 7
+
+    # verifier replay: transcript resync + round checks
+    tv = Blake2bTranscript(b"sharded")
+    cur = claim
+    for evals, r in zip(round_evals, challenges):
+        assert (evals[0] + evals[1]) % P == cur, "p(0)+p(1) != claim"
+        for e in evals:
+            tv.append_scalar(e)
+        rv = tv.challenge_scalar()
+        assert rv == r, "verifier challenge mismatch"
+        # claim <- p(r) via Lagrange interpolation over {0..k}
+        cur = 0
+        for j, e in enumerate(evals):
+            lj = 1
+            for m in range(len(evals)):
+                if m != j:
+                    lj = lj * (rv - m) % P * pow(j - m, -1, P) % P
+            cur = (cur + e * lj) % P
+
+    prod = 1
+    for v in finals:
+        prod = prod * v % P
+    assert cur == prod, "final claim != product of bound factors"

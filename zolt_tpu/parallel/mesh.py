@@ -120,3 +120,70 @@ def make_sharded_product_round(mesh: Mesh, n_factors: int, f=FR_C):
         return evals, bound
 
     return jax.jit(step)
+
+
+def sharded_sumcheck_prove(mesh: Mesh, factor_tables, transcript, f=FR_C):
+    """FULL mesh-sharded sumcheck prove of claim = Σ_x Π_k factor_k(x).
+
+    The complete distributed prover step the framework scales by: per round,
+    round-polynomial evaluations are computed shard-locally and reduced with
+    `psum` over ICI, the (host) Fiat-Shamir transcript absorbs them and
+    returns the challenge, and the fold runs shard-locally. When the table
+    becomes too small to span the mesh (the last log2(n_dev)+1 rounds, a
+    vanishing fraction of the work), the tail finishes on host.
+
+    factor_tables: list of k python-int lists, each a power-of-two length.
+    Returns (round_evals, challenges, final_values).
+    """
+    import numpy as np
+
+    from ..field import FR
+
+    P = FR.p
+    k = len(factor_tables)
+    n = len(factor_tables[0])
+    n_dev = mesh.devices.size
+    step = make_sharded_product_round(mesh, n_factors=k, f=f)
+
+    tables = np.stack([np.asarray(limb.encode(t, f)) for t in factor_tables])
+    dev_tables = jax.device_put(tables)
+    host_tables = None
+
+    round_evals, challenges = [], []
+    while n > 1:
+        if n >= 2 * n_dev and host_tables is None:
+            # two calls per round: the challenge only exists after the evals
+            # are absorbed (Fiat-Shamir), so the first call's fold output is
+            # discarded and the second call folds with the real challenge
+            evals_dev, _ = step(dev_tables, limb.encode([0], f)[0])
+            evals = [int(v) for v in limb.decode(np.asarray(evals_dev), f)]
+            for e in evals:
+                transcript.append_scalar(e)
+            r = transcript.challenge_scalar()
+            _, dev_tables = step(dev_tables, limb.encode([r], f)[0])
+        else:
+            if host_tables is None:
+                host_tables = [[int(v) for v in limb.decode(np.asarray(dev_tables[i]), f)]
+                               for i in range(k)]
+            evals = []
+            for t in range(k + 1):
+                s = 0
+                for i in range(n // 2):
+                    prod = 1
+                    for ht in host_tables:
+                        lo, hi = ht[2 * i], ht[2 * i + 1]
+                        prod = prod * (lo + t * (hi - lo)) % P
+                    s = (s + prod) % P
+                evals.append(s)
+            for e in evals:
+                transcript.append_scalar(e)
+            r = transcript.challenge_scalar()
+            host_tables = [[(ht[2 * i] + r * (ht[2 * i + 1] - ht[2 * i])) % P
+                            for i in range(n // 2)] for ht in host_tables]
+        round_evals.append(evals)
+        challenges.append(r)
+        n //= 2
+
+    finals = [ht[0] for ht in host_tables] if host_tables is not None else \
+        [int(limb.decode(np.asarray(dev_tables[i]), f)[0]) for i in range(k)]
+    return round_evals, challenges, finals
