@@ -239,3 +239,82 @@ def test_lookup_bits_helpers():
     p, s = LookupBits(0b110110, 6).split(2)
     assert (int(p), len(p), int(s), len(s)) == (0b1101, 4, 0b10, 2)
     assert next_power_of_two(5) == 8 and ceil_log2(9) == 4
+
+
+def test_guest_collatz_golden():
+    """collatz(27) = 111 steps — the reference's collatz example golden
+    output (examples/README.md table: collatz -> 111)."""
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(1, 0, 27)
+    a.addi(2, 0, 0)
+    a.label("loop")
+    a.addi(4, 0, 1)
+    a.beq(1, 4, "end")
+    a.andi(3, 1, 1)
+    a.bne(3, 0, "odd")
+    a.srli(1, 1, 1)
+    a.jal(0, "cont")
+    a.label("odd")
+    a.add(5, 1, 1)
+    a.add(1, 5, 1)
+    a.addi(1, 1, 1)
+    a.label("cont")
+    a.addi(2, 2, 1)
+    a.jal(0, "loop")
+    a.label("end")
+    a.ecall()
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program(a.bytes())
+    emu.run()
+    assert emu.registers.registers[2] == 111
+
+
+def test_guest_primes_golden():
+    """Count of primes below 100 = 25 — the reference's primes example
+    golden output (examples/README.md: primes -> 25). Exercises REM."""
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(1, 0, 2)       # n
+    a.addi(2, 0, 0)       # count
+    a.label("outer")
+    a.addi(4, 0, 100)
+    a.bge(1, 4, "done")
+    a.addi(3, 0, 2)       # d
+    a.label("inner")
+    a.bge(3, 1, "isprime")
+    a.rem(5, 1, 3)
+    a.beq(5, 0, "notprime")
+    a.addi(3, 3, 1)
+    a.jal(0, "inner")
+    a.label("isprime")
+    a.addi(2, 2, 1)
+    a.label("notprime")
+    a.addi(1, 1, 1)
+    a.jal(0, "outer")
+    a.label("done")
+    a.ecall()
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program(a.bytes())
+    emu.run(max_cycles=1 << 16)
+    assert emu.registers.registers[2] == 25
+
+
+def test_guest_factorial_golden():
+    """10! = 3628800 (reference factorial example). Exercises MUL."""
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(1, 0, 10)
+    a.addi(2, 0, 1)
+    a.label("loop")
+    a.mul(2, 2, 1)
+    a.addi(1, 1, -1)
+    a.bne(1, 0, "loop")
+    a.ecall()
+    emu = Emulator(MemoryConfig(program_size=1024))
+    emu.load_program(a.bytes())
+    emu.run()
+    assert emu.registers.registers[2] == 3628800
