@@ -124,3 +124,63 @@ def test_verifier_rejects_wrong_io_claim():
 
     with pytest.raises(VerifyError):
         verify_jolt(proof, ELF, outputs=b"\x01")
+
+
+# ---------------------------------------------------------------------------
+# Generality: a non-fibonacci, Asm-authored program at a different trace
+# size (T=1024) through the complete prove -> verify pipeline
+# ---------------------------------------------------------------------------
+
+def _collatz_elf_bytes():
+    from zolt_tpu.vm import elf as elf_mod
+    from zolt_tpu.vm.guest import Asm
+
+    a = Asm()
+    a.addi(1, 0, 27)
+    a.addi(2, 0, 0)
+    a.label("loop")
+    a.addi(4, 0, 1)
+    a.beq(1, 4, "end")
+    a.andi(3, 1, 1)
+    a.bne(3, 0, "odd")
+    a.srli(1, 1, 1)
+    a.jal(0, "cont")
+    a.label("odd")
+    a.add(5, 1, 1)
+    a.add(1, 5, 1)
+    a.addi(1, 1, 1)
+    a.label("cont")
+    a.addi(2, 2, 1)
+    a.jal(0, "loop")
+    a.label("end")
+    a.halt(provable=True)
+    return elf_mod.write_minimal_elf(a.bytes())
+
+
+def test_minimal_elf_writer_roundtrip():
+    from zolt_tpu.vm import elf as elf_mod, run_elf
+
+    blob = _collatz_elf_bytes()
+    parsed = elf_mod.parse(blob)
+    base, img = parsed.flat_image()
+    assert base == 0x80000000 and parsed.entry == base
+    emu = run_elf(blob)
+    assert emu.registers.registers[2] == 111
+
+
+def test_prove_verify_asm_program_t1024(tmp_path):
+    import time
+
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    path = str(tmp_path / "collatz.elf")
+    with open(path, "wb") as f:
+        f.write(_collatz_elf_bytes())
+    res = prove_jolt(path)
+    assert len(res.padded_steps) == 1024  # different size than fibonacci's 256
+    proof = res.conv.proof
+    assert verify_jolt(proof, path)
+    proof.stage1_sumcheck.compressed_polys[0][0] += 1
+    with pytest.raises(VerifyError):
+        verify_jolt(proof, path)

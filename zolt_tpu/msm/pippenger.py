@@ -123,6 +123,16 @@ def msm(points: list, scalars: list[int], windows_per_pass: int = 8):
     if n < 32:
         # tiny MSMs: host double-and-add beats device compile+transfer latency
         return chost.msm(points, scalars)
+    if n < (1 << 14):
+        # small/medium MSMs: the native C runtime beats the device path's
+        # per-shape compile + transfer latency; the device Pippenger wins at
+        # scale (and is the multi-chip path)
+        from ..native import g1_msm_native
+
+        out = g1_msm_native(points, scalars)
+        if out is not None or all(
+                p is None or s % chost.FR.p == 0 for p, s in zip(points, scalars)):
+            return out
     digs = _digits(scalars)  # (n, 32)
     X, Y, Z = dev.from_affine_host(points)
 

@@ -72,3 +72,32 @@ def parse(data: bytes) -> ParsedElf:
 def load_file(path: str) -> ParsedElf:
     with open(path, "rb") as f:
         return parse(f.read())
+
+
+def write_minimal_elf(code: bytes, base: int = 0x80000000,
+                      entry: int | None = None) -> bytes:
+    """Emit a minimal ELF64 RISC-V executable with one PT_LOAD segment.
+
+    The inverse of `parse` for the subset this loader consumes — lets
+    Asm-authored guest programs (vm/guest.Asm) flow through every path that
+    takes an ELF (CLI run/trace/prove, prove_jolt, verify_jolt) instead of
+    only the reference's prebuilt examples.
+    """
+    if entry is None:
+        entry = base
+    ehsize, phentsize = 64, 56
+    phoff = ehsize
+    data_off = ehsize + phentsize
+    ehdr = struct.pack(
+        "<4sBBBBB7xHHIQQQIHHHHHH",
+        b"\x7fELF", 2, 1, 1, 0, 0,     # ELF64, little-endian, SysV
+        2, EM_RISCV, 1,                 # ET_EXEC, RISC-V, version
+        entry, phoff, 0,                # e_entry, e_phoff, e_shoff
+        0, ehsize, phentsize, 1,        # e_flags, e_ehsize, e_phentsize, e_phnum
+        0, 0, 0)                        # shentsize/shnum/shstrndx
+    phdr = struct.pack(
+        "<IIQQQQQQ",
+        PT_LOAD, 5,                     # p_type, p_flags (R+X)
+        data_off, base, base,           # p_offset, p_vaddr, p_paddr
+        len(code), len(code), 0x1000)   # p_filesz, p_memsz, p_align
+    return ehdr + phdr + code

@@ -176,13 +176,25 @@ class Asm:
         self.sd(tmp, one, 0)
         self.halt(layout, tmp=tmp, one=one)
 
-    def halt(self, layout: MemoryLayout | None = None, tmp: int = 5, one: int = 6) -> None:
-        """halt: write the termination bit (when a layout is given) and ECALL."""
+    def halt(self, layout: MemoryLayout | None = None, tmp: int = 5, one: int = 6,
+             *, provable: bool = False) -> None:
+        """halt: write the termination bit (when a layout is given), then stop.
+
+        provable=False ends with ECALL (direct, but the final fall-through row
+        violates R1CS constraint 16 — emulator-only use). provable=True ends
+        with the Jolt guest convention the reference's examples use: a
+        `jal x0, 0` self-loop, detected by the tracer's pc==prev_pc heuristic;
+        the traced jump row disables the PC-update constraints at the noop
+        boundary (constraints.zig:1140-1158 commentary), so the trace is
+        R1CS-satisfying and provable."""
         if layout is not None:
             self.li_addr(tmp, layout.termination)
             self.addi(one, 0, 1)
             self.sd(tmp, one, 0)
-        self.ecall()
+        if provable:
+            self.jal(0, 0)
+        else:
+            self.ecall()
 
     def cycle_track(self, marker_reg: int = 10) -> None:
         """cycleCount/debug marker ecall (non-halting, tracked by emulator)."""
