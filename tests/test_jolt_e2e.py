@@ -184,3 +184,88 @@ def test_prove_verify_asm_program_t1024(tmp_path):
     proof.stage1_sumcheck.compressed_polys[0][0] += 1
     with pytest.raises(VerifyError):
         verify_jolt(proof, path)
+
+
+def _provable_collatz_elf():
+    from zolt_tpu.vm import elf as elf_mod
+    from zolt_tpu.vm.guest import Asm
+    from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=1024))
+    a = Asm()
+    a.addi(1, 0, 27)
+    a.addi(2, 0, 0)
+    a.label("loop")
+    a.addi(4, 0, 1)
+    a.beq(1, 4, "end")
+    a.andi(3, 1, 1)
+    a.bne(3, 0, "odd")
+    a.srli(1, 1, 1)
+    a.jal(0, "cont")
+    a.label("odd")
+    a.add(5, 1, 1)
+    a.add(1, 5, 1)
+    a.addi(1, 1, 1)
+    a.label("cont")
+    a.addi(2, 2, 1)
+    a.jal(0, "loop")
+    a.label("end")
+    a.halt(lay, provable=True)  # guest writes the termination word itself
+    return elf_mod.write_minimal_elf(a.bytes())
+
+
+def test_sound_mode_raf_publicly_checkable(tmp_path):
+    """Sound mode (witness-derived accesses, BE-by-cycle RAF, rv(store)=pre):
+    the RAF instance's final claim equals ra_claim * unmap(r) from public
+    data alone, and the RWC input claim equals its true sum — the two
+    properties the reference's byte-compat construction lacks."""
+    from zolt_tpu.field.params import FR
+    from zolt_tpu.r1cs import inputs as ri
+    from zolt_tpu.zkvm.jolt_verifier import verify_jolt
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+    from zolt_tpu.zkvm.proof_converter import _witness_accesses
+    from zolt_tpu.zkvm.stage2_batch import _eq_be
+
+    P = FR.p
+    path = str(tmp_path / "collatz_sound.elf")
+    with open(path, "wb") as f:
+        f.write(_provable_collatz_elf())
+    res = prove_jolt(path, sound=True)
+    b = res.conv.stage2_batch
+    n_cycle = len(res.tau) - 2
+    log_k = 16
+    ch = b.challenges
+    lowest = res.emulator.device.layout.lowest_address()
+
+    # RAF final == ra_claim * unmap(r)
+    addr_eval = lowest % P
+    power = 8
+    for r in ch[(log_k + n_cycle) - log_k:]:
+        addr_eval = (addr_eval + r * power) % P
+        power *= 2
+    assert b.raf_final_claim * addr_eval % P == b.instance_final_claims[1]
+
+    # RWC input claim == true sum over witness accesses
+    r_spartan = list(reversed(res.conv.stage1.challenges[1:]))
+    g = b.gamma_rwc
+    cur = {}
+    for addr, val in res.emulator.initial_memory.items():
+        if addr >= lowest:
+            cur[(addr - lowest) // 8] = val
+    true_sum = 0
+    for acc in _witness_accesses(res.padded_steps):
+        k = (acc.address - lowest) // 8
+        eq = _eq_be(r_spartan, acc.timestamp, n_cycle)
+        prev = cur.get(k, 0)
+        if acc.op == "write":
+            rv, wv = prev, acc.post_value
+            cur[k] = acc.post_value
+        else:
+            rv = wv = acc.post_value
+        true_sum = (true_sum + eq * ((rv + g * wv) % P)) % P
+    rv_c = res.conv.input_evals[ri.Inp.RamReadValue]
+    wv_c = res.conv.input_evals[ri.Inp.RamWriteValue]
+    assert (rv_c + g * wv_c) % P == true_sum
+
+    # the sound proof still verifies through the standard verifier
+    assert verify_jolt(res.conv.proof, path)

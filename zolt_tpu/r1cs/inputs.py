@@ -143,7 +143,7 @@ def noop_witness() -> list[int]:
     return w
 
 
-def cycle_witness(step, next_step) -> list[int]:
+def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     """Build the 43 witness values for one real trace step (canonical ints)."""
     if step.is_noop:
         return noop_witness()
@@ -186,7 +186,15 @@ def cycle_witness(step, next_step) -> list[int]:
         w[Inp.RamWriteValue] = mem_val % P
         w[Inp.RdWriteValue] = mem_val % P
     elif is_store:
-        w[Inp.RamReadValue] = mem_val % P  # pre-value
+        if sound and step.memory_pre_value is not None:
+            # sound mode: the true Jolt semantic rv(store) = pre-value, so
+            # the RWC input claim rv + gamma*wv equals the instance's true
+            # sum (no R1CS constraint pins rv for stores, so this stays
+            # satisfying; reference-compat mode reproduces the reference's
+            # rv(store) = stored-value convention)
+            w[Inp.RamReadValue] = step.memory_pre_value % P
+        else:
+            w[Inp.RamReadValue] = mem_val % P
         w[Inp.RamWriteValue] = step.rs2_value % P
     else:
         w[Inp.RdWriteValue] = step.rd_value % P if writes_to_rd else 0
@@ -281,11 +289,11 @@ def cycle_witness(step, next_step) -> list[int]:
     return w
 
 
-def witness_matrix(padded_steps) -> list[list[int]]:
+def witness_matrix(padded_steps, sound: bool = False) -> list[list[int]]:
     """Per-cycle witness rows for the whole (padded) trace."""
     out = []
     n = len(padded_steps)
     for i, step in enumerate(padded_steps):
         nxt = padded_steps[i + 1] if i + 1 < n else None
-        out.append(cycle_witness(step, nxt))
+        out.append(cycle_witness(step, nxt, sound=sound))
     return out

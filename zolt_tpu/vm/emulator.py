@@ -144,8 +144,8 @@ class Emulator:
             self.cycle += 1
             raise
 
-        memory_pre_value = None
-        if result["is_memory_write"] and self.ram.trace:
+        memory_pre_value = result.get("memory_pre_value")
+        if memory_pre_value is None and result["is_memory_write"] and self.ram.trace:
             last = self.ram.trace[-1]
             if last.op == "write" and last.timestamp == self.cycle:
                 memory_pre_value = last.pre_value
@@ -269,6 +269,15 @@ class Emulator:
             res["is_memory_write"] = True
             f3 = d.funct3
             nbytes = {0b000: 1, 0b001: 2, 0b010: 4, 0b011: 8}.get(f3, 0)
+            # capture the pre-value without recording a read access (trace-
+            # neutral; the sound-mode witness uses rv(store) = pre-value)
+            pre = 0
+            for i in range(nbytes):
+                a_i = addr + i
+                b = self.device.load(a_i) if self.device.is_io(a_i) \
+                    else self.ram.read_byte_untraced(a_i)
+                pre |= b << (8 * i)
+            res["memory_pre_value"] = pre if nbytes else None
             for i in range(nbytes):
                 self._write_byte_io(addr + i, (rs2 >> (8 * i)) & 0xFF)
             res["memory_value"] = rs2 & ((1 << (8 * nbytes)) - 1) if nbytes else None

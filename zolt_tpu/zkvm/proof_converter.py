@@ -186,13 +186,21 @@ class JoltConversion:
 
 def convert_with_transcript(padded_steps, tau: list[int], transcript,
                             emulator=None, log_ram_k: int = 16,
-                            stages: int = 7) -> JoltConversion:
+                            stages: int = 7, sound: bool = False) -> JoltConversion:
     """Drive the Jolt proof stages implemented so far. Pass the finished
-    emulator to enable the stage-2 batched sumcheck (needs RAM traces)."""
-    conv = JoltConversion()
-    witness_rows = ri.witness_matrix(padded_steps)
+    emulator to enable the stage-2 batched sumcheck (needs RAM traces).
 
-    conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript)
+    sound=True departs from reference byte-compatibility to make the
+    stage-2 RAF/RWC instances publicly checkable: the synthetic
+    termination access (which has no witness row) is excluded — the guest
+    must write the termination word itself (guest halt convention) — and
+    RAF aggregates with the BE-by-cycle eq table so its input claim equals
+    the true sum. Verify such proofs with verify_jolt(strict_stage2=True)."""
+    conv = JoltConversion()
+    witness_rows = ri.witness_matrix(padded_steps, sound=sound)
+
+    conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
+                                    witness_rows=witness_rows)
     conv.proof.stage1_uni_skip = UniSkipFirstRoundProof(conv.stage1.uni_skip_coeffs)
     from .jolt_types import SumcheckInstanceProof
 
@@ -220,6 +228,9 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         r_spartan = list(reversed(conv.stage1.challenges[1:]))
         tau2 = r_spartan + [s2u.tau_high]
         final_ram = dict(emulator.ram.memory)
+        accesses = emulator.ram.trace
+        if sound:
+            accesses = _witness_accesses(padded_steps)
         conv.stage2_batch = prove_stage2_batch(
             transcript,
             r0_stage2=s2u.r0,
@@ -231,7 +242,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
             input_evals=conv.input_evals,
             n_cycle_vars=n_cycle_vars,
             log_ram_k=log_ram_k,
-            accesses=emulator.ram.trace,
+            accesses=accesses,
+            sound=sound,
             initial_ram=getattr(emulator, "initial_memory", {}),
             final_ram=final_ram,
             layout=emulator.device.layout,
@@ -283,7 +295,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         from .stage4 import prove_stage4
 
         conv.stage4 = prove_stage4(
-            transcript, padded_steps, emulator.ram.trace,
+            transcript, padded_steps, accesses,
             getattr(emulator, "initial_memory", {}),
             emulator.device.layout.lowest_address(),
             conv.stage2_batch, conv.stage3,
@@ -295,6 +307,27 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         # (proof_converter.zig:2628-2683); no transcript absorption.
         _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4)
     return conv
+
+
+from collections import namedtuple
+
+_WitnessAccess = namedtuple("_WitnessAccess", "op address pre_value post_value timestamp")
+
+
+def _witness_accesses(padded_steps) -> list:
+    """Sound-mode access list: derived directly from the trace steps so every
+    access has a witness row (RamAddress/RamReadValue/RamWriteValue columns),
+    making the RAF/RWC input claims equal their true sums. This includes
+    I/O-region stores (e.g. the guest's termination write), which the
+    emulator routes to the JoltDevice rather than the RAM trace."""
+    out = []
+    for t, s in enumerate(padded_steps):
+        if s.is_noop or s.memory_addr is None:
+            continue
+        out.append(_WitnessAccess(
+            "write" if s.is_memory_write else "read",
+            s.memory_addr, s.memory_pre_value or 0, s.memory_value or 0, t))
+    return out
 
 
 def _insert_stage2_claims(claims: OpeningClaims, b) -> None:

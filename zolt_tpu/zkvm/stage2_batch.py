@@ -171,17 +171,31 @@ class ProductVirtualRemainderProver:
 
 class RafEvaluationProver:
     def __init__(self, accesses, r_cycle: list[int], start_address: int,
-                 log_k: int, initial_claim: int):
+                 log_k: int, initial_claim: int, sound: bool = False):
         k_size = 1 << log_k
-        n_acc = len(accesses)
-        log_t = max(0, (n_acc - 1).bit_length()) if n_acc > 1 else 0
-        eq = _eq_table_le(r_cycle, log_t)
         self.ra = [0] * k_size
-        for j, a in enumerate(accesses):
-            if a.address >= start_address:
-                k = (a.address - start_address) // 8
-                if k < k_size:
-                    self.ra[k] = (self.ra[k] + (eq[j] if j < len(eq) else 0)) % P
+        if sound:
+            # Sound mode: ra(k) = Σ_cycles eq_BE(r_cycle, cycle)·[cycle
+            # accessed slot k] — the aggregation whose Σ_k ra(k)·unmap(k)
+            # equals the RamAddress opening claim, making the verifier's
+            # final check ra_claim·unmap(r) exact. (The reference-compat
+            # mode reproduces the reference's LE-by-access-index table,
+            # raf_checking.zig computeEqEvals.)
+            eq = _eq_table_be(r_cycle)
+            for a in accesses:
+                if a.address >= start_address and a.timestamp < len(eq):
+                    k = (a.address - start_address) // 8
+                    if k < k_size:
+                        self.ra[k] = (self.ra[k] + eq[a.timestamp]) % P
+        else:
+            n_acc = len(accesses)
+            log_t = max(0, (n_acc - 1).bit_length()) if n_acc > 1 else 0
+            eq = _eq_table_le(r_cycle, log_t)
+            for j, a in enumerate(accesses):
+                if a.address >= start_address:
+                    k = (a.address - start_address) // 8
+                    if k < k_size:
+                        self.ra[k] = (self.ra[k] + (eq[j] if j < len(eq) else 0)) % P
         self.num_vars = log_k
         self.start_address = start_address
         self.bound_values: list[int] = []
@@ -737,7 +751,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                        factors, input_evals: list[int], n_cycle_vars: int,
                        log_ram_k: int, accesses, initial_ram: dict[int, int],
                        final_ram: dict[int, int], layout, program_inputs: bytes,
-                       program_outputs: bytes, is_panicking: bool) -> Stage2BatchResult:
+                       program_outputs: bytes, is_panicking: bool,
+                       sound: bool = False) -> Stage2BatchResult:
     res = Stage2BatchResult()
     max_rounds = log_ram_k + n_cycle_vars
 
@@ -793,7 +808,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                 elif i == 1:
                     if raf is None and rnd == start:
                         raf = RafEvaluationProver(accesses, tau[:n_cycle_vars], lowest,
-                                                  log_ram_k, input_claims[1])
+                                                  log_ram_k, input_claims[1],
+                                                  sound=sound)
                     ev = raf.round_evals()
                 elif i == 2:
                     ev = rwc.round_evals()

@@ -216,11 +216,13 @@ class Stage1Proof:
     uni_skip_claim: int = 0
 
 
-def prove_stage1_jolt(padded_steps, tau: list[int], transcript) -> Stage1Proof:
+def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
+                      witness_rows=None) -> Stage1Proof:
     """Full stage-1 flow with exact transcript discipline
     (proof_converter.zig:380-540). `tau` must already have been sampled from
-    the same transcript (num_cycle_vars + 2 values)."""
-    witnesses = ri.witness_matrix(padded_steps)
+    the same transcript (num_cycle_vars + 2 values). Pass witness_rows to
+    prove over a caller-built witness (e.g. the sound-mode variant)."""
+    witnesses = witness_rows if witness_rows is not None else ri.witness_matrix(padded_steps)
     proof = Stage1Proof()
 
     prover = StreamingOuterProver(witnesses, tau)
