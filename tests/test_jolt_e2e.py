@@ -269,3 +269,39 @@ def test_sound_mode_raf_publicly_checkable(tmp_path):
 
     # the sound proof still verifies through the standard verifier
     assert verify_jolt(res.conv.proof, path)
+
+
+def test_sound_proof_verifies_strictly(tmp_path):
+    """Sound proofs serialize the true RAF claim (no stage-5 clobber), so the
+    verifier replays the transcript end-to-end and enforces the full stage-3
+    batched output check — the reference-compat schedule cannot (its stage-5
+    zero schedule overwrites the absorbed RAF claim with 0, which is why the
+    golden proof only verifies with the documented compat downgrade)."""
+    from zolt_tpu.zkvm.jolt_types import OpeningId, SumcheckId, VirtualPolynomial
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    path = str(tmp_path / "collatz_sound2.elf")
+    with open(path, "wb") as f:
+        f.write(_provable_collatz_elf())
+    res = prove_jolt(path, sound=True)
+    assert verify_jolt(res.conv.proof, path, allow_reference_compat=False)
+    oid = OpeningId.virtual(VirtualPolynomial.named("Rs1Value"),
+                            SumcheckId.RegistersClaimReduction)
+    res.conv.proof.opening_claims.insert(
+        oid, res.conv.proof.opening_claims.get(oid) + 1)
+    with pytest.raises(VerifyError):
+        verify_jolt(res.conv.proof, path, allow_reference_compat=False)
+
+
+def test_golden_requires_compat_downgrade():
+    """The reference's own serialization breaks full transcript replay
+    (RamRa@RamRafEvaluation clobbered to 0 by the stage-5 zero schedule):
+    strict verification fails on the golden proof, compat mode accepts it."""
+    from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
+
+    _, proof = _load()
+    assert verify_jolt(proof, ELF)  # compat downgrade (default)
+    _, proof2 = _load()
+    with pytest.raises(VerifyError):
+        verify_jolt(proof2, ELF, allow_reference_compat=False)

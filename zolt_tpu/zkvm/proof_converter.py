@@ -305,7 +305,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
         # Stages 5-7: the reference emits zero sumcheck proofs + zero claims
         # (proof_converter.zig:2628-2683); no transcript absorption.
-        _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4)
+        _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4, sound=sound)
     return conv
 
 
@@ -402,7 +402,8 @@ def _insert_stage4_claims(claims: OpeningClaims, s4) -> None:
     claims.insert(OpeningId.virtual(V("RamRa"), S.RamValFinalEvaluation), s4.val_final_openings["wa"])
 
 
-def _add_zero_stages(proof: JoltProof, n_cycle_vars: int, log_k_chunk: int) -> None:
+def _add_zero_stages(proof: JoltProof, n_cycle_vars: int, log_k_chunk: int,
+                     sound: bool = False) -> None:
     from .jolt_types import CommittedPolynomial as CP
 
     V, C, S = VirtualPolynomial.named, CP, SumcheckId
@@ -415,7 +416,14 @@ def _add_zero_stages(proof: JoltProof, n_cycle_vars: int, log_k_chunk: int) -> N
     claims.insert(OpeningId.virtual(V("RdWa"), S.RegistersValEvaluation), 0)
     claims.insert(OpeningId.committed(C(C.RD_INC), S.RegistersValEvaluation), 0)
     claims.insert(OpeningId.virtual(V("RamRa"), S.RamRaClaimReduction), 0)
-    claims.insert(OpeningId.virtual(V("RamRa"), S.RamRafEvaluation), 0)
+    if not sound:
+        # The reference's stage-5 schedule overwrites the stage-2 RAF claim
+        # with 0 (proof_converter.zig:2649-2651) — the absorbed value becomes
+        # unrecoverable from the serialized proof, which breaks full
+        # transcript replay (the root cause of the reference's unfinished
+        # cross-verification). Sound mode keeps the real claim so the
+        # verifier can replay end-to-end.
+        claims.insert(OpeningId.virtual(V("RamRa"), S.RamRafEvaluation), 0)
     zero_proof(proof.stage6_sumcheck, n_cycle_vars)
     claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.Booleanity), 0)
     claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.RamHammingBooleanity), 0)

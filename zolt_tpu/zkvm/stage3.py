@@ -231,6 +231,7 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
         rd, r_rs1v, r_rs2v = (_fold(a, r) for a in (rd, r_rs1v, r_rs2v))
 
     res.final_claim = combined_claim
+    res.instance_final_claims = [shift_claim, instr_claim, reg_claim]
     res.shift_claims = {"unexpanded_pc": upc[0], "pc": pc[0], "is_virtual": virt[0],
                         "is_first_in_sequence": first[0], "is_noop": noop[0]}
     res.instr_claims = {"left_is_rs1": l_rs1[0], "rs1_value": rs1[0],
