@@ -88,24 +88,32 @@ class StreamingOuterProver:
         E_out = _eq_table_be(tau[:m])
         E_in = _eq_table_be(tau[m:wprime])
 
+        # az/bz per (cycle, group) are target-independent: compute once and
+        # reuse across the 9 extension targets
+        azbz_cache: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+        cells = []
+        for x_out, e_out in enumerate(E_out):
+            if e_out == 0:
+                continue
+            for x_in, e_in in enumerate(E_in):
+                cycle = (x_out << num_x_in_prime_bits) | (x_in >> 1)
+                if cycle >= len(self.witnesses):
+                    continue
+                group = x_in & 1
+                key = (cycle, group)
+                if key not in azbz_cache:
+                    azbz_cache[key] = _witness_az_bz(self.witnesses[cycle], group)
+                cells.append((e_out * e_in % P, group, azbz_cache[key]))
+
         extended = []
         for j, _target in enumerate(us.OUTER_TARGETS):
             coeffs = us.OUTER_COEFFS_PER_J[j]
             total = 0
-            for x_out, e_out in enumerate(E_out):
-                if e_out == 0:
-                    continue
-                for x_in, e_in in enumerate(E_in):
-                    cycle = (x_out << num_x_in_prime_bits) | (x_in >> 1)
-                    if cycle >= len(self.witnesses):
-                        continue
-                    group = x_in & 1
-                    w = self.witnesses[cycle]
-                    az, bz = _witness_az_bz(w, group)
-                    gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
-                    az_y = sum(coeffs[i] * az[i] for i in range(gsize)) % P
-                    bz_y = sum(coeffs[i] * bz[i] for i in range(gsize)) % P
-                    total = (total + e_out * e_in % P * (az_y * bz_y % P)) % P
+            for e, group, (az, bz) in cells:
+                gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
+                az_y = sum(coeffs[i] * az[i] for i in range(gsize)) % P
+                bz_y = sum(coeffs[i] * bz[i] for i in range(gsize)) % P
+                total = (total + e * (az_y * bz_y % P)) % P
             extended.append(total)
 
         return us.build_uniskip_first_round_poly(
