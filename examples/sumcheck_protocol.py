@@ -6,9 +6,11 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from zolt_tpu.field import limb
+from zolt_tpu.field.limb import FR_C
 from zolt_tpu.field.params import FR
 from zolt_tpu.sumcheck.driver import ProductSumcheck, run_sumcheck, verify_sumcheck
-from zolt_tpu.transcript import KeccakTranscript
+from zolt_tpu.transcript import Blake2bTranscript
 
 
 def main() -> None:
@@ -18,9 +20,21 @@ def main() -> None:
     claim = sum(x * y for x, y in zip(a, b)) % FR.p
     print(f"claim: sum_i a_i * b_i = {claim:#x}")
 
-    proof = run_sumcheck(ProductSumcheck([a, b]), KeccakTranscript(b"example"))
-    ok = verify_sumcheck(proof, claim, KeccakTranscript(b"example"))
-    print(f"rounds: {len(proof.round_polys)}, verified: {ok}")
+    polys = [limb.encode(a, FR_C), limb.encode(b, FR_C)]
+    inst = ProductSumcheck(polys)
+    proof = run_sumcheck(inst, Blake2bTranscript(b"example"), claim)
+
+    final_claim, challenges = verify_sumcheck(
+        proof, Blake2bTranscript(b"example"), claim,
+        num_rounds=inst.num_rounds, degree=inst.degree)
+    # final check: claim == A(r)·B(r)
+    from zolt_tpu.poly import dense
+
+    pt = list(challenges)
+    av = dense.evaluate(limb.encode(a, FR_C), pt, FR_C)
+    bv = dense.evaluate(limb.encode(b, FR_C), pt, FR_C)
+    ok = final_claim == av * bv % FR.p
+    print(f"rounds: {len(proof.compressed_polys)}, verified: {ok}")
     assert ok
 
 
