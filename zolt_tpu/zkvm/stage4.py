@@ -652,6 +652,8 @@ def prove_stage4(transcript, padded_steps, accesses, initial_ram,
             val_final.bind_with_poly(r, vf_evals)
 
     res.final_claim = batched_claim
+    res.instance_final_claims = [regs_claim, val_eval.current_claim,
+                                 val_final.current_claim]
     res.regs_claims = regs.final_claims()
     res.val_eval_openings = val_eval.final_openings()
     res.val_final_openings = val_final.final_openings()
