@@ -68,7 +68,7 @@ def cmd_prove(args) -> int:
     if args.jolt_format:
         from .zkvm.pipeline import prove_jolt
 
-        res = prove_jolt(args.elf, with_joint_proof=True)
+        res = prove_jolt(args.elf, with_joint_proof=True, sound=args.sound)
         t1 = time.time()
         data = res.conv.proof.serialize_with_dory()
         emu, padded = res.emulator, res.padded_steps
@@ -158,7 +158,8 @@ def cmd_verify(args) -> int:
                     proof = None
             if proof is None:
                 raise VerifyError("unrecognized Jolt proof layout")
-            verify_jolt(proof, args.elf, inputs=bytes.fromhex(args.inputs or ""))
+            verify_jolt(proof, args.elf, inputs=bytes.fromhex(args.inputs or ""),
+                        allow_reference_compat=not args.strict)
         except VerifyError as e:
             print(f"FAILED: {e}")
             return 1
@@ -327,6 +328,9 @@ def main(argv=None) -> int:
                     help="write the Jolt verifier preprocessing file")
     pp.add_argument("--legacy", action="store_true",
                     help="emit the device-accelerated legacy container")
+    pp.add_argument("--sound", action="store_true",
+                    help="with --jolt-format: sound-mode stage 2 (strictly "
+                    "verifiable, not byte-compatible with the reference)")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")
@@ -334,6 +338,9 @@ def main(argv=None) -> int:
     pv.add_argument("--elf", help="program ELF: verify a Jolt-format "
                     "(arkworks) proof against this program")
     pv.add_argument("--inputs", help="program input bytes (hex)")
+    pv.add_argument("--strict", action="store_true",
+                    help="disallow the reference-compat downgrade (requires "
+                    "a sound-mode proof)")
     pv.set_defaults(fn=cmd_verify)
 
     ps = sub.add_parser("stats", help="proof statistics")
