@@ -1,12 +1,15 @@
-"""zolt-tpu CLI: prove / verify / run / trace / decode / stats / info / bench.
+"""zolt-tpu CLI: prove / verify / run / trace / decode / stats / srs / bench / info.
 
 Command surface mirrors the reference CLI (src/main.zig:139-164):
-    python -m zolt_tpu run <elf> [--max N]
+    python -m zolt_tpu run <elf> [--max N] [--regs]
     python -m zolt_tpu trace <elf>
     python -m zolt_tpu decode <hex-instruction>
-    python -m zolt_tpu prove <elf> [-o proof.bin] [--json] [--log-k N]
-    python -m zolt_tpu verify <proof>
+    python -m zolt_tpu prove <elf> [-o out] [--jolt-format [--sound]]
+                                   [--export-preprocessing PATH] [--legacy]
+    python -m zolt_tpu verify <proof> [--elf <elf> [--strict]]
     python -m zolt_tpu stats <proof>
+    python -m zolt_tpu srs <ptau-or-raw-srs>
+    python -m zolt_tpu bench [--quick] [--only sections]
     python -m zolt_tpu info
 """
 
