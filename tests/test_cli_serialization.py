@@ -72,3 +72,42 @@ def test_cli_prove_verify_stats(tmp_path, capsys):
     assert main(["stats", proof_path]) == 0
     out = capsys.readouterr().out
     assert "stage6 booleanity" in out
+
+
+def test_gzip_roundtrip():
+    proof = small_proof()
+    data = serialization.serialize_gzip(proof)
+    assert serialization.detect_format(data) == "gzip"
+    back = serialization.load_auto(data)
+    assert [sp.challenges for sp in back.stage_proofs] == \
+        [sp.challenges for sp in proof.stage_proofs]
+    # plain containers also load through the autodetect reader
+    assert serialization.load_auto(serialization.serialize(proof)).log_t == proof.log_t
+    assert serialization.load_auto(serialization.to_json(proof).encode()).log_t == proof.log_t
+
+
+@pytest.mark.skipif(not os.path.exists(FIB_ELF), reason="reference ELF not present")
+def test_cli_gzip_prove_verify(tmp_path, capsys):
+    from zolt_tpu.__main__ import main
+
+    proof_path = str(tmp_path / "p.bin.gz")
+    assert main(["prove", FIB_ELF, "-o", proof_path, "--gzip"]) == 0
+    capsys.readouterr()
+    data = open(proof_path, "rb").read()
+    assert data[:2] == b"\x1f\x8b"
+    assert main(["verify", proof_path]) == 0
+    assert "PASSED" in capsys.readouterr().out
+    assert main(["stats", proof_path]) == 0
+
+
+def test_jolt_device_file_roundtrip():
+    from zolt_tpu.vm.layout import JoltDevice, MemoryConfig, MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=4096))
+    dev = JoltDevice(layout=lay, inputs=bytearray(b"hi"),
+                     outputs=bytearray(b"\x07\x00\x09"), panic=True)
+    back = JoltDevice.deserialize(dev.serialize())
+    assert bytes(back.inputs) == b"hi"
+    assert bytes(back.outputs) == b"\x07\x00\x09"
+    assert back.panic is True
+    assert back.layout == lay

@@ -85,7 +85,7 @@ def test_golden_proof_verifies():
     _, proof = _load()
     from zolt_tpu.zkvm.jolt_verifier import verify_jolt
 
-    assert verify_jolt(proof, ELF)
+    assert verify_jolt(proof, ELF, allow_reference_compat=True)
 
 
 def test_verifier_rejects_tampered_round_poly():
@@ -180,7 +180,7 @@ def test_prove_verify_asm_program_t1024(tmp_path):
     res = prove_jolt(path)
     assert len(res.padded_steps) == 1024  # different size than fibonacci's 256
     proof = res.conv.proof
-    assert verify_jolt(proof, path)
+    assert verify_jolt(proof, path, allow_reference_compat=True)
     proof.stage1_sumcheck.compressed_polys[0][0] += 1
     with pytest.raises(VerifyError):
         verify_jolt(proof, path)
@@ -301,7 +301,7 @@ def test_golden_requires_compat_downgrade():
     from zolt_tpu.zkvm.jolt_verifier import VerifyError, verify_jolt
 
     _, proof = _load()
-    assert verify_jolt(proof, ELF)  # compat downgrade (default)
+    assert verify_jolt(proof, ELF, allow_reference_compat=True)  # explicit opt-in
     _, proof2 = _load()
     with pytest.raises(VerifyError):
         verify_jolt(proof2, ELF, allow_reference_compat=False)

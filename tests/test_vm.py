@@ -318,3 +318,50 @@ def test_guest_factorial_golden():
     emu.load_program(a.bytes())
     emu.run()
     assert emu.registers.registers[2] == 3628800
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference golden programs (examples/README.md expected-result
+# table: sum->5050, gcd->63, bitwise->209, array->1465, signed->-39) —
+# together with fibonacci/collatz/primes/factorial these cover all 9 goldens.
+# ---------------------------------------------------------------------------
+
+from golden_programs import (_golden_array, _golden_bitwise,
+                             _golden_gcd, _golden_signed, _golden_sum)
+
+
+def _run_golden(a, program_size=2048):
+    a.ecall()
+    emu = Emulator(MemoryConfig(program_size=program_size))
+    emu.load_program(a.bytes())
+    emu.run(max_cycles=1 << 20)
+    return emu
+
+
+def test_guest_sum_golden():
+    emu = _run_golden(_golden_sum())
+    assert emu.registers.registers[10] == 5050
+
+
+def test_guest_gcd_golden():
+    emu = _run_golden(_golden_gcd())
+    assert emu.registers.registers[10] == 63
+
+
+def test_guest_bitwise_golden():
+    emu = _run_golden(_golden_bitwise())
+    assert emu.registers.registers[10] == 209
+
+
+def test_guest_array_golden():
+    from zolt_tpu.vm.layout import MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=2048))
+    emu = _run_golden(_golden_array(lay))
+    assert emu.registers.registers[10] == 1465
+
+
+def test_guest_signed_golden():
+    emu = _run_golden(_golden_signed())
+    v = emu.registers.registers[10]
+    assert v - (1 << 64) == -39

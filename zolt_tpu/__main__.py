@@ -6,11 +6,19 @@ Command surface mirrors the reference CLI (src/main.zig:139-164):
     python -m zolt_tpu decode <hex-instruction>
     python -m zolt_tpu prove <elf> [-o out] [--jolt-format [--sound]]
                                    [--export-preprocessing PATH] [--legacy]
-    python -m zolt_tpu verify <proof> [--elf <elf> [--strict]]
+                                   [--gzip] [--device-out PATH] [--timings]
+    python -m zolt_tpu verify <proof> [--elf <elf>] [--inputs HEX]
+                                      [--outputs HEX] [--panic]
+                                      [--device PATH] [--reference-compat]
     python -m zolt_tpu stats <proof>
     python -m zolt_tpu srs <ptau-or-raw-srs>
     python -m zolt_tpu bench [--quick] [--only sections]
     python -m zolt_tpu info
+
+Verification is strict by default; --reference-compat opts into the lenient
+downgrade that reference-produced proofs need (their stage-5 zero schedule
+clobbers the serialized RAF claim). --device pins the Fiat-Shamir preamble
+to a JoltDevice file written at prove time with --device-out.
 """
 
 from __future__ import annotations
@@ -74,12 +82,27 @@ def cmd_prove(args) -> int:
         res = prove_jolt(args.elf, with_joint_proof=True, sound=args.sound)
         t1 = time.time()
         data = res.conv.proof.serialize_with_dory()
+        if args.gzip:
+            import gzip
+
+            data = gzip.compress(data, mtime=0)
         emu, padded = res.emulator, res.padded_steps
         with open(args.output, "wb") as f:
             f.write(data)
         print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
         print(f"prove (jolt-format, 7 stages + Dory): {t1 - t0:.2f}s")
         print(f"proof: {len(data)} bytes -> {args.output}")
+        if args.device_out:
+            dev_data = emu.device.serialize(preamble_memory_size=32768)
+            with open(args.device_out, "wb") as f:
+                f.write(dev_data)
+            print(f"device: {len(dev_data)} bytes -> {args.device_out}")
+        if args.timings:
+            from .utils.log import metrics
+
+            print("stage timings:")
+            for line in metrics.report_lines():
+                print(line)
         if args.export_preprocessing:
             from .vm import elf as elf_mod
             from .vm.layout import MemoryConfig, MemoryLayout
@@ -103,6 +126,10 @@ def cmd_prove(args) -> int:
         proof, padded = prove_program(emu, log_k=args.log_k)
         t2 = time.time()
         data = serialization.to_json(proof).encode() if args.json else serialization.serialize(proof)
+        if args.gzip:
+            import gzip
+
+            data = gzip.compress(data, mtime=0)
         with open(args.output, "wb") as f:
             f.write(data)
         print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
@@ -121,6 +148,10 @@ def cmd_prove(args) -> int:
     proof = prove_internal(emu, padded, bytes(image), log_k=16)
     t2 = time.time()
     data = proof.serialize()
+    if args.gzip:
+        import gzip
+
+        data = gzip.compress(data, mtime=0)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"trace: {emu.cycle} cycles (padded {len(padded)})")
@@ -136,6 +167,10 @@ def cmd_verify(args) -> int:
     from .zkvm.stages import _ceil_log2
 
     data = open(args.proof, "rb").read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     if data[:4] == b"ZOLT" and data[4:8] == b"\x01\x00\x00\x00":
         from .zkvm.internal import deserialize_internal, verify_internal
 
@@ -161,8 +196,25 @@ def cmd_verify(args) -> int:
                     proof = None
             if proof is None:
                 raise VerifyError("unrecognized Jolt proof layout")
-            verify_jolt(proof, args.elf, inputs=bytes.fromhex(args.inputs or ""),
-                        allow_reference_compat=not args.strict)
+            inputs = bytes.fromhex(args.inputs or "")
+            outputs = bytes.fromhex(args.outputs or "")
+            panic = bool(args.panic)
+            memory_size = args.memory_size
+            max_input, max_output = args.max_input, args.max_output
+            if args.device:
+                from .vm.layout import JoltDevice
+
+                dev = JoltDevice.deserialize(open(args.device, "rb").read())
+                inputs = bytes(dev.inputs)
+                outputs = bytes(dev.outputs)
+                panic = dev.panic
+                memory_size = dev.preamble_memory_size
+                max_input = dev.layout.max_input_size
+                max_output = dev.layout.max_output_size
+            verify_jolt(proof, args.elf, inputs=inputs, outputs=outputs,
+                        panic=panic, memory_size=memory_size,
+                        max_input_size=max_input, max_output_size=max_output,
+                        allow_reference_compat=args.reference_compat)
         except VerifyError as e:
             print(f"FAILED: {e}")
             return 1
@@ -189,6 +241,10 @@ def cmd_stats(args) -> int:
     from . import serialization
 
     data = open(args.proof, "rb").read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     if data[:4] == b"ZOLT" and data[4:8] == b"\x01\x00\x00\x00":
         from .zkvm.internal import deserialize_internal
 
@@ -334,6 +390,13 @@ def main(argv=None) -> int:
     pp.add_argument("--sound", action="store_true",
                     help="with --jolt-format: sound-mode stage 2 (strictly "
                     "verifiable, not byte-compatible with the reference)")
+    pp.add_argument("--gzip", action="store_true",
+                    help="gzip-wrap the proof container (autodetected by verify)")
+    pp.add_argument("--device-out", metavar="PATH",
+                    help="write the JoltDevice (I/O claim) file after proving, "
+                    "for preamble pinning at verify time")
+    pp.add_argument("--timings", action="store_true",
+                    help="print the per-stage metrics registry after proving")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")
@@ -341,9 +404,22 @@ def main(argv=None) -> int:
     pv.add_argument("--elf", help="program ELF: verify a Jolt-format "
                     "(arkworks) proof against this program")
     pv.add_argument("--inputs", help="program input bytes (hex)")
+    pv.add_argument("--outputs", help="claimed program output bytes (hex) — "
+                    "part of the Fiat-Shamir preamble")
+    pv.add_argument("--panic", action="store_true",
+                    help="the claimed execution panicked (preamble bit)")
+    pv.add_argument("--memory-size", type=int, default=32768)
+    pv.add_argument("--max-input", type=int, default=4096)
+    pv.add_argument("--max-output", type=int, default=4096)
+    pv.add_argument("--device", metavar="PATH",
+                    help="JoltDevice file pinning the preamble I/O claim "
+                    "(overrides --inputs/--outputs/--panic and size knobs)")
+    pv.add_argument("--reference-compat", action="store_true",
+                    help="allow the lenient downgrade needed by reference-"
+                    "produced proofs (skips the stage-3 full output check)")
     pv.add_argument("--strict", action="store_true",
-                    help="disallow the reference-compat downgrade (requires "
-                    "a sound-mode proof)")
+                    help="deprecated: strict is now the default; use "
+                    "--reference-compat to opt into the lenient mode")
     pv.set_defaults(fn=cmd_verify)
 
     ps = sub.add_parser("stats", help="proof statistics")

@@ -15,7 +15,10 @@ from .zkvm.prover import MultiStageProof
 from .zkvm.stages import StageProof
 
 MAGIC = b"ZOLT"
-VERSION = 1
+# v2: distinct from the internal reference-parity container (internal.py),
+# which owns "ZOLT" v1 — the two formats share the magic and are routed by
+# this version word.
+VERSION = 2
 
 
 def _w_scalar(x: int) -> bytes:
@@ -105,8 +108,38 @@ def from_json(s: str) -> MultiStageProof:
 def detect_format(data: bytes) -> str:
     if data[:4] == MAGIC:
         return "native"
+    if data[:2] == b"\x1f\x8b":
+        return "gzip"
     try:
         json.loads(data.decode())
         return "json"
     except Exception:
         return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# gzip container (reference serialization.zig gzip compress path)
+# ---------------------------------------------------------------------------
+
+def serialize_gzip(proof: MultiStageProof) -> bytes:
+    """Native ZOLT container wrapped in gzip (reference serialization.zig:15-35
+    compress path). Autodetected by the 0x1f8b magic."""
+    import gzip
+
+    return gzip.compress(serialize(proof), mtime=0)
+
+
+def load_auto(data: bytes) -> MultiStageProof:
+    """Format-autodetecting reader: native / gzip-wrapped native / JSON
+    (reference zkvm/mod.zig:61-93 readProofAutoDetectFull)."""
+    fmt = detect_format(data)
+    if fmt == "gzip":
+        import gzip
+
+        inner = gzip.decompress(data)
+        return load_auto(inner)
+    if fmt == "json":
+        return from_json(data.decode())
+    if fmt == "native":
+        return deserialize(data)
+    raise ValueError("unrecognized proof format")

@@ -114,6 +114,12 @@ class Asm:
     def and_(self, rd, rs1, rs2):  self._r(0x33, rd, 7, rs1, rs2, 0)
     def or_(self, rd, rs1, rs2):   self._r(0x33, rd, 6, rs1, rs2, 0)
     def xor(self, rd, rs1, rs2):   self._r(0x33, rd, 4, rs1, rs2, 0)
+    def slt(self, rd, rs1, rs2):   self._r(0x33, rd, 2, rs1, rs2, 0)
+    def sltu(self, rd, rs1, rs2):  self._r(0x33, rd, 3, rs1, rs2, 0)
+    def sll(self, rd, rs1, rs2):   self._r(0x33, rd, 1, rs1, rs2, 0)
+    def srl(self, rd, rs1, rs2):   self._r(0x33, rd, 5, rs1, rs2, 0)
+    def sra(self, rd, rs1, rs2):   self._r(0x33, rd, 5, rs1, rs2, 0x20)
+    def srai(self, rd, rs1, sh):   self._i(0x13, rd, 5, rs1, sh | (0x10 << 6))
     def mul(self, rd, rs1, rs2):   self._r(0x33, rd, 0, rs1, rs2, 1)
     def div(self, rd, rs1, rs2):   self._r(0x33, rd, 4, rs1, rs2, 1)
     def rem(self, rd, rs1, rs2):   self._r(0x33, rd, 6, rs1, rs2, 1)

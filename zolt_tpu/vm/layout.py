@@ -203,3 +203,54 @@ class JoltDevice:
         if len(self.outputs) <= idx:
             self.outputs.extend(b"\x00" * (idx + 1 - len(self.outputs)))
         self.outputs[idx] = value & 0xFF
+
+    # -- file persistence (reference zkvm/mod.zig:1029 device-from-file:
+    #    pins the Fiat-Shamir preamble to an externally-produced I/O claim) --
+
+    _MAGIC = b"ZTPD"
+
+    def serialize(self, preamble_memory_size: int | None = None) -> bytes:
+        """Device file: layout-defining config + I/O buffers + panic flag.
+        Loading it reproduces the exact fiatShamirPreamble inputs.
+
+        preamble_memory_size is the Jolt-config memory size the prover's
+        Fiat-Shamir preamble used (NOT the emulator layout's RAM capacity);
+        it defaults to the layout value for emulator-only round trips."""
+        import struct
+
+        lay = self.layout
+        pm = preamble_memory_size if preamble_memory_size is not None else lay.memory_size
+        out = [self._MAGIC, struct.pack(
+            "<IQQQQQQQQB", 1, lay.program_size, lay.max_input_size,
+            lay.max_output_size, lay.memory_size, lay.stack_size,
+            lay.max_trusted_advice_size, lay.max_untrusted_advice_size,
+            pm, 1 if self.panic else 0)]
+        for buf in (self.inputs, self.trusted_advice, self.untrusted_advice,
+                    self.outputs):
+            out.append(struct.pack("<Q", len(buf)))
+            out.append(bytes(buf))
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "JoltDevice":
+        import struct
+
+        assert data[:4] == cls._MAGIC, "bad device-file magic"
+        (ver, program_size, mi, mo, mem, stack, mta, mua, preamble_mem,
+         panic) = struct.unpack_from("<IQQQQQQQQB", data, 4)
+        assert ver == 1, f"unsupported device-file version {ver}"
+        off = 4 + struct.calcsize("<IQQQQQQQQB")
+        bufs = []
+        for _ in range(4):
+            (n,) = struct.unpack_from("<Q", data, off)
+            off += 8
+            bufs.append(bytearray(data[off:off + n]))
+            off += n
+        layout = MemoryLayout.create(MemoryConfig(
+            program_size=program_size, max_input_size=mi, max_output_size=mo,
+            memory_size=mem, stack_size=stack, max_trusted_advice_size=mta,
+            max_untrusted_advice_size=mua))
+        dev = cls(layout=layout, inputs=bufs[0], trusted_advice=bufs[1],
+                  untrusted_advice=bufs[2], outputs=bufs[3], panic=panic != 0)
+        dev.preamble_memory_size = preamble_mem
+        return dev

@@ -91,6 +91,10 @@ class VerifyContext:
     io_outputs: bytes = b""
     io_panic: bool = False
     strict_outputs: bool = True
+    # unenforced-surface accounting: residuals from the stage-2/stage-4 joint
+    # output checks land here so callers can see what is NOT enforced yet
+    # (see _verify_stage2_batch / _verify_stage4 commentary)
+    report: dict = None
 
 
 def _output_expected(ctx: VerifyContext, r_address: list[int],
@@ -697,10 +701,22 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
                 inputs: bytes = b"", outputs: bytes = b"", panic: bool = False,
                 memory_size: int = 32768,
                 max_input_size: int = 4096, max_output_size: int = 4096,
-                allow_reference_compat: bool = True) -> bool:
+                allow_reference_compat: bool = False,
+                report: dict | None = None) -> bool:
     """Verify a Jolt-format proof against the public program + I/O claim.
 
     Raises VerifyError with a description on failure; returns True on success.
+
+    allow_reference_compat=False by default: the lenient retry that skips the
+    full stage-3 batched output check (needed only for reference-produced
+    proofs, whose stage-5 zero schedule clobbers the serialized RAF claim)
+    would otherwise be attacker-selectable — any prover could serialize
+    RamRa@RamRafEvaluation as 0 to trigger it. Opt in explicitly for golden
+    reference artifacts.
+
+    report, when provided, is filled with the residuals of the stage-2 and
+    stage-4 joint output checks so callers can see the unenforced surface
+    (zero for honest proofs; see the residual commentary at the check sites).
     """
     from ..vm import Emulator
     from ..vm import elf as elf_mod
@@ -736,7 +752,8 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
                         n_cycle_vars=n_cycle_vars, log_ram_k=log_ram_k, tau=tau,
                         layout=emu.device.layout, start_address=start_address,
                         initial_ram=initial_ram, io_inputs=inputs,
-                        io_outputs=outputs, io_panic=panic)
+                        io_outputs=outputs, io_panic=panic,
+                        report=report if report is not None else {})
 
     stage1_challenges = _verify_stage1(ctx)
     ctx.r_spartan = list(reversed(stage1_challenges[1:]))
@@ -764,6 +781,14 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
         ctx.transcript = tp_snapshot
         ctx.strict_outputs = False
         s3 = _verify_stage3(ctx, s2)
-    _verify_stage4(ctx, s2, s3, initial_ram, start_address)
+    s4 = _verify_stage4(ctx, s2, s3, initial_ram, start_address)
     _verify_zero_stages(ctx)
+    # Surface the unenforced joint-output residuals (zero for honest proofs).
+    ctx.report["stage2_output_residual"] = s2.get("stage2_output_residual")
+    ctx.report["stage4_output_residual"] = (s4 or {}).get("stage4_output_residual")
+    from ..utils.log import zlog
+
+    zlog("VERIFY", f"stage2_output_residual={ctx.report['stage2_output_residual']} "
+                   f"stage4_output_residual={ctx.report['stage4_output_residual']} "
+                   f"strict_outputs={ctx.strict_outputs}")
     return True

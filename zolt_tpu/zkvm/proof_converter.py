@@ -196,11 +196,17 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
     must write the termination word itself (guest halt convention) — and
     RAF aggregates with the BE-by-cycle eq table so its input claim equals
     the true sum. Verify such proofs with verify_jolt(strict_stage2=True)."""
-    conv = JoltConversion()
-    witness_rows = ri.witness_matrix(padded_steps, sound=sound)
+    from ..utils.log import metrics, zlog
 
-    conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
-                                    witness_rows=witness_rows)
+    conv = JoltConversion()
+    with metrics.stage("witness_gen"):
+        witness_rows = ri.witness_matrix(padded_steps, sound=sound)
+
+    with metrics.stage("stage1"):
+        conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
+                                        witness_rows=witness_rows)
+    zlog("STAGE1", f"uni_skip_claim={conv.stage1.uni_skip_claim} "
+                   f"rounds={len(conv.stage1.compressed_polys)}")
     conv.proof.stage1_uni_skip = UniSkipFirstRoundProof(conv.stage1.uni_skip_coeffs)
     from .jolt_types import SumcheckInstanceProof
 
@@ -231,27 +237,30 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         accesses = emulator.ram.trace
         if sound:
             accesses = _witness_accesses(padded_steps)
-        conv.stage2_batch = prove_stage2_batch(
-            transcript,
-            r0_stage2=s2u.r0,
-            uni_skip_claim_stage2=s2u.uni_skip_claim,
-            tau=tau2,
-            r_spartan=r_spartan,
-            witness_rows=witness_rows,
-            factors=extract_product_factors(witness_rows),
-            input_evals=conv.input_evals,
-            n_cycle_vars=n_cycle_vars,
-            log_ram_k=log_ram_k,
-            accesses=accesses,
-            sound=sound,
-            initial_ram=getattr(emulator, "initial_memory", {}),
-            final_ram=final_ram,
-            layout=emulator.device.layout,
-            program_inputs=bytes(emulator.device.inputs),
-            program_outputs=bytes(emulator.device.outputs),
-            is_panicking=emulator.device.panic,
-        )
+        with metrics.stage("stage2"):
+            conv.stage2_batch = prove_stage2_batch(
+                transcript,
+                r0_stage2=s2u.r0,
+                uni_skip_claim_stage2=s2u.uni_skip_claim,
+                tau=tau2,
+                r_spartan=r_spartan,
+                witness_rows=witness_rows,
+                factors=extract_product_factors(witness_rows),
+                input_evals=conv.input_evals,
+                n_cycle_vars=n_cycle_vars,
+                log_ram_k=log_ram_k,
+                accesses=accesses,
+                sound=sound,
+                initial_ram=getattr(emulator, "initial_memory", {}),
+                final_ram=final_ram,
+                layout=emulator.device.layout,
+                program_inputs=bytes(emulator.device.inputs),
+                program_outputs=bytes(emulator.device.outputs),
+                is_panicking=emulator.device.panic,
+            )
         conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
+        zlog("STAGE2", f"rounds={len(conv.stage2_batch.compressed_polys)} "
+                       f"final_claim={conv.stage2_batch.final_claim}")
 
         if stages < 3:
             return conv
@@ -283,8 +292,9 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
         _insert_stage2_claims(conv.proof.opening_claims, conv.stage2_batch)
 
-        conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
-                                   r_spartan, r_product, oc)
+        with metrics.stage("stage3"):
+            conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
+                                       r_spartan, r_product, oc)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
         _insert_stage3_claims(conv.proof.opening_claims, conv.stage3)
 
@@ -294,12 +304,13 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         # Stage 4: registers RWC + RamValEvaluation + RamValFinal
         from .stage4 import prove_stage4
 
-        conv.stage4 = prove_stage4(
-            transcript, padded_steps, accesses,
-            getattr(emulator, "initial_memory", {}),
-            emulator.device.layout.lowest_address(),
-            conv.stage2_batch, conv.stage3,
-            n_cycle_vars, log_ram_k)
+        with metrics.stage("stage4"):
+            conv.stage4 = prove_stage4(
+                transcript, padded_steps, accesses,
+                getattr(emulator, "initial_memory", {}),
+                emulator.device.layout.lowest_address(),
+                conv.stage2_batch, conv.stage3,
+                n_cycle_vars, log_ram_k)
         conv.proof.stage4_sumcheck = SIP(conv.stage4.compressed_polys)
         _insert_stage4_claims(conv.proof.opening_claims, conv.stage4)
 
