@@ -79,7 +79,13 @@ def cmd_prove(args) -> int:
     if args.jolt_format:
         from .zkvm.pipeline import prove_jolt
 
-        res = prove_jolt(args.elf, with_joint_proof=True, sound=args.sound)
+        mesh = None
+        if args.stage1_backend == "mesh":
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
+        res = prove_jolt(args.elf, with_joint_proof=True, sound=args.sound,
+                         stage1_backend=args.stage1_backend, mesh=mesh)
         t1 = time.time()
         data = res.conv.proof.serialize_with_dory()
         if args.gzip:
@@ -397,6 +403,11 @@ def main(argv=None) -> int:
                     "for preamble pinning at verify time")
     pp.add_argument("--timings", action="store_true",
                     help="print the per-stage metrics registry after proving")
+    pp.add_argument("--stage1-backend", choices=("host", "device", "mesh"),
+                    default="host",
+                    help="where the stage-1 remaining-round hot loops run "
+                    "(proof bytes are identical; device/mesh pay per-size "
+                    "kernel compiles on first use)")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")

@@ -122,6 +122,49 @@ def make_sharded_product_round(mesh: Mesh, n_factors: int, f=FR_C):
     return jax.jit(step)
 
 
+def make_sharded_eval_fold(mesh: Mesh, n_factors: int, f=FR_C):
+    """Separate jitted sharded programs for one sumcheck round: `evals`
+    (round-poly partial sums + psum) and `fold` (challenge bind). They are
+    separate because the challenge only exists after the evals are absorbed
+    into the Fiat-Shamir transcript — a fused step would either run twice per
+    round (discarding the first fold) or fold blind."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(PS(None, AXIS, None),),
+        out_specs=PS(None, None),
+        check_vma=False,
+    )
+    def evals(tables):
+        lo_list, diff_list = [], []
+        for k in range(n_factors):
+            pairs = tables[k].reshape(tables.shape[1] // 2, 2, -1)
+            lo, hi = pairs[:, 0, :], pairs[:, 1, :]
+            lo_list.append(lo)
+            diff_list.append(limb.sub(hi, lo, f))
+        partial_evals = _local_round_evals(lo_list, diff_list, n_factors, f)
+        return _psum_field(partial_evals, f)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(PS(None, AXIS, None), PS(None)),
+        out_specs=PS(None, AXIS, None),
+        check_vma=False,
+    )
+    def fold(tables, r):
+        out = []
+        for k in range(n_factors):
+            pairs = tables[k].reshape(tables.shape[1] // 2, 2, -1)
+            lo, hi = pairs[:, 0, :], pairs[:, 1, :]
+            d = limb.sub(hi, lo, f)
+            out.append(limb.add(lo, limb.mont_mul(r[None], d, f), f))
+        return jnp.stack(out)
+
+    return jax.jit(evals), jax.jit(fold)
+
+
 def sharded_sumcheck_prove(mesh: Mesh, factor_tables, transcript, f=FR_C):
     """FULL mesh-sharded sumcheck prove of claim = Σ_x Π_k factor_k(x).
 
@@ -143,7 +186,7 @@ def sharded_sumcheck_prove(mesh: Mesh, factor_tables, transcript, f=FR_C):
     k = len(factor_tables)
     n = len(factor_tables[0])
     n_dev = mesh.devices.size
-    step = make_sharded_product_round(mesh, n_factors=k, f=f)
+    eval_step, fold_step = make_sharded_eval_fold(mesh, n_factors=k, f=f)
 
     tables = np.stack([np.asarray(limb.encode(t, f)) for t in factor_tables])
     dev_tables = jax.device_put(tables)
@@ -152,15 +195,12 @@ def sharded_sumcheck_prove(mesh: Mesh, factor_tables, transcript, f=FR_C):
     round_evals, challenges = [], []
     while n > 1:
         if n >= 2 * n_dev and host_tables is None:
-            # two calls per round: the challenge only exists after the evals
-            # are absorbed (Fiat-Shamir), so the first call's fold output is
-            # discarded and the second call folds with the real challenge
-            evals_dev, _ = step(dev_tables, limb.encode([0], f)[0])
+            evals_dev = eval_step(dev_tables)
             evals = [int(v) for v in limb.decode(np.asarray(evals_dev), f)]
             for e in evals:
                 transcript.append_scalar(e)
             r = transcript.challenge_scalar()
-            _, dev_tables = step(dev_tables, limb.encode([r], f)[0])
+            dev_tables = fold_step(dev_tables, limb.encode([r], f)[0])
         else:
             if host_tables is None:
                 host_tables = [[int(v) for v in limb.decode(np.asarray(dev_tables[i]), f)]

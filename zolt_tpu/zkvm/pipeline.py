@@ -39,7 +39,8 @@ class JoltPipelineResult:
 def prove_jolt(elf_path: str, *, memory_size: int = 32768,
                srs=None, golden_commitments: list[bytes] | None = None,
                stages: int = 7, with_joint_proof: bool = False,
-               sound: bool = False) -> JoltPipelineResult:
+               sound: bool = False, stage1_backend: str = "host",
+               mesh=None) -> JoltPipelineResult:
     """Full Jolt-format proof for an ELF. `golden_commitments` replaces the
     commitment phase with externally-provided GT bytes (for differential
     testing against a proof produced with a different SRS)."""
@@ -74,7 +75,8 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
 
     tau = derive_tau(transcript, n_cycle_vars)
     conv = convert_with_transcript(padded, tau, transcript, emulator=emu,
-                                   log_ram_k=LOG_RAM_K, stages=stages, sound=sound)
+                                   log_ram_k=LOG_RAM_K, stages=stages, sound=sound,
+                                   stage1_backend=stage1_backend, mesh=mesh)
 
     proof = conv.proof
     proof.commitments = commitment_bytes

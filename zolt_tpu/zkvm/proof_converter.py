@@ -186,7 +186,9 @@ class JoltConversion:
 
 def convert_with_transcript(padded_steps, tau: list[int], transcript,
                             emulator=None, log_ram_k: int = 16,
-                            stages: int = 7, sound: bool = False) -> JoltConversion:
+                            stages: int = 7, sound: bool = False,
+                            stage1_backend: str = "host",
+                            mesh=None) -> JoltConversion:
     """Drive the Jolt proof stages implemented so far. Pass the finished
     emulator to enable the stage-2 batched sumcheck (needs RAM traces).
 
@@ -204,7 +206,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
     with metrics.stage("stage1"):
         conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
-                                        witness_rows=witness_rows)
+                                        witness_rows=witness_rows,
+                                        backend=stage1_backend, mesh=mesh)
     zlog("STAGE1", f"uni_skip_claim={conv.stage1.uni_skip_claim} "
                    f"rounds={len(conv.stage1.compressed_polys)}")
     conv.proof.stage1_uni_skip = UniSkipFirstRoundProof(conv.stage1.uni_skip_coeffs)

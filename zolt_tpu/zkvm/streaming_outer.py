@@ -63,7 +63,8 @@ def _eq_table_be(taus: list[int]) -> list[int]:
 
 class StreamingOuterProver:
     def __init__(self, cycle_witnesses: list[list[int]], tau: list[int],
-                 lagrange_tau_r0: int | None = None):
+                 lagrange_tau_r0: int | None = None, backend: str = "host",
+                 mesh=None):
         self.witnesses = cycle_witnesses
         self.full_tau = list(tau)
         self.tau_high = tau[-1]
@@ -76,6 +77,13 @@ class StreamingOuterProver:
         self.az: list[int] | None = None
         self.bz: list[int] | None = None
         self.r_stream: int | None = None
+        # backend: "host" (python ints), "device" (single-chip limb arrays),
+        # "mesh" (az/bz sharded over a jax Mesh) — bit-identical results;
+        # the split-eq bookkeeping and cubic-poly algebra always stay host
+        # (O(1) per round, the Fiat-Shamir boundary)
+        self.backend_kind = backend
+        self.mesh = mesh
+        self._dev = None
 
     # -- round 0: UniSkip ---------------------------------------------------
     def compute_first_round_poly(self) -> list[int]:
@@ -151,6 +159,16 @@ class StreamingOuterProver:
                 bz[2 * i + group] = bv
         self.az = az
         self.bz = bz
+        if self.backend_kind == "device":
+            from .device_outer import DeviceOuterRounds
+
+            self._dev = DeviceOuterRounds(az, bz)
+            self.az = self.bz = None
+        elif self.backend_kind == "mesh":
+            from .device_outer import MeshOuterRounds
+
+            self._dev = MeshOuterRounds(az, bz, self.mesh)
+            self.az = self.bz = None
 
     def num_remaining_rounds(self) -> int:
         # 1 streaming + num_cycle_vars (reference: numRounds)
@@ -165,6 +183,12 @@ class StreamingOuterProver:
         head_in = head - head_out
         E_out = se.E_out_vec[min(head_out, len(se.E_out_vec) - 1)]
         E_in = se.E_in_vec[min(head_in, len(se.E_in_vec) - 1)]
+
+        if self._dev is not None:
+            n2 = self._dev.num_pairs()
+            t0, tinf = self._dev.round_evals(E_out[: n2 >> head_in],
+                                             E_in[: 1 << head_in])
+            return self._cubic_round_poly(t0, tinf, self.current_claim)
 
         az, bz = self.az, self.bz
         n2 = len(az) // 2
@@ -203,6 +227,10 @@ class StreamingOuterProver:
         if self.current_round == 1:
             self.r_stream = r
         self.split_eq.bind(r)
+        if self._dev is not None:
+            self._dev.bind(r)
+            self.current_round += 1
+            return
         half = len(self.az) // 2
         self.az = [(self.az[2 * i] + r * (self.az[2 * i + 1] - self.az[2 * i])) % P
                    for i in range(half)]
@@ -225,11 +253,15 @@ class Stage1Proof:
 
 
 def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
-                      witness_rows=None) -> Stage1Proof:
+                      witness_rows=None, backend: str = "host",
+                      mesh=None) -> Stage1Proof:
     """Full stage-1 flow with exact transcript discipline
     (proof_converter.zig:380-540). `tau` must already have been sampled from
     the same transcript (num_cycle_vars + 2 values). Pass witness_rows to
-    prove over a caller-built witness (e.g. the sound-mode variant)."""
+    prove over a caller-built witness (e.g. the sound-mode variant).
+
+    backend selects where the remaining-round hot loops run ("host",
+    "device", "mesh" — see device_outer); the proof bytes are identical."""
     witnesses = witness_rows if witness_rows is not None else ri.witness_matrix(padded_steps)
     proof = Stage1Proof()
 
@@ -245,7 +277,8 @@ def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
     proof.r0 = r0
 
     lagrange_tau_r0 = us.lagrange_kernel(us.OUTER_DOMAIN, r0, tau[-1])
-    prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0)
+    prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0,
+                                  backend=backend, mesh=mesh)
     uni_skip_claim = unipoly.horner_eval(s1, r0)
     proof.uni_skip_claim = uni_skip_claim
     prover.bind_first_round(r0, uni_skip_claim)
