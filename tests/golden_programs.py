@@ -89,6 +89,8 @@ def _golden_bitwise():
 def _golden_array(lay):
     from zolt_tpu.vm.guest import Asm
 
+    # 8-byte elements (ld/sd): sound-mode RAM read/write checking models RAM
+    # as aligned 8-byte word slots, matching the Jolt doubleword RAM model.
     a = Asm()
     a.li_addr(20, lay.stack_end)   # array base in writable RAM
     a.addi(1, 0, 0)                # init: arr[i] = i*i
@@ -96,28 +98,28 @@ def _golden_array(lay):
     a.add(3, 20, 0)
     a.label("init")
     a.mul(4, 1, 1)
-    a.sw(3, 4, 0)
-    a.addi(3, 3, 4)
+    a.sd(3, 4, 0)
+    a.addi(3, 3, 8)
     a.addi(1, 1, 1)
     a.blt(1, 2, "init")
     a.addi(5, 0, 0)                # sum = 1240
     a.addi(1, 0, 0)
     a.add(3, 20, 0)
     a.label("sum")
-    a.lw(6, 3, 0)
+    a.ld(6, 3, 0)
     a.add(5, 5, 6)
-    a.addi(3, 3, 4)
+    a.addi(3, 3, 8)
     a.addi(1, 1, 1)
     a.blt(1, 2, "sum")
-    a.lw(7, 20, 0)                 # max = 225
+    a.ld(7, 20, 0)                 # max = 225
     a.addi(1, 0, 1)
-    a.addi(3, 20, 4)
+    a.addi(3, 20, 8)
     a.label("max")
-    a.lw(6, 3, 0)
+    a.ld(6, 3, 0)
     a.bge(7, 6, "skip")
     a.add(7, 6, 0)
     a.label("skip")
-    a.addi(3, 3, 4)
+    a.addi(3, 3, 8)
     a.addi(1, 1, 1)
     a.blt(1, 2, "max")
     a.add(10, 5, 7)

@@ -30,11 +30,27 @@ def num_constraint_vars(padded):
 import pytest as _pytest
 
 
+_RUN_LEGACY_DEVICE = os.environ.get("ZOLT_TPU_RUN_SLOW") == "1"
+
+# The legacy per-shape device prover (zkvm/stages.py DeviceMleSumcheck)
+# compiles one scan-heavy XLA:CPU kernel per (shape, degree); in this
+# environment each such compile (and even each persistent-cache LOAD, due to
+# a compile-machine/host feature mismatch in the XLA:CPU AOT loader) takes
+# minutes, putting this one fixture at 30-60 min of suite time. The
+# MAINTAINED device path — the fixed-shape stage-1 limb kernels — is covered
+# by tests/test_device_outer.py (bit-exact vs host and over the 8-device
+# mesh); the protocol logic proved here is covered by the host-path tests.
+# Set ZOLT_TPU_RUN_SLOW=1 to run the legacy device path end-to-end.
+
+
 @_pytest.fixture(scope="module")
 def legacy_proof():
     """One legacy device-path prove shared by the module (the per-shape kernel
     compiles dominate; correctness at other sizes is covered by the host-path
     differential tests)."""
+    if not _RUN_LEGACY_DEVICE:
+        _pytest.skip("legacy per-shape device path: set ZOLT_TPU_RUN_SLOW=1 "
+                     "(see comment above)")
     emu = run_program([
         0x00500093,  # addi x1, x0, 5
         0x00000113,  # addi x2, x0, 0
@@ -51,6 +67,8 @@ def test_prove_verify_small_program(legacy_proof):
     assert verify(proof, num_constraint_vars(padded))
 
 
+@_pytest.mark.skipif(not _RUN_LEGACY_DEVICE,
+                     reason="legacy per-shape device path (see comment above)")
 def test_prove_verify_memory_program():
     lui_x2 = (0x80001 << 12) | (2 << 7) | 0x37
     emu = run_program([

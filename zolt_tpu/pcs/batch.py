@@ -1,0 +1,309 @@
+"""Batch opening accumulator: reduce many committed-polynomial opening
+claims to ONE Dory opening, then verify it algebraically.
+
+This is the PCS-binding layer the Jolt-format verifier uses in sound mode:
+every committed-poly evaluation consumed by the stage output checks is
+re-proven against the absorbed GT commitments, closing the
+"prover-supplied claim map" channel (reference's accumulator surface:
+src/poly/commitment/batch.zig:72-218 — a KZG-style γ-RLC batcher; here the
+claims sit at DIFFERENT points, so we first run the standard Jolt
+opening-proof-reduction sumcheck, then γ-RLC at the single reduced point).
+
+Protocol (prover and verifier share the live Fiat-Shamir transcript):
+  claims: {(C_i, q_i, v_i)} with q_i a big-endian MLE point (q[0] ↔ MSB of
+  the table index) over n_i ≤ N variables, v_i = f_i(q_i).
+  1. ρ ← transcript. Sumcheck over g(x) = Σ_i ρ^i·eq(q_i,x)·f_i(x), claim
+     Σ_i ρ^i·v_i, N rounds (big-endian: round j binds the MSB), degree 2.
+  2. Prover sends finals f_i(r*); verifier checks
+     Σ_i ρ^i·eq(q_i,r*)·f_i(r*) == final sumcheck claim.
+  3. γ ← transcript. Joint poly F = Σ_i γ^i·f_i (zero-padded to 2^N), joint
+     value v* = Σ_i γ^i·f_i(r*), joint commitment C* = Π_i C_i^{γ^i}
+     (Dory GT commitments are additively homomorphic in the exponent —
+     REQUIRES all polys committed with the same column width 2^{N/2}).
+  4. One real Dory open/verify of (C*, r*, v*).
+
+All claims use the big-endian convention; `to_dory_point` converts to the
+Dory matrix layout (see `dory._split_point`): for an even-N point q, the
+Dory point is q[ν:] + q[:ν].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field import tower as tw
+from ..field.params import FR
+from . import dory
+
+P = FR.p
+
+
+# ---------------------------------------------------------------------------
+# MLE helpers (big-endian: point[0] binds the MSB of the table index)
+# ---------------------------------------------------------------------------
+
+def mle_eval_be(evals: list[int], point: list[int]) -> int:
+    t = [v % P for v in evals]
+    n = 1 << len(point)
+    if len(t) < n:
+        t = t + [0] * (n - len(t))
+    for p_i in point:
+        h = len(t) // 2
+        t = [(t[i] + p_i * (t[i + h] - t[i])) % P for i in range(h)]
+    return t[0]
+
+
+def eq_table_be(point: list[int]) -> list[int]:
+    """eq(point, j) for all j, big-endian (point[0] ↔ MSB of j).
+
+    Each doubling step places the new variable at the HIGH bit, so the
+    last-processed coordinate owns the MSB — iterate reversed(point)."""
+    out = [1]
+    for p_i in reversed(point):
+        p_i %= P
+        nxt = [0] * (2 * len(out))
+        for i, v in enumerate(out):
+            y = v * p_i % P
+            nxt[i + len(out)] = y
+            nxt[i] = (v - y) % P
+        out = nxt
+    return out
+
+
+def eq_eval_be(q: list[int], r: list[int]) -> int:
+    out = 1
+    for a, b in zip(q, r):
+        out = out * ((a * b + (1 - a) * (1 - b)) % P) % P
+    return out
+
+
+def to_dory_point(q_be: list[int]) -> list[int]:
+    """Big-endian MLE point → Dory matrix point (inverse of the split in
+    `dory._split_point`: dory binds cols with point[:σ], rows with
+    point[σ:], both big-endian; rows are the high index bits)."""
+    n = len(q_be)
+    sigma = (n + 1) // 2
+    nu = n - sigma
+    return q_be[nu:] + q_be[:nu]
+
+
+# ---------------------------------------------------------------------------
+# Claims
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BatchClaim:
+    """One committed-poly opening claim.
+
+    commitment: 384-byte GT bytes (as absorbed into the transcript).
+    point_be:   big-endian evaluation point, len ≤ N.
+    value:      claimed evaluation.
+    evals:      prover side only — the committed table (len ≤ 2^N).
+    """
+
+    commitment: bytes
+    point_be: list[int]
+    value: int
+    evals: list[int] | None = None
+
+
+@dataclass
+class BatchOpeningProof:
+    round_polys: list[list[int]] = dfield(default_factory=list)  # 3 evals each
+    finals: list[int] = dfield(default_factory=list)
+    dory_proof: dory.DoryProof | None = None
+
+
+def _pad_point(q: list[int], n: int) -> list[int]:
+    return [0] * (n - len(q)) + [c % P for c in q]
+
+
+def _absorb_round(transcript, evals3: list[int]) -> int:
+    transcript.append_message(b"BatchOpen_round")
+    for e in evals3:
+        transcript.append_scalar(e % P)
+    return transcript.challenge_scalar()
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
+                        num_vars: int) -> BatchOpeningProof:
+    """Run the reduction + joint Dory opening. `num_vars` must be even and
+    ≥ every claim's point length; srs must cover num_vars."""
+    assert num_vars % 2 == 0, "pad to an even num_vars (square Dory layout)"
+    n_tab = 1 << num_vars
+    proof = BatchOpeningProof()
+
+    transcript.append_scalar(len(claims))
+    rho = transcript.challenge_scalar()
+
+    # per-claim tables: zero-padded f_i and eq(q_i_pad, ·)
+    ftabs, etabs, coeffs = [], [], []
+    c_pow = 1
+    claim_sum = 0
+    for cl in claims:
+        q = _pad_point(cl.point_be, num_vars)
+        f = [v % P for v in cl.evals]
+        f += [0] * (n_tab - len(f))
+        assert mle_eval_be(f, q) == cl.value % P, "claim value != f(q)"
+        ftabs.append(f)
+        etabs.append(eq_table_be(q))
+        coeffs.append(c_pow)
+        claim_sum = (claim_sum + c_pow * cl.value) % P
+        c_pow = c_pow * rho % P
+
+    # sumcheck: N rounds, degree 2, bind MSB first
+    r_star: list[int] = []
+    cur = claim_sum
+    for _ in range(num_vars):
+        h = len(ftabs[0]) // 2
+        e0 = e2 = 0
+        for c_i, f, e in zip(coeffs, ftabs, etabs):
+            a0 = a2 = 0
+            for j in range(h):
+                flo, fhi = f[j], f[j + h]
+                elo, ehi = e[j], e[j + h]
+                a0 += elo * flo
+                a2 += (2 * fhi - flo) * (2 * ehi - elo)
+            e0 = (e0 + c_i * a0) % P
+            e2 = (e2 + c_i * a2) % P
+        e1 = (cur - e0) % P
+        proof.round_polys.append([e0, e1, e2])
+        r = _absorb_round(transcript, [e0, e1, e2])
+        r_star.append(r)
+        # p(r) via degree-2 Lagrange on {0,1,2}
+        cur = _deg2_eval([e0, e1, e2], r)
+        for arr_list in (ftabs, etabs):
+            for k, t in enumerate(arr_list):
+                arr_list[k] = [(t[j] + r * (t[j + h] - t[j])) % P for j in range(h)]
+
+    # per-claim finals
+    proof.finals = [f[0] for f in ftabs]
+    for v in proof.finals:
+        transcript.append_scalar(v)
+
+    gamma = transcript.challenge_scalar()
+    joint = [0] * n_tab
+    g_pow = 1
+    for cl in claims:
+        f = [v % P for v in cl.evals]
+        for j, v in enumerate(f):
+            joint[j] = (joint[j] + g_pow * v) % P
+        g_pow = g_pow * gamma % P
+
+    pt = to_dory_point(r_star)
+    proof.dory_proof = dory.open_with_transcript(srs, joint, pt, transcript)
+    return proof
+
+
+def _deg2_eval(evals3: list[int], r: int) -> int:
+    e0, e1, e2 = [v % P for v in evals3]
+    # Lagrange over {0,1,2}: p(r) = e0·(r-1)(r-2)/2 − e1·r(r-2) + e2·r(r-1)/2
+    inv2 = pow(2, -1, P)
+    t0 = e0 * ((r - 1) * (r - 2) % P) % P * inv2 % P
+    t1 = (-e1 * (r * (r - 2) % P)) % P
+    t2 = e2 * (r * (r - 1) % P) % P * inv2 % P
+    return (t0 + t1 + t2) % P
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+def verify_batch_opening(transcript, claims: list[BatchClaim],
+                         proof: BatchOpeningProof, srs: dory.DorySRS,
+                         num_vars: int) -> bool:
+    """Verify the reduction sumcheck + joint Dory opening against the GT
+    commitment bytes in `claims` (points re-derived by the caller from its
+    own challenge bookkeeping, NOT prover data)."""
+    if num_vars % 2 != 0 or len(proof.round_polys) != num_vars:
+        return False
+    if len(proof.finals) != len(claims):
+        return False
+
+    transcript.append_scalar(len(claims))
+    rho = transcript.challenge_scalar()
+    coeffs = []
+    c_pow = 1
+    cur = 0
+    for cl in claims:
+        coeffs.append(c_pow)
+        cur = (cur + c_pow * cl.value) % P
+        c_pow = c_pow * rho % P
+
+    r_star: list[int] = []
+    for evals3 in proof.round_polys:
+        e0, e1 = evals3[0] % P, evals3[1] % P
+        if (e0 + e1) % P != cur:
+            return False
+        r = _absorb_round(transcript, evals3)
+        r_star.append(r)
+        cur = _deg2_eval(evals3, r)
+
+    for v in proof.finals:
+        transcript.append_scalar(v % P)
+
+    # reduction consistency: Σ ρ^i·eq(q_i, r*)·f_i(r*) == final claim
+    acc = 0
+    for c_i, cl, fin in zip(coeffs, claims, proof.finals):
+        q = _pad_point(cl.point_be, num_vars)
+        acc = (acc + c_i * (eq_eval_be(q, r_star) * (fin % P) % P)) % P
+    if acc != cur:
+        return False
+
+    gamma = transcript.challenge_scalar()
+    v_star = 0
+    g_pow = 1
+    c_star = tw.FP12_ONE
+    for cl, fin in zip(claims, proof.finals):
+        v_star = (v_star + g_pow * (fin % P)) % P
+        c_star = tw.fp12_mul(c_star, tw.fp12_pow(tw.fp12_from_bytes(cl.commitment), g_pow))
+        g_pow = g_pow * gamma % P
+
+    pt = to_dory_point(r_star)
+    return dory.verify_with_transcript(srs, c_star, pt, v_star,
+                                       proof.dory_proof, transcript)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (ZOLT-native container section)
+# ---------------------------------------------------------------------------
+
+def serialize_batch_opening(proof: BatchOpeningProof) -> bytes:
+    import struct
+
+    out = [struct.pack("<II", len(proof.round_polys), len(proof.finals))]
+    for rp in proof.round_polys:
+        for v in rp:
+            out.append((v % P).to_bytes(32, "little"))
+    for v in proof.finals:
+        out.append((v % P).to_bytes(32, "little"))
+    dp = dory.serialize_dory_proof(proof.dory_proof)
+    out.append(struct.pack("<I", len(dp)))
+    out.append(dp)
+    return b"".join(out)
+
+
+def deserialize_batch_opening(data: bytes) -> tuple[BatchOpeningProof, int]:
+    import struct
+
+    n_rounds, n_finals = struct.unpack_from("<II", data, 0)
+    off = 8
+    proof = BatchOpeningProof()
+    for _ in range(n_rounds):
+        rp = []
+        for _ in range(3):
+            rp.append(int.from_bytes(data[off:off + 32], "little"))
+            off += 32
+        proof.round_polys.append(rp)
+    for _ in range(n_finals):
+        proof.finals.append(int.from_bytes(data[off:off + 32], "little"))
+        off += 32
+    (dp_len,) = struct.unpack_from("<I", data, off)
+    off += 4
+    proof.dory_proof = dory.deserialize_dory_proof(data[off:off + dp_len])
+    off += dp_len
+    return proof, off

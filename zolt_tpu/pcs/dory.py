@@ -86,6 +86,57 @@ def _sqrt_fp(a: int) -> int | None:
     return r if r * r % PQ == a % PQ else None
 
 
+def _sqrt_fp2(a0: int, a1: int) -> tuple[int, int] | None:
+    """Square root in Fp2 = Fp[u]/(u²+1) via the norm method."""
+    if a1 == 0:
+        r = _sqrt_fp(a0)
+        if r is not None:
+            return (r, 0)
+        # a0 is a non-residue: sqrt is purely imaginary, (x·u)² = -x²
+        r = _sqrt_fp((-a0) % PQ)
+        return None if r is None else (0, r)
+    n = (a0 * a0 + a1 * a1) % PQ
+    lam = _sqrt_fp(n)
+    if lam is None:
+        return None
+    inv2 = pow(2, -1, PQ)
+    delta = (a0 + lam) * inv2 % PQ
+    x0 = _sqrt_fp(delta)
+    if x0 is None:
+        delta = (a0 - lam) * inv2 % PQ
+        x0 = _sqrt_fp(delta)
+        if x0 is None:
+            return None
+    x1 = a1 * pow(2 * x0 % PQ, -1, PQ) % PQ
+    return (x0, x1)
+
+
+def decompress_g2(data: bytes):
+    flags = data[63]
+    if flags & 0x40:
+        return None
+    x0 = int.from_bytes(data[:32], "little")
+    x1 = int.from_bytes(data[32:63] + bytes([flags & 0x3F]), "little")
+    # y² = x³ + 3/(9+u) on the twist
+    xx0 = (x0 * x0 - x1 * x1) % PQ
+    xx1 = 2 * x0 * x1 % PQ
+    x3_0 = (xx0 * x0 - xx1 * x1) % PQ
+    x3_1 = (xx0 * x1 + xx1 * x0) % PQ
+    # b' = 3/(9+u) = 3·(9-u)/82
+    inv82 = pow(82, -1, PQ)
+    b0 = 27 * inv82 % PQ
+    b1 = (-3 * inv82) % PQ
+    y2_0 = (x3_0 + b0) % PQ
+    y2_1 = (x3_1 + b1) % PQ
+    rt = _sqrt_fp2(y2_0, y2_1)
+    assert rt is not None, "G2 point not on curve"
+    y0, y1 = rt
+    ny0, ny1 = (-y0) % PQ, (-y1) % PQ
+    if bool(flags & 0x80) != ((y1, y0) > (ny1, ny0)):
+        y0, y1 = ny0, ny1
+    return ((x0, x1), (y0, y1))
+
+
 # ---------------------------------------------------------------------------
 # SRS
 # ---------------------------------------------------------------------------
@@ -742,3 +793,41 @@ def serialize_dory_proof(proof: DoryProof) -> bytes:
     out += [compress_g1(proof.final_e1), compress_g2(proof.final_e2),
             _struct.pack("<II", proof.nu, proof.sigma)]
     return b"".join(out)
+
+
+def deserialize_dory_proof(data: bytes) -> DoryProof:
+    """Inverse of `serialize_dory_proof`."""
+    import struct as _struct
+
+    off = 0
+
+    def gt():
+        nonlocal off
+        v = tw.fp12_from_bytes(data[off:off + 384])
+        off += 384
+        return v
+
+    def g1():
+        nonlocal off
+        v = decompress_g1(data[off:off + 32])
+        off += 32
+        return v
+
+    def g2():
+        nonlocal off
+        v = decompress_g2(data[off:off + 64])
+        off += 64
+        return v
+
+    c, d2, e1 = gt(), gt(), g1()
+    vmv = VMVMessage(c=c, d2=d2, e1=e1)
+    (n_rounds,) = _struct.unpack_from("<I", data, off)
+    off += 4
+    firsts = [FirstReduceMessage(gt(), gt(), gt(), gt(), g1(), g2())
+              for _ in range(n_rounds)]
+    seconds = [SecondReduceMessage(gt(), gt(), g1(), g1(), g2(), g2())
+               for _ in range(n_rounds)]
+    final_e1, final_e2 = g1(), g2()
+    nu, sigma = _struct.unpack_from("<II", data, off)
+    return DoryProof(vmv=vmv, first=firsts, second=seconds,
+                     final_e1=final_e1, final_e2=final_e2, nu=nu, sigma=sigma)

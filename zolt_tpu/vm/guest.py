@@ -121,8 +121,13 @@ class Asm:
     def sra(self, rd, rs1, rs2):   self._r(0x33, rd, 5, rs1, rs2, 0x20)
     def srai(self, rd, rs1, sh):   self._i(0x13, rd, 5, rs1, sh | (0x10 << 6))
     def mul(self, rd, rs1, rs2):   self._r(0x33, rd, 0, rs1, rs2, 1)
+    def mulh(self, rd, rs1, rs2):  self._r(0x33, rd, 1, rs1, rs2, 1)
+    def mulhsu(self, rd, rs1, rs2): self._r(0x33, rd, 2, rs1, rs2, 1)
+    def mulhu(self, rd, rs1, rs2): self._r(0x33, rd, 3, rs1, rs2, 1)
     def div(self, rd, rs1, rs2):   self._r(0x33, rd, 4, rs1, rs2, 1)
+    def divu(self, rd, rs1, rs2):  self._r(0x33, rd, 5, rs1, rs2, 1)
     def rem(self, rd, rs1, rs2):   self._r(0x33, rd, 6, rs1, rs2, 1)
+    def remu(self, rd, rs1, rs2):  self._r(0x33, rd, 7, rs1, rs2, 1)
 
     def lui(self, rd, imm20):      self.words.append(0x37 | rd << 7 | (imm20 & 0xFFFFF) << 12)
 
@@ -150,12 +155,21 @@ class Asm:
 
     # -- guest-API emitters (reference guest/mod.zig semantics) --------------
     def li_addr(self, rd: int, addr: int) -> None:
-        """Load a 32-bit-representable address into rd (lui+addi)."""
+        """Load a 32-bit-representable address into rd (lui+addi).
+
+        On RV64, lui/addi sign-extend: for addresses with bit 31 set
+        (e.g. RAM proper at 0x8000_0000+) the pair alone would yield
+        0xFFFF_FFFF_8xxx_xxxx. Zero-extend with slli/srli so rd holds the
+        canonical unsigned address the memory layout (and the RAM
+        read/write-checking address window) expects."""
         hi = (addr + 0x800) >> 12
         lo = _sx(addr & 0xFFF, 12)
         self.lui(rd, hi)
         if lo:
             self.addi(rd, rd, lo)
+        if addr & 0x80000000:
+            self.slli(rd, rd, 32)
+            self.srli(rd, rd, 32)
 
     def read_input_byte(self, rd: int, layout: MemoryLayout, offset: int = 0,
                         tmp: int = 5) -> None:

@@ -214,16 +214,111 @@ def evaluate_mle(table: Table, r: list[int], xlen: int = 64) -> int:
         return (1 - evaluate_mle(Table.SignedLessThan, r, xlen)) % P
     if table == Table.Movsign:
         return r[0] % P  # MSB of x
+
+    # -- closed forms for the remaining tables (reference has per-table
+    # evaluateMLE in lookup_table/mod.zig:84-1160; these are independent
+    # derivations of the same multilinear extensions) ---------------------
+
     if table == Table.Sub:
-        # x - y mod 2^xlen as an MLE: Σ 2^k x_k − Σ 2^k y_k + 2^xlen·borrow…
-        # use the identity sub = x + (2^xlen − y) mod 2^xlen; exact closed form
-        # requires carry logic — fall back to the dense evaluation.
-        return _dense_mle(table, r, xlen)
-    if table == Table.SignExtend8 and xlen >= 8:
-        # value = sign_bit ? val - 2^8 + 2^xlen…; dense fallback for exactness
-        return _dense_mle(table, r, xlen)
-    # remaining tables: exact dense fallback (fine for materialized widths)
-    return _dense_mle(table, r, xlen)
+        # (x − y) mod 2^W = x − y + 2^W·[x < y]; all three summands are
+        # multilinear, and the sum agrees with the table on the cube, so it
+        # IS the MLE.
+        X = sum((1 << (xlen - 1 - i)) * r[2 * i] for i in range(xlen)) % P
+        Y = sum((1 << (xlen - 1 - i)) * r[2 * i + 1] for i in range(xlen)) % P
+        lt = evaluate_mle(Table.UnsignedLessThan, r, xlen)
+        return (X - Y + (1 << xlen) * lt) % P
+    if table == Table.Andn:
+        acc = 0
+        for i in range(xlen):
+            x, y = _bitpair(r, i)
+            acc += (1 << (xlen - 1 - i)) * (x * (1 - y) % P)
+        return acc % P
+
+    if table in (Table.LeftShift, Table.RightShift, Table.RightShiftArithmetic):
+        # value = Σ_s [y mod W == s]·shift_s(x): the shift-amount indicator
+        # is an eq over y's low log2(W) bits, shift_s(x) is linear in the x
+        # bits — O(W·(W+log W)) field ops at any xlen.
+        nsh = (xlen - 1).bit_length()
+        # significance-b bit of y / x (big-endian pairs: pair i ↔ bit xlen-1-i)
+        ybit = [r[2 * (xlen - 1 - b) + 1] for b in range(nsh)]
+        xbit = [r[2 * (xlen - 1 - b)] for b in range(xlen)]
+        acc = 0
+        for s in range(xlen):
+            eq_s = one
+            for b in range(nsh):
+                t = ybit[b] if (s >> b) & 1 else (1 - ybit[b])
+                eq_s = eq_s * t % P
+            if table == Table.LeftShift:
+                val = sum((1 << (i + s)) * xbit[i] for i in range(xlen - s))
+            else:
+                val = sum((1 << (i - s)) * xbit[i] for i in range(s, xlen))
+                if table == Table.RightShiftArithmetic and s > 0:
+                    val += ((1 << xlen) - (1 << (xlen - s))) * xbit[xlen - 1]
+            acc = (acc + eq_s * (val % P)) % P
+        return acc
+    if table == Table.Pow2:
+        nsh = (xlen - 1).bit_length()
+        ybit = [r[2 * xlen - 1 - b] for b in range(nsh)]  # raw index bit b
+        acc = 0
+        for s in range(xlen):
+            eq_s = one
+            for b in range(nsh):
+                t = ybit[b] if (s >> b) & 1 else (1 - ybit[b])
+                eq_s = eq_s * t % P
+            acc = (acc + eq_s * (1 << s)) % P
+        return acc
+    if table in (Table.SignExtend8, Table.SignExtend16, Table.SignExtend32):
+        k = {Table.SignExtend8: 8, Table.SignExtend16: 16,
+             Table.SignExtend32: 32}[table]
+        if k >= xlen:
+            # the & mask(xlen) kills the sign fill (2^k ≡ 0 mod 2^xlen):
+            # plain low-xlen-bits identity
+            return sum((1 << j) * r[2 * xlen - 1 - j] for j in range(xlen)) % P
+        bits = [r[2 * xlen - 1 - j] for j in range(k)]  # raw index bit j
+        acc = sum((1 << j) * bits[j] for j in range(k - 1))
+        acc += ((1 << xlen) - (1 << (k - 1))) * bits[k - 1]
+        return acc % P
+
+    if table == Table.ValidDiv0:
+        # (divisor, quotient) = (x, y): 1 − [div == 0]·(1 − [quot all-ones]);
+        # the two indicators use disjoint variables, so the product is
+        # multilinear.
+        z_d = one
+        all_q = one
+        for i in range(xlen):
+            x, y = _bitpair(r, i)
+            z_d = z_d * ((1 - x) % P) % P
+            all_q = all_q * y % P
+        return (1 - z_d * ((1 - all_q) % P)) % P
+    if table == Table.ValidUnsignedRemainder:
+        # (rem, div) = (x, y): [div == 0] + [rem < div] — disjoint on the
+        # cube (LT(·,0) ≡ 0), each multilinear.
+        z_d = one
+        for i in range(xlen):
+            z_d = z_d * ((1 - r[2 * i + 1]) % P) % P
+        return (z_d + evaluate_mle(Table.UnsignedLessThan, r, xlen)) % P
+    if table == Table.ValidSignedRemainder:
+        # (rem, div) = (x, y). Disjoint-variable multilinear cover:
+        #   (1−rs)(1−ds)·LT(rr, dr)   both non-negative, |rem|<|div|
+        #                             (also rem==0 with div>0: LT(0,dr)=1)
+        #   + rs·ds·LT(dr, rr)        both negative, |rem|<|div|
+        #   + Z_div                   div == 0 (always valid)
+        #   + Z_rem·ds                rem == 0 with div < 0
+        rs, ds = r[0], r[1]
+        rest = r[2:]
+        swapped = []
+        for i in range(xlen - 1):
+            swapped += [rest[2 * i + 1], rest[2 * i]]
+        lt_rd = evaluate_mle(Table.UnsignedLessThan, rest, xlen - 1)
+        lt_dr = evaluate_mle(Table.UnsignedLessThan, swapped, xlen - 1)
+        z_d = (1 - ds) % P
+        z_r = (1 - rs) % P
+        for i in range(xlen - 1):
+            z_r = z_r * ((1 - rest[2 * i]) % P) % P
+            z_d = z_d * ((1 - rest[2 * i + 1]) % P) % P
+        return ((1 - rs) * (1 - ds) % P * lt_rd
+                + rs * ds % P * lt_dr + z_d + z_r * ds) % P
+    raise ValueError(table)
 
 
 def _dense_mle(table: Table, r: list[int], xlen: int) -> int:

@@ -212,6 +212,9 @@ def build_rd_inc(steps, size: int) -> list[int]:
     for i, s in enumerate(steps):
         if i >= size:
             break
+        opcode = s.instruction & 0x7F
+        if opcode in (0x23, 0x63):  # stores/branches: imm bits alias rd
+            continue
         rd = (s.instruction >> 7) & 0x1F
         if rd != 0 and not getattr(s, "is_noop", False):
             poly[i] = (s.rd_value - s.rd_pre_value) % P
@@ -264,6 +267,29 @@ def build_ram_ra(steps, size: int, shift: int) -> list[int]:
     return poly
 
 
+def build_ram_ra_onehot(steps, size: int, shift: int, start_address: int,
+                        log_ram_k: int) -> list[int]:
+    """Sound mode: one-hot chunk indicator over the (chunk-value × cycle)
+    cube, flat index k_d·size + j. Chunks the word-SLOT index
+    (addr − start)/8 — the stage-2 RWC/RAF address space — with zero rows
+    on cycles without a RAM access (see stage67.py)."""
+    mask = (1 << LOG_K_CHUNK) - 1
+    k_size = 1 << log_ram_k
+    n_vars = size.bit_length() - 1
+    poly = [0] * ((1 << LOG_K_CHUNK) * size)
+    for j, s in enumerate(steps):
+        if j >= size:
+            break
+        addr = None if getattr(s, "is_noop", False) else getattr(s, "memory_addr", None)
+        if addr is None or addr < start_address:
+            continue
+        k = (addr - start_address) // 8
+        if k >= k_size:
+            continue
+        poly[(((k >> shift) & mask) << n_vars) | j] = 1
+    return poly
+
+
 def build_bytecode_ra(steps, size: int, shift: int) -> list[int]:
     mask = (1 << LOG_K_CHUNK) - 1
     poly = [0] * size
@@ -287,24 +313,57 @@ class CommitmentPhase:
     bytecode_poly_size: int = 0
     memory_poly_size: int = 0
     reg_poly_size: int = 0
+    # sound mode: PCS-binding layout (see pcs/batch.py)
+    srs: object = None
+    global_num_vars: int = 0
+    polys: list | None = None
+
+
+def sound_layout_num_vars(trace_length: int, bytecode_len: int) -> int:
+    """Global (even) num_vars of the sound-mode commitment layout: every
+    committed poly is laid out as a 2^{N/2} × 2^{N/2} Dory matrix so GT
+    commitments are γ-RLC-homomorphic for the batch opening. Must cover the
+    one-hot RamRa chunk cubes (2^LOG_K_CHUNK × trace)."""
+    reg_size = _next_pow2(max(trace_length, 2))
+    bc_size = _next_pow2(max(bytecode_len, 2))
+    n = max(reg_size, bc_size).bit_length() - 1
+    n = max(n, (reg_size.bit_length() - 1) + LOG_K_CHUNK)
+    return n + (n & 1)
 
 
 def commit_and_absorb(transcript, steps, bytecode_len: int,
-                      memory_trace_len: int, srs=None) -> CommitmentPhase:
+                      memory_trace_len: int, srs=None,
+                      sound: bool = False, log_ram_k: int = 0,
+                      start_address: int = 0) -> CommitmentPhase:
     """Build + commit + absorb all committed polys; mirrors
-    src/zkvm/mod.zig:817-1010. `steps` is the (padded) execution trace."""
+    src/zkvm/mod.zig:817-1010. `steps` is the (padded) execution trace.
+
+    sound=True switches to the PCS-binding layout: the cycle-indexed RAM
+    polys (RamInc, RamRa) span the padded trace cube (so their MLEs equal
+    the claims the stage provers emit), every poly is committed under one
+    global square Dory layout (column width 2^{N/2}, N even) so the batch
+    opening's γ-RLC of GT commitments matches the RLC'd polynomial, and the
+    tables are retained for the joint opening prover."""
     res = CommitmentPhase()
     res.bytecode_poly_size = _next_pow2(max(bytecode_len, 2))
-    res.memory_poly_size = _next_pow2(max(memory_trace_len, 2))
+    res.memory_poly_size = (_next_pow2(max(len(steps), 2)) if sound
+                            else _next_pow2(max(memory_trace_len, 2)))
     res.reg_poly_size = _next_pow2(max(len(steps), 2))
 
     log_bytecode_k = res.bytecode_poly_size.bit_length() - 1
-    log_ram_k = res.memory_poly_size.bit_length() - 1
+    if not sound:
+        # compat: RamRa chunks the raw address over the memory-trace cube
+        log_ram_k = res.memory_poly_size.bit_length() - 1
     res.instruction_d = (LOG_K_INSTRUCTION + LOG_K_CHUNK - 1) // LOG_K_CHUNK
     res.bytecode_d = max(1, (log_bytecode_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
     res.ram_d = max(1, (log_ram_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
 
-    if srs is None:
+    if sound:
+        res.global_num_vars = sound_layout_num_vars(len(steps), bytecode_len)
+        if srs is None:
+            srs = dory.setup(res.global_num_vars)
+        res.srs = srs
+    elif srs is None:
         max_size = max(res.bytecode_poly_size, res.memory_poly_size,
                        res.reg_poly_size)
         log_size = max(1, (max_size.bit_length() - 1) + 1)
@@ -318,14 +377,27 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
         polys.append(build_instruction_ra(indices, res.reg_poly_size, shift))
     for d in range(res.ram_d):
         shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
-        polys.append(build_ram_ra(steps, res.memory_poly_size, shift))
+        if sound:
+            # one-hot chunk indicators over the (chunk × cycle) cube — the
+            # committed polys stages 6-7 open and prove one-hot (stage67.py)
+            polys.append(build_ram_ra_onehot(steps, res.reg_poly_size, shift,
+                                             start_address, log_ram_k))
+        else:
+            polys.append(build_ram_ra(steps, res.memory_poly_size, shift))
     for d in range(res.bytecode_d):
         shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
         polys.append(build_bytecode_ra(steps, res.bytecode_poly_size, shift))
 
-    for poly in polys:
-        gt = dory.commit(srs, poly)
-        res.commitments.append(dory.commitment_bytes(gt))
+    if sound:
+        res.polys = polys
+        n_tab = 1 << res.global_num_vars
+        for poly in polys:
+            gt = dory.commit(srs, list(poly) + [0] * (n_tab - len(poly)))
+            res.commitments.append(dory.commitment_bytes(gt))
+    else:
+        for poly in polys:
+            gt = dory.commit(srs, poly)
+            res.commitments.append(dory.commitment_bytes(gt))
     for c in res.commitments:
         transcript.append_gt(c)
     return res

@@ -146,5 +146,9 @@ def deserialize_jolt_proof(data: bytes, *, variant: str = "canonical") -> JoltPr
         proof.rw_config = ReadWriteConfig(r.u8(), r.u8(), r.u8(), r.u8())
         proof.one_hot_config = OneHotConfig(r.u8(), r.u8())
         proof.dory_layout = r.u8()
+    # optional sound-mode PCS-binding section (absent in reference proofs)
+    if r.pos < len(data) and r.u8() == 1:
+        n = r.u64()
+        proof.batch_opening = bytes(r.take(n))
     assert r.pos == len(data), f"trailing bytes: {len(data) - r.pos}"
     return proof

@@ -257,6 +257,11 @@ class JoltProof:
     stage7_sumcheck: SumcheckInstanceProof = dfield(default_factory=SumcheckInstanceProof)
     joint_opening_proof: bytes | None = None
     untrusted_advice_commitment: bytes | None = None
+    # Sound-mode PCS binding: serialized pcs/batch.BatchOpeningProof tying
+    # the committed-poly opening claims to the GT commitments. Optional
+    # trailing section in both container layouts (absent in
+    # reference-compat proofs, preserving golden byte-exactness).
+    batch_opening: bytes | None = None
     trace_length: int = 0
     ram_k: int = 0
     bytecode_k: int = 0
@@ -288,6 +293,9 @@ class JoltProof:
         out.append(self.rw_config.serialize())
         out.append(self.one_hot_config.serialize())
         out.append(bytes([self.dory_layout]))
+        if self.batch_opening is not None:
+            out.append(b"\x01" + struct.pack("<Q", len(self.batch_opening))
+                       + self.batch_opening)
         return b"".join(out)
 
     def serialize_with_dory(self) -> bytes:
@@ -314,4 +322,7 @@ class JoltProof:
         out.append(struct.pack("<QQQQQ", self.trace_length, self.ram_k,
                                self.bytecode_k, self.one_hot_config.log_k_chunk,
                                self.one_hot_config.lookups_ra_virtual_log_k_chunk))
+        if self.batch_opening is not None:
+            out.append(b"\x01" + struct.pack("<Q", len(self.batch_opening))
+                       + self.batch_opening)
         return b"".join(out)

@@ -91,6 +91,13 @@ class VerifyContext:
     io_outputs: bytes = b""
     io_panic: bool = False
     strict_outputs: bool = True
+    # RAM RWC binding schedule from the proof's ReadWriteConfig. phase1 == 0
+    # is the sound address-first schedule whose RAF/RWC instance finals are
+    # publicly derivable (enforced); the reference's interleaved schedule
+    # (phase1 == log_t//2) carries the rigged claim channel and is only
+    # accepted under allow_reference_compat.
+    ram_phase1: int = 0
+    sound_schedule: bool = True
     # unenforced-surface accounting: residuals from the stage-2/stage-4 joint
     # output checks land here so callers can see what is NOT enforced yet
     # (see _verify_stage2_batch / _verify_stage4 commentary)
@@ -357,15 +364,15 @@ def _verify_stage2_batch(ctx: VerifyContext, uni_skip_claim_2: int) -> dict:
     # ---- final output checks -------------------------------------------
     # The batched final claim decomposes as Σ αᵢ·finalᵢ. Three of the five
     # instances (ProductVirtual, OutputSumcheck, InstructionClaimReduction)
-    # have finals that are pure functions of public data + emitted opening
-    # claims, and we enforce them through the residual bound below. The RAF
-    # and RWC instances inherit the reference's construction exactly (mixed
-    # LE/BE eq tables with the linear coefficient recovered from the running
-    # hint — SURVEY fidelity map; byte-exactness with the golden artifacts
-    # requires reproducing it), so their finals carry a prover-private
-    # correction channel and cannot be recomputed from the transcript alone.
-    # A sound-mode prover (BE-consistent RAF/RWC) closes this in a later
-    # round; the residual is returned for that check to consume.
+    # always have publicly derivable finals. Under the sound address-first
+    # schedule (rw_config phase1 == 0) the remaining two are as well:
+    #   RAF:  final == ra_claim · unmap(r)   with unmap affine-public,
+    #   RWC:  final == eq_b · ra · ((1+γ)·val + γ·inc)  with eq_b public and
+    #         ra/val/inc the emitted bound-MLE opening claims,
+    # so the full five-term identity is enforced (residual must be zero).
+    # The reference's interleaved schedule carries a prover-private hint
+    # channel in these two instances (SURVEY fidelity map) and is accepted
+    # only under allow_reference_compat, with the residual merely reported.
     r_spartan = ctx.r_spartan
     tau2 = r_spartan + [ctx.tau_high2]
 
@@ -394,9 +401,36 @@ def _verify_stage2_batch(ctx: VerifyContext, uni_skip_claim_2: int) -> dict:
     expected4 = eq_instr * ((instr_lo + gamma_instr * instr_left
                              + gamma_instr * gamma_instr % P * instr_right) % P) % P
 
-    # Residual = α₁·final_RAF + α₂·final_RWC (the two hint-delta channels).
     residual = (final_claim - alphas[0] * expected0 - alphas[3] * expected3
                 - alphas[4] * expected4) % P
+
+    if ctx.sound_schedule:
+        # instance 1: RAF — unmap(k) = start_address + 8k is affine in the
+        # address bits, so its fold along RAF's challenges (the last log_k)
+        # is public: start + Σᵢ 8·2^i·cᵢ.
+        addr_eval = ctx.start_address % P
+        power = 8
+        for c in challenges[max_rounds - log_k:]:
+            addr_eval = (addr_eval + c * power) % P
+            power *= 2
+        expected1 = raf_final * addr_eval % P
+
+        # instance 2: RWC — eq over cycles is bound along the cycle rounds
+        # (everything outside [phase1, phase1+log_k)); with phase1 == 0 those
+        # are the last n_cycle challenges.
+        cyc_ch = (challenges[:ctx.ram_phase1]
+                  + challenges[ctx.ram_phase1 + log_k:])
+        eq_b = 1
+        for i, c in enumerate(cyc_ch):
+            a = r_spartan[n_cycle - 1 - i]
+            eq_b = eq_b * ((a * c + (1 - a) * (1 - c)) % P) % P
+        expected2 = (eq_b * rwc_ra % P
+                     * (((1 + gamma_rwc) * rwc_val + gamma_rwc * rwc_inc) % P)) % P
+
+        residual = (residual - alphas[1] * expected1
+                    - alphas[2] * expected2) % P
+        if ctx.strict_outputs:
+            _check(residual == 0, "stage2 batched final output check failed")
 
     return {
         "stage2_output_residual": residual,
@@ -540,7 +574,7 @@ def _verify_stage4(ctx: VerifyContext, s2: dict, s3: dict, initial_ram: dict,
 
     gamma = tp.challenge_scalar_full()
 
-    phase1 = n_cycle // 2
+    phase1 = ctx.ram_phase1
     phase2 = log_k
     phase3_cycle_len = n_cycle - phase1
     phase3_addr_len = log_k - phase2
@@ -660,6 +694,8 @@ def _verify_stage4(ctx: VerifyContext, s2: dict, s3: dict, initial_ram: dict,
 
         residual = (final_claim - alphas[0] * e_regs - alphas[1] * e_ve
                     - alphas[2] * e_vf) % P
+        if ctx.sound_schedule:
+            _check(residual == 0, "stage4 batched final output check failed")
         return {"challenges": challenges, "final_claim": final_claim,
                 "stage4_output_residual": residual}
 
@@ -669,6 +705,146 @@ def _verify_stage4(ctx: VerifyContext, s2: dict, s3: dict, initial_ram: dict,
 # ---------------------------------------------------------------------------
 # Stages 5-7 (zero-proof schedule)
 # ---------------------------------------------------------------------------
+
+def _verify_stage5(ctx: VerifyContext, s4: dict) -> dict:
+    """Sound stage 5 — RegistersValEvaluation (stage5.py): reduces the
+    stage-4 registers val claim to RdWa (virtual) · RdInc (committed, fed to
+    the batch opening) · LT (public, computed here)."""
+    from .stage5 import lt_eval, regs_bind_points
+
+    tp, claims, proof = ctx.transcript, ctx.claims, ctx.proof
+    n = ctx.n_cycle_vars
+    claim = claims.get(OpeningId.virtual(V("RegistersVal"),
+                                         SumcheckId.RegistersReadWriteChecking))
+    _check(claim is not None, "stage5: missing registers val claim")
+    sc = proof.stage5_sumcheck
+    _check(len(sc.compressed_polys) == n, "stage5 round count")
+    challenges = []
+    for cp in sc.compressed_polys:
+        _check(len(cp) == 3, "stage5 poly shape")
+        tp.append_message(b"UniPoly_begin")
+        for c in cp:
+            tp.append_scalar(c)
+        tp.append_message(b"UniPoly_end")
+        r = tp.challenge_scalar()
+        challenges.append(r)
+        claim = eval_from_hint(cp, claim, r)
+
+    wa = claims.get(OpeningId.virtual(V("RdWa"), SumcheckId.RegistersValEvaluation))
+    inc = claims.get(OpeningId.committed(CP(CP.RD_INC), SumcheckId.RegistersValEvaluation))
+    _check(wa is not None and inc is not None, "stage5: missing final claims")
+    tp.append_scalar(wa)
+    tp.append_scalar(inc)
+
+    _, r_cycle_le = regs_bind_points(s4["challenges"], n)
+    lt = lt_eval(challenges, r_cycle_le)
+    _check(claim == wa * inc % P * lt % P, "stage5 final output check failed")
+    return {"challenges": challenges}
+
+
+def _verify_stage6(ctx: VerifyContext, s2: dict) -> dict:
+    """Sound stage 6 — RamRa one-hot virtualization + Hamming booleanity
+    (stage67.py): binds the stage-2 virtual RWC/RAF ra claims to the
+    committed one-hot chunk polynomials and proves HW·(1−HW) ≡ 0."""
+    from .stage67 import eq_point_eval, eval_from_hint_any, stage6_points
+
+    tp, claims, proof = ctx.transcript, ctx.claims, ctx.proof
+    n, log_k = ctx.n_cycle_vars, ctx.log_ram_k
+    ram_d = (log_k + 3) // 4
+    rwc_ra = claims.get(OpeningId.virtual(V("RamRa"), SumcheckId.RamReadWriteChecking))
+    raf_ra = claims.get(OpeningId.virtual(V("RamRa"), SumcheckId.RamRafEvaluation))
+    _check(rwc_ra is not None and raf_ra is not None,
+           "stage6: missing stage-2 ra claims")
+
+    r_hb = [tp.challenge_scalar() for _ in range(n)]
+    alphas = [tp.challenge_scalar_full() for _ in range(3)]
+    a0, a1, a2 = alphas
+    claim = (a0 * rwc_ra + a1 * raf_ra) % P
+
+    sc = proof.stage6_sumcheck
+    _check(len(sc.compressed_polys) == n, "stage6 round count")
+    challenges = []
+    for cp in sc.compressed_polys:
+        _check(len(cp) == ram_d + 1, "stage6 poly shape")
+        tp.append_message(b"UniPoly_begin")
+        for c in cp:
+            tp.append_scalar(c)
+        tp.append_message(b"UniPoly_end")
+        r = tp.challenge_scalar()
+        challenges.append(r)
+        claim = eval_from_hint_any(cp, claim, r)
+
+    oh_rwc = [claims.get(OpeningId.committed(CP(CP.RAM_RA, d),
+                                             SumcheckId.RamReadWriteChecking))
+              for d in range(ram_d)]
+    oh_raf = [claims.get(OpeningId.committed(CP(CP.RAM_RA, d),
+                                             SumcheckId.RamRafEvaluation))
+              for d in range(ram_d)]
+    hw = claims.get(OpeningId.virtual(V("RamHammingWeight"),
+                                      SumcheckId.RamHammingBooleanity))
+    _check(all(v is not None for v in oh_rwc + oh_raf) and hw is not None,
+           "stage6: missing final claims")
+    for v in oh_rwc + oh_raf + [hw]:
+        tp.append_scalar(v)
+
+    rc_rwc, rc_raf, _, _ = stage6_points(s2["challenges"], ctx.r_spartan, n, log_k)
+    e_rwc = eq_point_eval(rc_rwc, challenges)
+    e_raf = eq_point_eval(rc_raf, challenges)
+    e_hb = eq_point_eval(r_hb, challenges)
+    p_rwc, p_raf = e_rwc, e_raf
+    for x in oh_rwc:
+        p_rwc = p_rwc * x % P
+    for x in oh_raf:
+        p_raf = p_raf * x % P
+    expected = (a0 * p_rwc + a1 * p_raf
+                + a2 * (e_hb * hw % P * ((1 - hw) % P))) % P
+    _check(claim == expected, "stage6 final output check failed")
+    return {"challenges": challenges, "hw_claim": hw, "ram_d": ram_d}
+
+
+def _verify_stage7(ctx: VerifyContext, s6: dict) -> dict:
+    """Sound stage 7 — per-chunk Booleanity + Hamming-weight linkage over
+    the (chunk × cycle) cube (stage67.py): with stage 6, establishes that
+    every committed one-hot chunk column is one-hot or all-zero."""
+    from .stage67 import eq_point_eval
+
+    tp, claims, proof = ctx.transcript, ctx.claims, ctx.proof
+    n, ram_d = ctx.n_cycle_vars, s6["ram_d"]
+    n_rounds = 4 + n
+
+    r_b = [tp.challenge_scalar() for _ in range(n_rounds)]
+    betas = [tp.challenge_scalar_full() for _ in range(2 * ram_d)]
+    hw_betas = betas[ram_d:]
+    claim = sum(hw_betas) % P * s6["hw_claim"] % P
+
+    sc = proof.stage7_sumcheck
+    _check(len(sc.compressed_polys) == n_rounds, "stage7 round count")
+    challenges = []
+    for cp in sc.compressed_polys:
+        _check(len(cp) == 3, "stage7 poly shape")
+        tp.append_message(b"UniPoly_begin")
+        for c in cp:
+            tp.append_scalar(c)
+        tp.append_message(b"UniPoly_end")
+        r = tp.challenge_scalar()
+        challenges.append(r)
+        claim = eval_from_hint(cp, claim, r)
+
+    oh = [claims.get(OpeningId.committed(CP(CP.RAM_RA, d), SumcheckId.Booleanity))
+          for d in range(ram_d)]
+    _check(all(v is not None for v in oh), "stage7: missing final claims")
+    for v in oh:
+        tp.append_scalar(v)
+
+    e_b = eq_point_eval(r_b, challenges)
+    e_hw = eq_point_eval(s6["challenges"], challenges[:n])
+    expected = 0
+    for d in range(ram_d):
+        expected = (expected + betas[d] * (e_b * oh[d] % P * ((1 - oh[d]) % P))
+                    + hw_betas[d] * (e_hw * oh[d] % P)) % P
+    _check(claim == expected, "stage7 final output check failed")
+    return {"challenges": challenges}
+
 
 def _verify_zero_stages(ctx: VerifyContext) -> None:
     proof, claims = ctx.proof, ctx.claims
@@ -748,11 +924,19 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
         tp.append_gt(cbytes)
     tau = [tp.challenge_scalar() for _ in range(n_cycle_vars + 2)]
 
+    # The RAM RWC binding schedule is verifier policy, not proof data: by
+    # default only the sound address-first schedule (phase1 == 0) is accepted,
+    # with the stage-2/stage-4 batched output identities fully enforced.
+    # allow_reference_compat selects the reference's interleaved schedule
+    # (phase1 == log_t//2) whose RAF/RWC finals are not publicly derivable —
+    # there the residuals are reported, not enforced.
     ctx = VerifyContext(proof=proof, claims=proof.opening_claims, transcript=tp,
                         n_cycle_vars=n_cycle_vars, log_ram_k=log_ram_k, tau=tau,
                         layout=emu.device.layout, start_address=start_address,
                         initial_ram=initial_ram, io_inputs=inputs,
                         io_outputs=outputs, io_panic=panic,
+                        ram_phase1=(n_cycle_vars // 2 if allow_reference_compat else 0),
+                        sound_schedule=not allow_reference_compat,
                         report=report if report is not None else {})
 
     stage1_challenges = _verify_stage1(ctx)
@@ -782,7 +966,62 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
         ctx.strict_outputs = False
         s3 = _verify_stage3(ctx, s2)
     s4 = _verify_stage4(ctx, s2, s3, initial_ram, start_address)
-    _verify_zero_stages(ctx)
+    if allow_reference_compat:
+        _verify_zero_stages(ctx)
+    else:
+        s5 = _verify_stage5(ctx, s4)
+        s6 = _verify_stage6(ctx, s2)
+        s7 = _verify_stage7(ctx, s6)
+
+    if not allow_reference_compat:
+        # PCS binding: every committed-poly evaluation consumed above must
+        # be proven against the absorbed GT commitments via the batch
+        # opening (reduction sumcheck + one algebraic Dory verify). Points
+        # come from OUR challenge bookkeeping; only the values are proof
+        # data — this is what upgrades them from asserted to bound.
+        from ..pcs import batch as pcs_batch
+        from ..pcs import dory as pcs_dory
+        from .commitments import (LOG_K_CHUNK, LOG_K_INSTRUCTION,
+                                  sound_layout_num_vars)
+        from .opening_binding import sound_claim_specs
+
+        _check(proof.batch_opening is not None,
+               "sound-mode proof is missing the PCS batch opening "
+               "(use --reference-compat for reference artifacts)")
+        instruction_d = (LOG_K_INSTRUCTION + LOG_K_CHUNK - 1) // LOG_K_CHUNK
+        specs = sound_claim_specs(s2["challenges"], s4["challenges"],
+                                  s5["challenges"], s6["challenges"],
+                                  s7["challenges"], tau,
+                                  n_cycle_vars, log_ram_k, instruction_d)
+        ram_d = s6["ram_d"]
+        value_ids = [
+            OpeningId.committed(CP(CP.RD_INC), SumcheckId.RegistersReadWriteChecking),
+            OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamReadWriteChecking),
+            OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamValEvaluation),
+            OpeningId.committed(CP(CP.RAM_INC), SumcheckId.RamValFinalEvaluation),
+            OpeningId.committed(CP(CP.RD_INC), SumcheckId.RegistersValEvaluation),
+        ]
+        value_ids += [OpeningId.committed(CP(CP.RAM_RA, d),
+                                          SumcheckId.RamReadWriteChecking)
+                      for d in range(ram_d)]
+        value_ids += [OpeningId.committed(CP(CP.RAM_RA, d),
+                                          SumcheckId.RamRafEvaluation)
+                      for d in range(ram_d)]
+        value_ids += [OpeningId.committed(CP(CP.RAM_RA, d),
+                                          SumcheckId.Booleanity)
+                      for d in range(ram_d)]
+        bclaims = []
+        for (name, ci, pt), oid in zip(specs, value_ids):
+            val = ctx.claims.get(oid)
+            _check(val is not None, f"missing opening claim {name}")
+            _check(ci < len(proof.commitments), "missing commitment")
+            bclaims.append(pcs_batch.BatchClaim(proof.commitments[ci], pt, val))
+        n_global = sound_layout_num_vars(trace_length, len(image))
+        srs = pcs_dory.setup(n_global)
+        bproof, _ = pcs_batch.deserialize_batch_opening(proof.batch_opening)
+        _check(pcs_batch.verify_batch_opening(tp, bclaims, bproof, srs, n_global),
+               "PCS batch opening verification failed")
+
     # Surface the unenforced joint-output residuals (zero for honest proofs).
     ctx.report["stage2_output_residual"] = s2.get("stage2_output_residual")
     ctx.report["stage4_output_residual"] = (s4 or {}).get("stage4_output_residual")

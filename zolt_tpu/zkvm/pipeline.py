@@ -49,6 +49,21 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     trace_length = len(padded)
     n_cycle_vars = trace_length.bit_length() - 1
 
+    if sound:
+        # The sound val-final/output identities require every final-image
+        # byte to be backed by a witness access. The guest must store the
+        # termination word itself (Jolt guest-halt convention; the
+        # emulator's synthetic ram.trace termination write has no witness
+        # row). Fail fast instead of emitting an unverifiable proof.
+        term = emu.device.layout.termination
+        if not any((not s.is_noop) and s.is_memory_write
+                   and s.memory_addr == term for s in padded):
+            raise ValueError(
+                "sound mode requires the guest to write the termination "
+                "word itself (guest halt convention, e.g. "
+                "Asm.halt(layout, provable=True)); this program terminates "
+                "without a traced termination store")
+
     transcript = Blake2bTranscript(b"Jolt")
     fiat_shamir_preamble(
         transcript,
@@ -70,7 +85,9 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
         commitment_bytes = list(golden_commitments)
     else:
         phase = commit_and_absorb(transcript, padded, bytecode_len,
-                                  len(emu.ram.trace), srs=srs)
+                                  len(emu.ram.trace), srs=srs, sound=sound,
+                                  log_ram_k=LOG_RAM_K,
+                                  start_address=emu.device.layout.lowest_address())
         commitment_bytes = list(phase.commitments)
 
     tau = derive_tau(transcript, n_cycle_vars)
@@ -83,9 +100,46 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     proof.trace_length = trace_length
     proof.ram_k = 1 << LOG_RAM_K
     proof.bytecode_k = BYTECODE_K
-    proof.rw_config = ReadWriteConfig.default(n_cycle_vars, LOG_RAM_K)
+    if sound:
+        # address-first RAM RWC schedule (phase1 == 0): the honest prover's
+        # binding order, consumed by the verifier's point bookkeeping
+        proof.rw_config = ReadWriteConfig(0, LOG_RAM_K, n_cycle_vars // 2,
+                                          ReadWriteConfig.LOG_REGISTER_COUNT)
+    else:
+        proof.rw_config = ReadWriteConfig.default(n_cycle_vars, LOG_RAM_K)
     proof.one_hot_config = OneHotConfig()
     proof.dory_layout = 0
+    if sound and phase is not None and stages >= 4:
+        # PCS binding: reduce the committed-poly opening claims to ONE Dory
+        # opening on the live transcript (pcs/batch.py; verified by
+        # verify_jolt against the absorbed GT commitments).
+        from ..pcs import batch
+        from .opening_binding import committed_claim_specs, sound_claim_specs
+
+        values = [conv.stage4.regs_claims["inc"],
+                  conv.stage2_batch.rwc_inc_claim,
+                  conv.stage4.val_eval_openings["inc"],
+                  conv.stage4.val_final_openings["inc"]]
+        if stages >= 5 and conv.stage5 is not None:
+            specs = sound_claim_specs(conv.stage2_batch.challenges,
+                                      conv.stage4.challenges,
+                                      conv.stage5.challenges,
+                                      conv.stage6.challenges,
+                                      conv.stage7.challenges, tau,
+                                      n_cycle_vars, LOG_RAM_K,
+                                      phase.instruction_d)
+            values += ([conv.stage5.inc_claim]
+                       + conv.stage6.oh_rwc_claims + conv.stage6.oh_raf_claims
+                       + conv.stage7.oh_claims)
+        else:
+            specs = committed_claim_specs(conv.stage2_batch.challenges,
+                                          conv.stage4.challenges,
+                                          n_cycle_vars, LOG_RAM_K)
+        claims = [batch.BatchClaim(b"", pt, v, evals=phase.polys[ci])
+                  for (_, ci, pt), v in zip(specs, values)]
+        bproof = batch.prove_batch_opening(transcript, claims, phase.srs,
+                                           phase.global_num_vars)
+        proof.batch_opening = batch.serialize_batch_opening(bproof)
     if with_joint_proof:
         proof.joint_opening_proof = build_joint_opening_proof(
             elf_path, len(emu.ram.trace), trace_length)

@@ -181,6 +181,9 @@ class JoltConversion:
     stage2_batch: object = None
     stage3: object = None
     stage4: object = None
+    stage5: object = None
+    stage6: object = None
+    stage7: object = None
     input_evals: list[int] = dfield(default_factory=list)
 
 
@@ -313,13 +316,45 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                 getattr(emulator, "initial_memory", {}),
                 emulator.device.layout.lowest_address(),
                 conv.stage2_batch, conv.stage3,
-                n_cycle_vars, log_ram_k)
+                n_cycle_vars, log_ram_k, sound=sound)
         conv.proof.stage4_sumcheck = SIP(conv.stage4.compressed_polys)
         _insert_stage4_claims(conv.proof.opening_claims, conv.stage4)
 
-        # Stages 5-7: the reference emits zero sumcheck proofs + zero claims
-        # (proof_converter.zig:2628-2683); no transcript absorption.
-        _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4, sound=sound)
+        if sound and stages >= 5:
+            # Sound mode: the REAL stage 5-7 protocols behind the
+            # reference's zero-proof placeholders
+            # (proof_converter.zig:2628-2683): RegistersValEvaluation,
+            # RamRa one-hot virtualization + Hamming booleanity, per-chunk
+            # Booleanity + Hamming-weight linkage.
+            from .stage5 import prove_stage5
+            from .stage67 import prove_stage6, prove_stage7
+
+            start_address = emulator.device.layout.lowest_address()
+            with metrics.stage("stage5"):
+                conv.stage5 = prove_stage5(transcript, padded_steps,
+                                           conv.stage4, n_cycle_vars)
+            conv.proof.stage5_sumcheck = SIP(conv.stage5.compressed_polys)
+            with metrics.stage("stage6"):
+                # the stage-2 cycle point is r_spartan (reversed stage-1
+                # challenges), the BE eq weights both RWC and RAF use
+                conv.stage6 = prove_stage6(
+                    transcript, padded_steps, conv.stage2_batch.challenges,
+                    r_spartan, n_cycle_vars, log_ram_k,
+                    conv.stage2_batch.rwc_ra_claim,
+                    conv.stage2_batch.raf_final_claim, start_address)
+            conv.proof.stage6_sumcheck = SIP(conv.stage6.compressed_polys)
+            with metrics.stage("stage7"):
+                conv.stage7 = prove_stage7(
+                    transcript, padded_steps, conv.stage6.challenges,
+                    n_cycle_vars, log_ram_k, conv.stage6.hw_claim,
+                    start_address)
+            conv.proof.stage7_sumcheck = SIP(conv.stage7.compressed_polys)
+            _insert_sound_stage567_claims(conv.proof.opening_claims, conv)
+        else:
+            # Compat: the reference emits zero sumcheck proofs + zero claims
+            # (proof_converter.zig:2628-2683); no transcript absorption.
+            _add_zero_stages(conv.proof, n_cycle_vars, log_k_chunk=4,
+                             sound=sound)
     return conv
 
 
@@ -333,11 +368,26 @@ def _witness_accesses(padded_steps) -> list:
     access has a witness row (RamAddress/RamReadValue/RamWriteValue columns),
     making the RAF/RWC input claims equal their true sums. This includes
     I/O-region stores (e.g. the guest's termination write), which the
-    emulator routes to the JoltDevice rather than the RAM trace."""
+    emulator routes to the JoltDevice rather than the RAM trace.
+
+    Sound mode models RAM as aligned 8-byte word slots (the Jolt doubleword
+    RAM model — reference src/zkvm/ram/mod.zig word addressing), so every
+    traced RAM op must be an aligned ld/sd. Sub-word ops (lw/lb/sh/...)
+    would need virtual-sequence expansion (LD + shift/mask) to be provable;
+    we reject them loudly at prove time instead of emitting a proof whose
+    stage-2 output check cannot verify."""
     out = []
     for t, s in enumerate(padded_steps):
         if s.is_noop or s.memory_addr is None:
             continue
+        f3 = (s.instruction >> 12) & 0x7
+        if (f3 & 0x3) != 0x3 or s.memory_addr % 8:
+            raise ValueError(
+                f"sound mode requires aligned 8-byte RAM accesses (ld/sd): "
+                f"cycle {t} pc=0x{s.pc:x} uses width {1 << (f3 & 0x3)} at "
+                f"addr 0x{s.memory_addr:x}; rebuild the guest with "
+                f"doubleword loads/stores (sub-word virtual sequences are "
+                f"not implemented)")
         out.append(_WitnessAccess(
             "write" if s.is_memory_write else "read",
             s.memory_addr, s.memory_pre_value or 0, s.memory_value or 0, t))
@@ -414,6 +464,26 @@ def _insert_stage4_claims(claims: OpeningClaims, s4) -> None:
     claims.insert(OpeningId.committed(C(C.RAM_INC), S.RamValEvaluation), s4.val_eval_openings["inc"])
     claims.insert(OpeningId.committed(C(C.RAM_INC), S.RamValFinalEvaluation), s4.val_final_openings["inc"])
     claims.insert(OpeningId.virtual(V("RamRa"), S.RamValFinalEvaluation), s4.val_final_openings["wa"])
+
+
+def _insert_sound_stage567_claims(claims: OpeningClaims, conv) -> None:
+    """Sound-mode stage 5-7 opening claims. The committed ids (RdInc at the
+    stage-5 point, one-hot RamRa chunks at the stage-6/7 points) feed the
+    PCS batch opening; the virtual ids (RdWa, RamHammingWeight) are the
+    protocol's terminal virtual claims."""
+    from .jolt_types import CommittedPolynomial as CP
+
+    V, S = VirtualPolynomial.named, SumcheckId
+    s5, s6, s7 = conv.stage5, conv.stage6, conv.stage7
+    claims.insert(OpeningId.virtual(V("RdWa"), S.RegistersValEvaluation), s5.wa_claim)
+    claims.insert(OpeningId.committed(CP(CP.RD_INC), S.RegistersValEvaluation), s5.inc_claim)
+    for d, v in enumerate(s6.oh_rwc_claims):
+        claims.insert(OpeningId.committed(CP(CP.RAM_RA, d), S.RamReadWriteChecking), v)
+    for d, v in enumerate(s6.oh_raf_claims):
+        claims.insert(OpeningId.committed(CP(CP.RAM_RA, d), S.RamRafEvaluation), v)
+    claims.insert(OpeningId.virtual(V("RamHammingWeight"), S.RamHammingBooleanity), s6.hw_claim)
+    for d, v in enumerate(s7.oh_claims):
+        claims.insert(OpeningId.committed(CP(CP.RAM_RA, d), S.Booleanity), v)
 
 
 def _add_zero_stages(proof: JoltProof, n_cycle_vars: int, log_k_chunk: int,

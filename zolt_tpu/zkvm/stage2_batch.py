@@ -563,6 +563,180 @@ class RamReadWriteCheckingProver:
 
 
 # ---------------------------------------------------------------------------
+# Instance 2 (sound mode): honest RAM read/write checking
+# ---------------------------------------------------------------------------
+
+class SoundRamReadWriteCheckingProver:
+    """Honest RWC prover for sound mode (address-first schedule).
+
+    Proves  rv + γ·wv  =  Σ_{k,j} eq(r_cycle,j)·Ra(k,j)·((1+γ)·Val(k,j) + γ·Inc(j))
+    with Val(k,j) = value of word k *before* cycle j, Ra one-hot at the
+    accessed word, Inc(j) the write delta. Unlike the reference's phase-interleaved
+    sparse machinery (ram/read_write_checking.zig, reproduced bit-exactly in
+    RamReadWriteCheckingProver above for compat mode), every round polynomial
+    here is computed from the data — s1 equals claim − s0 *because the data
+    sums correctly*, the final claim equals
+        eq_bound · ra_bound · ((1+γ)·val_bound + γ·inc_bound)
+    and the emitted opening claims ARE those bound MLE values, so the verifier
+    can enforce the instance's final-output identity from public data alone.
+
+    Schedule: the first log_k batch rounds bind ADDRESS bits (low bit first),
+    the remaining n_cycle rounds bind CYCLE bits (low bit first). Encoded in
+    the proof as ReadWriteConfig.ram_rw_phase1_num_rounds == 0 so the generic
+    r_address/r_cycle bookkeeping (stage-4 + verifier) needs no special case.
+
+    Val stays implicit during address rounds: block folds are
+    background(val_init fold) + Σ_{touched k in block} lag(k)·(val_k(j)−init_k),
+    with per-touched-address value timelines — memory is O(K + T·touched),
+    never O(K·T).
+    """
+
+    def __init__(self, accesses, gamma: int, r_cycle: list[int], log_k: int,
+                 log_t: int, start_address: int, initial_claim: int,
+                 initial_ram: dict[int, int]):
+        self.gamma = gamma % P
+        self.log_k = log_k
+        self.log_t = log_t
+        self.round = 0
+        self.current_claim = initial_claim % P
+        K, T = 1 << log_k, 1 << log_t
+
+        self.eqv = [_eq_be(r_cycle, j, log_t) for j in range(T)]
+        self.incv = [0] * T
+        self.bg = [0] * K            # val_init fold (dense over addresses)
+        init_word: dict[int, int] = {}
+        for addr, val in initial_ram.items():
+            if addr >= start_address:
+                k = (addr - start_address) // 8
+                if k < K:
+                    self.bg[k] = val % P
+                    init_word[k] = val % P
+
+        # replay: per-cycle access (k, val_before) + per-touched timelines
+        self.acc_k = [None] * T      # accessed word index per cycle
+        cur: dict[int, int] = dict(init_word)
+        touched = sorted({(a.address - start_address) // 8 for a in accesses
+                          if a.address >= start_address
+                          and (a.address - start_address) // 8 < K})
+        self.touched = touched
+        self.init_word = {k: init_word.get(k, 0) for k in touched}
+        # val_k(j): value of word k before cycle j, for touched k only
+        self.val_tl = {k: [0] * T for k in touched}
+        acc_by_cycle = {}
+        for a in accesses:
+            if a.address < start_address:
+                continue
+            k = (a.address - start_address) // 8
+            if k >= K or a.timestamp >= T:
+                continue
+            acc_by_cycle[a.timestamp] = (k, a)
+        for j in range(T):
+            for k in touched:
+                self.val_tl[k][j] = cur.get(k, 0) % P
+            if j in acc_by_cycle:
+                k, a = acc_by_cycle[j]
+                self.acc_k[j] = k
+                if a.op == "write":
+                    self.incv[j] = (a.post_value - cur.get(k, 0)) % P
+                    cur[k] = a.post_value
+
+        self.rav = [1 if self.acc_k[j] is not None else 0 for j in range(T)]
+        self.lag = {k: 1 for k in touched}   # Π of bound-bit factors per touched k
+        self.valv: list[int] | None = None   # dense Val fold, built after phase A
+
+    # -- phase A helpers ---------------------------------------------------
+
+    def _blocks(self) -> dict[int, list[int]]:
+        b = self.round
+        out: dict[int, list[int]] = {}
+        for k in self.touched:
+            out.setdefault(k >> b, []).append(k)
+        return out
+
+    def _val_bound(self, c: int, j: int, blocks) -> int:
+        v = self.bg[c]
+        for k in blocks.get(c, ()):  # touched words inside block c
+            v = (v + self.lag[k] * ((self.val_tl[k][j] - self.init_word[k]) % P)) % P
+        return v
+
+    def round_evals(self) -> list[int]:
+        g = self.gamma
+        if self.round < self.log_k:
+            blocks = self._blocks()
+            b = self.round
+            s = [0, 0, 0, 0]
+            for j in range(1 << self.log_t):
+                k = self.acc_k[j]
+                if k is None or self.rav[j] == 0:
+                    continue
+                m = k >> b
+                mp, parity = m >> 1, m & 1
+                v_lo = self._val_bound(2 * mp, j, blocks)
+                v_hi = self._val_bound(2 * mp + 1, j, blocks)
+                dv = (v_hi - v_lo) % P
+                ra = self.rav[j]
+                eqj, incj = self.eqv[j], self.incv[j]
+                for t in range(4):
+                    ra_t = ra * (t if parity else (1 - t)) % P
+                    if ra_t == 0:
+                        continue
+                    inner = ((1 + g) * ((v_lo + t * dv) % P) + g * incj) % P
+                    s[t] = (s[t] + eqj * ra_t % P * inner) % P
+            return s
+        # phase B: dense cycle rounds over eq · ra · ((1+γ)·val + γ·inc)
+        if self.valv is None:
+            blocks = self._blocks()
+            self.valv = [self._val_bound(0, j, blocks)
+                         for j in range(1 << self.log_t)]
+        n = len(self.eqv)
+        half = n // 2
+        s = [0, 0, 0, 0]
+        for i in range(half):
+            e0, e1 = self.eqv[2 * i], self.eqv[2 * i + 1]
+            r0, r1 = self.rav[2 * i], self.rav[2 * i + 1]
+            v0, v1 = self.valv[2 * i], self.valv[2 * i + 1]
+            i0, i1 = self.incv[2 * i], self.incv[2 * i + 1]
+            de, dr, dv, di = e1 - e0, r1 - r0, v1 - v0, i1 - i0
+            for t in range(4):
+                ra_t = (r0 + t * dr) % P
+                if ra_t == 0:
+                    continue
+                inner = ((1 + g) * ((v0 + t * dv) % P) + g * ((i0 + t * di) % P)) % P
+                s[t] = (s[t] + (e0 + t * de) % P * ra_t % P * inner) % P
+        return s
+
+    def bind(self, r: int) -> None:
+        if self.round < self.log_k:
+            b = self.round
+            half = len(self.bg) // 2
+            self.bg = [(self.bg[2 * i] + r * (self.bg[2 * i + 1] - self.bg[2 * i])) % P
+                       for i in range(half)]
+            for j in range(1 << self.log_t):
+                k = self.acc_k[j]
+                if k is not None:
+                    parity = (k >> b) & 1
+                    self.rav[j] = self.rav[j] * ((r if parity else (1 - r)) % P) % P
+            for k in self.touched:
+                parity = (k >> b) & 1
+                self.lag[k] = self.lag[k] * ((r if parity else (1 - r)) % P) % P
+        else:
+            half = len(self.eqv) // 2
+            for arr in (self.eqv, self.rav, self.valv, self.incv):
+                for i in range(half):
+                    arr[i] = (arr[2 * i] + r * (arr[2 * i + 1] - arr[2 * i])) % P
+            del self.eqv[half:], self.rav[half:], self.valv[half:], self.incv[half:]
+        self.round += 1
+
+    def update_claim(self, evals4: list[int], r: int) -> None:
+        self.current_claim = _lagrange_eval_0123(evals4, r)
+
+    # -- honest final openings --------------------------------------------
+    def final_openings(self) -> dict[str, int]:
+        return {"ra": self.rav[0], "val": self.valv[0], "inc": self.incv[0],
+                "eq": self.eqv[0]}
+
+
+# ---------------------------------------------------------------------------
 # Instance 3: RamOutputCheck
 # ---------------------------------------------------------------------------
 
@@ -791,9 +965,14 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     product = ProductVirtualRemainderProver(r0_stage2, tau, uni_skip_claim_stage2, factors)
     output = OutputSumcheckProver(initial_ram, final_ram, r_address, layout,
                                   program_inputs, program_outputs, is_panicking)
-    rwc = RamReadWriteCheckingProver(accesses, gamma_rwc, tau[:n_cycle_vars], log_ram_k,
-                                     n_cycle_vars, n_cycle_vars // 2, lowest,
-                                     input_claims[2], initial_ram)
+    if sound:
+        rwc = SoundRamReadWriteCheckingProver(
+            accesses, gamma_rwc, tau[:n_cycle_vars], log_ram_k, n_cycle_vars,
+            lowest, input_claims[2], initial_ram)
+    else:
+        rwc = RamReadWriteCheckingProver(accesses, gamma_rwc, tau[:n_cycle_vars], log_ram_k,
+                                         n_cycle_vars, n_cycle_vars // 2, lowest,
+                                         input_claims[2], initial_ram)
     raf = None
     instr = None
 
@@ -866,6 +1045,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
         product.current_claim, raf.current_claim if raf else 0,
         rwc.current_claim, output.current_claim,
         instr.current_claim if instr else 0]
+    res.provers = {"product": product, "raf": raf, "rwc": rwc,
+                   "output": output, "instr": instr}
 
     # -- post-batch opening claims (cache_openings) -------------------------
     # 8 product-factor MLE evals at reversed(last n_cycle challenges)
@@ -878,6 +1059,32 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
             res.factor_evals[k] = (res.factor_evals[k] + e * f[k]) % P
 
     res.raf_final_claim = raf.ra[0] if raf is not None else 0
+
+    if sound:
+        # Honest bound MLE values: the verifier recomputes the instance's
+        # final claim as eq_b · ra · ((1+γ)·val + γ·inc) from these.
+        op = rwc.final_openings()
+        res.rwc_ra_claim = op["ra"]
+        res.rwc_val_claim = op["val"]
+        res.rwc_inc_claim = op["inc"]
+        res.output_val_final_claim = output.val_final[0]
+        res.output_val_init_claim = output.val_init[0]
+        if instr is not None:
+            res.instr_lookup_output_claim = instr.lo[0]
+            res.instr_left_operand_claim = instr.left[0]
+            res.instr_right_operand_claim = instr.right[0]
+        for v in res.factor_evals:
+            transcript.append_scalar(v)
+        transcript.append_scalar(res.raf_final_claim)
+        transcript.append_scalar(res.rwc_val_claim)
+        transcript.append_scalar(res.rwc_ra_claim)
+        transcript.append_scalar(res.rwc_inc_claim)
+        transcript.append_scalar(res.output_val_final_claim)
+        transcript.append_scalar(res.output_val_init_claim)
+        transcript.append_scalar(res.instr_lookup_output_claim)
+        transcript.append_scalar(res.instr_left_operand_claim)
+        transcript.append_scalar(res.instr_right_operand_claim)
+        return res
 
     # RWC opening claims (read_write_checking.zig getOpeningClaims)
     phase1 = n_cycle_vars // 2

@@ -1,0 +1,281 @@
+"""Sound-mode stages 6-7: the REAL one-hot RamRa argument behind the
+reference's zero-proof placeholders (src/zkvm/proof_converter.zig:2656-2683,
+src/zkvm/claim_reductions/mod.zig — all empty structs).
+
+In sound mode the committed RamRa_d polynomials are ONE-HOT chunk
+indicators over the (chunk-value × cycle) cube:
+
+    RamRaOH_d(k_d, j) = [chunk_d(slot_j) == k_d]   (zero row if cycle j
+                                                    has no RAM access)
+
+with slot_j = (address_j − start) / 8, the same word-slot index the sound
+stage-2 RWC/RAF provers use. Three properties make the stage-2 virtual
+RamRa claims commitment-bound and genuinely one-hot:
+
+Stage 6 (n_cycle rounds, batched α-RLC):
+  I0 RamRaVirtualization@RWC : rwc_ra_claim  = Σ_j eq(rc_rwc, j)·Π_d OH_d(pt_d^rwc, j)
+  I1 RamRaVirtualization@RAF : raf_ra_claim  = Σ_j eq(rc_raf, j)·Π_d OH_d(pt_d^raf, j)
+  I2 RamHammingBooleanity    : 0             = Σ_j eq(r_hb, j)·HW(j)·(1−HW(j))
+  where HW(j) = Σ_k OH_0(k, j) (the RamHammingWeight virtual poly: the
+  has-RAM-access indicator). Finals: per-chunk committed OH openings at
+  (pt_d ‖ r6) — fed to the PCS batch opening — plus the HW(r6) claim.
+
+Stage 7 (4 + n_cycle rounds over the (k,j) cube, batched β-RLC,
+2·ram_d instances):
+  B_d  Booleanity             : 0     = Σ_{k,j} eq(r_b,(k,j))·OH_d·(1−OH_d)
+  HW_d HammingWeightClaimRed. : HW(r6)= Σ_{k,j} eq(r6, j)·OH_d(k, j)
+  Finals: committed OH_d openings at r7 — batch opening again.
+
+Booleanity(OH_d) + (Σ_k OH_d(k,j) = HW(j) for EVERY d) + HW·(1−HW)=0 ⇒
+every cycle column of every chunk is one-hot or all-zero, all chunks
+zero/live at the same cycles — so the RWC ra and RAF ra the verifier
+consumed in stage 2 are bound to committed one-hot address indicators.
+(Reference naming: jolt_types.zig:70-101 SumcheckIds.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+from ..field.params import FR
+from ..poly import unipoly
+from .stage2_batch import eval_from_hint
+
+P = FR.p
+
+
+def eval_from_hint_any(compressed: list[int], hint: int, x: int) -> int:
+    """Degree-generic compressed-poly evaluation (stage 6 rounds are degree
+    ram_d+1 > 3): recover c1 from hint = p(0)+p(1), then Horner."""
+    return unipoly.horner_eval(unipoly.decompress(compressed, hint), x)
+
+LOG_K_CHUNK = 4
+
+
+def _eq_le_bits(r: list[int], idx: int) -> int:
+    out = 1
+    for i, ri in enumerate(r):
+        out = out * (ri if (idx >> i) & 1 else (1 - ri)) % P
+    return out
+
+
+def eq_point_eval(a: list[int], b: list[int]) -> int:
+    out = 1
+    for x, y in zip(a, b):
+        out = out * ((x * y + (1 - x) * (1 - y)) % P) % P
+    return out
+
+
+def slot_per_cycle(padded_steps, start_address: int, log_ram_k: int) -> list:
+    """Word-slot index per cycle (None when the cycle has no RAM access) —
+    same mapping as the sound stage-2 provers."""
+    k_size = 1 << log_ram_k
+    out = []
+    for s in padded_steps:
+        addr = None if getattr(s, "is_noop", False) else s.memory_addr
+        if addr is None or addr < start_address:
+            out.append(None)
+            continue
+        k = (addr - start_address) // 8
+        out.append(k if k < k_size else None)
+    return out
+
+
+def chunk_shifts(log_ram_k: int) -> list[int]:
+    """Bit shift of chunk d (chunk 0 = high bits, commitments.build_ram_ra)."""
+    ram_d = (log_ram_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK
+    return [LOG_K_CHUNK * (ram_d - 1 - d) for d in range(ram_d)]
+
+
+# ---------------------------------------------------------------------------
+# Stage 6
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage6Result:
+    compressed_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    r_hb: list[int] = dfield(default_factory=list)
+    alphas: list[int] = dfield(default_factory=list)
+    final_claim: int = 0
+    oh_rwc_claims: list[int] = dfield(default_factory=list)
+    oh_raf_claims: list[int] = dfield(default_factory=list)
+    hw_claim: int = 0
+
+
+def stage6_points(s2_challenges: list[int], tau: list[int],
+                  n_cycle_vars: int, log_ram_k: int):
+    """(rc_rwc_le, rc_raf_le, chunk_pts_rwc, chunk_pts_raf) — the cycle and
+    per-chunk address points of the two stage-2 RamRa claims.
+
+    Sound RWC binds slot bits over s2[:log_k] then cycles over s2[log_k:];
+    sound RAF pre-binds cycles at eq_BE(τ[:n]) then slot bits over s2[n:]
+    (stage2_batch.SoundRamReadWriteCheckingProver / RafEvaluationProver)."""
+    n, log_k = n_cycle_vars, log_ram_k
+    rc_rwc_le = list(s2_challenges[log_k:log_k + n])
+    rc_raf_le = list(reversed([t % P for t in tau[:n]]))
+    shifts = chunk_shifts(log_k)
+    chunk_rwc = [list(s2_challenges[sh:sh + LOG_K_CHUNK]) for sh in shifts]
+    chunk_raf = [list(s2_challenges[n + sh:n + sh + LOG_K_CHUNK]) for sh in shifts]
+    return rc_rwc_le, rc_raf_le, chunk_rwc, chunk_raf
+
+
+def prove_stage6(transcript, padded_steps, s2_challenges, tau,
+                 n_cycle_vars: int, log_ram_k: int, rwc_ra_claim: int,
+                 raf_ra_claim: int, start_address: int) -> Stage6Result:
+    res = Stage6Result()
+    T = 1 << n_cycle_vars
+    rc_rwc, rc_raf, chunk_rwc, chunk_raf = stage6_points(
+        s2_challenges, tau, n_cycle_vars, log_ram_k)
+    slots = slot_per_cycle(padded_steps, start_address, log_ram_k)
+    shifts = chunk_shifts(log_ram_k)
+    ram_d = len(shifts)
+
+    res.r_hb = [transcript.challenge_scalar() for _ in range(n_cycle_vars)]
+    res.alphas = [transcript.challenge_scalar_full() for _ in range(3)]
+    a0, a1, a2 = res.alphas
+
+    eq_rwc = [_eq_le_bits(rc_rwc, j) for j in range(T)]
+    eq_raf = [_eq_le_bits(rc_raf, j) for j in range(T)]
+    eq_hb = [_eq_le_bits(res.r_hb, j) for j in range(T)]
+    oh_rwc = [[0] * T for _ in range(ram_d)]
+    oh_raf = [[0] * T for _ in range(ram_d)]
+    hw = [0] * T
+    mask = (1 << LOG_K_CHUNK) - 1
+    for j, k in enumerate(slots):
+        if k is None:
+            continue
+        hw[j] = 1
+        for d, sh in enumerate(shifts):
+            kd = (k >> sh) & mask
+            oh_rwc[d][j] = _eq_le_bits(chunk_rwc[d], kd)
+            oh_raf[d][j] = _eq_le_bits(chunk_raf[d], kd)
+
+    deg = ram_d + 1          # eq · Π_d oh
+    claim = (a0 * rwc_ra_claim + a1 * raf_ra_claim) % P
+    tables = [eq_rwc, eq_raf, eq_hb, hw] + oh_rwc + oh_raf
+
+    for _ in range(n_cycle_vars):
+        half = len(eq_rwc) // 2
+        evs = [0] * (deg + 1)
+        for i in range(half):
+            lo = [t[2 * i] for t in tables]
+            dl = [t[2 * i + 1] - t[2 * i] for t in tables]
+            for t in range(deg + 1):
+                v = [(l + t * d) % P for l, d in zip(lo, dl)]
+                e_rwc, e_raf, e_hb, v_hw = v[0], v[1], v[2], v[3]
+                v_rwc = v[4:4 + ram_d]
+                v_raf = v[4 + ram_d:]
+                p_rwc = e_rwc
+                for x in v_rwc:
+                    p_rwc = p_rwc * x % P
+                p_raf = e_raf
+                for x in v_raf:
+                    p_raf = p_raf * x % P
+                p_hb = e_hb * v_hw % P * ((1 - v_hw) % P) % P
+                evs[t] = (evs[t] + a0 * p_rwc + a1 * p_raf + a2 * p_hb) % P
+
+        compressed = unipoly.compress(unipoly.interpolate(evs))
+        res.compressed_polys.append(compressed)
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        res.challenges.append(r)
+        claim = eval_from_hint_any(compressed, claim, r)
+        for t in tables:
+            for i in range(half):
+                t[i] = (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % P
+            del t[half:]
+
+    res.final_claim = claim
+    res.oh_rwc_claims = [oh_rwc[d][0] for d in range(ram_d)]
+    res.oh_raf_claims = [oh_raf[d][0] for d in range(ram_d)]
+    res.hw_claim = hw[0]
+    for v in res.oh_rwc_claims + res.oh_raf_claims + [res.hw_claim]:
+        transcript.append_scalar(v)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Stage 7
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage7Result:
+    compressed_polys: list[list[int]] = dfield(default_factory=list)
+    challenges: list[int] = dfield(default_factory=list)
+    r_b: list[int] = dfield(default_factory=list)
+    betas: list[int] = dfield(default_factory=list)
+    final_claim: int = 0
+    oh_claims: list[int] = dfield(default_factory=list)
+
+
+def prove_stage7(transcript, padded_steps, stage6_challenges,
+                 n_cycle_vars: int, log_ram_k: int, hw_claim: int,
+                 start_address: int) -> Stage7Result:
+    """Booleanity of every OH_d + the HW linkage, over the (k_d, j) cube
+    (flat index k_d·T + j, bound j-bits-first, all instances share it)."""
+    res = Stage7Result()
+    T = 1 << n_cycle_vars
+    slots = slot_per_cycle(padded_steps, start_address, log_ram_k)
+    shifts = chunk_shifts(log_ram_k)
+    ram_d = len(shifts)
+    cube = (1 << LOG_K_CHUNK) * T
+    n_rounds = LOG_K_CHUNK + n_cycle_vars
+
+    res.r_b = [transcript.challenge_scalar() for _ in range(n_rounds)]
+    res.betas = [transcript.challenge_scalar_full() for _ in range(2 * ram_d)]
+
+    mask = (1 << LOG_K_CHUNK) - 1
+    oh = [[0] * cube for _ in range(ram_d)]
+    for j, k in enumerate(slots):
+        if k is None:
+            continue
+        for d, sh in enumerate(shifts):
+            oh[d][(((k >> sh) & mask) << n_cycle_vars) | j] = 1
+    eq_b = [_eq_le_bits(res.r_b, i) for i in range(cube)]
+    eq_hw = [0] * cube
+    for i in range(cube):
+        eq_hw[i] = _eq_le_bits(stage6_challenges, i & (T - 1))
+
+    hw_betas = res.betas[ram_d:]
+    claim = sum(hw_betas) % P * hw_claim % P
+    tables = [eq_b, eq_hw] + oh
+
+    for _ in range(n_rounds):
+        half = len(eq_b) // 2
+        evs = [0, 0, 0, 0]
+        for i in range(half):
+            lo = [t[2 * i] for t in tables]
+            dl = [t[2 * i + 1] - t[2 * i] for t in tables]
+            for t in range(4):
+                v = [(l + t * d) % P for l, d in zip(lo, dl)]
+                e_b, e_hw = v[0], v[1]
+                acc = 0
+                for d in range(ram_d):
+                    x = v[2 + d]
+                    acc = (acc + res.betas[d] * (e_b * x % P * ((1 - x) % P))
+                           + hw_betas[d] * (e_hw * x % P)) % P
+                evs[t] = (evs[t] + acc) % P
+
+        compressed = unipoly.evals_to_compressed(evs)
+        res.compressed_polys.append(compressed)
+        transcript.append_message(b"UniPoly_begin")
+        for c in compressed:
+            transcript.append_scalar(c)
+        transcript.append_message(b"UniPoly_end")
+        r = transcript.challenge_scalar()
+        res.challenges.append(r)
+        claim = eval_from_hint(compressed, claim, r)
+        for t in tables:
+            for i in range(half):
+                t[i] = (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % P
+            del t[half:]
+
+    res.final_claim = claim
+    res.oh_claims = [oh[d][0] for d in range(ram_d)]
+    for v in res.oh_claims:
+        transcript.append_scalar(v)
+    return res
