@@ -248,6 +248,12 @@ def evaluate_mle(table: Table, r: list[int], xlen: int = 64) -> int:
             for b in range(nsh):
                 t = ybit[b] if (s >> b) & 1 else (1 - ybit[b])
                 eq_s = eq_s * t % P
+                if eq_s == 0:
+                    break  # binary shift bits: only one s survives —
+                    # keeps mixed-point evaluation (Lasso prefix–suffix
+                    # style, field prefix + binary suffix) at O(xlen)
+            if eq_s == 0:
+                continue
             if table == Table.LeftShift:
                 val = sum((1 << (i + s)) * xbit[i] for i in range(xlen - s))
             else:
@@ -265,6 +271,8 @@ def evaluate_mle(table: Table, r: list[int], xlen: int = 64) -> int:
             for b in range(nsh):
                 t = ybit[b] if (s >> b) & 1 else (1 - ybit[b])
                 eq_s = eq_s * t % P
+                if eq_s == 0:
+                    break
             acc = (acc + eq_s * (1 << s)) % P
         return acc
     if table in (Table.SignExtend8, Table.SignExtend16, Table.SignExtend32):
