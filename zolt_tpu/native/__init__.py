@@ -42,14 +42,25 @@ def _constants_blob() -> bytes:
             + fp2_b(pr._GAMMA12) + fp2_b(pr._GAMMA13) + fp2_b(pr._TWIST_B))
 
 
+def _fr_constants_blob() -> bytes:
+    from ..field.params import FR
+
+    p = FR.p
+    r2 = (1 << 512) % p
+    ninv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    return (p.to_bytes(32, "little") + r2.to_bytes(32, "little")
+            + ninv.to_bytes(8, "little"))
+
+
 def _build_and_load():
     src_dir = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(src_dir, "bn254.c")
+    srcs = [os.path.join(src_dir, "bn254.c"), os.path.join(src_dir, "fr_vec.c")]
     so = os.path.join(src_dir, "libbn254.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+    if (not os.path.exists(so)
+            or any(os.path.getmtime(so) < os.path.getmtime(s) for s in srcs)):
         cc = os.environ.get("CC", "cc")
         cmd = [cc, "-O3", "-fomit-frame-pointer", "-shared", "-fPIC",
-               "-o", so + ".tmp", src]
+               "-o", so + ".tmp"] + srcs
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)
@@ -63,6 +74,27 @@ def _build_and_load():
     lib.bn254_g2_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                  ctypes.c_int, ctypes.c_char_p]
     lib.bn254_init(_constants_blob())
+    C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
+    lib.frv_init.argtypes = [C]
+    lib.frv_to_mont.argtypes = [C, L, C]
+    lib.frv_from_mont.argtypes = [C, L, C]
+    lib.frv_eq_table_be.argtypes = [C, I, C]
+    lib.frv_fold_adj.argtypes = [C, L, C, C]
+    lib.frv_fold_half.argtypes = [C, L, C, C]
+    lib.frv_quad_sums_half.argtypes = [C, C, L, C]
+    PP = ctypes.POINTER(ctypes.c_char_p)
+    lib.frv_prod_evals_adj.argtypes = [PP, I, L, I, C]
+    lib.frv_prod_evals_half.argtypes = [PP, I, L, I, C]
+    lib.frv_vec_add.argtypes = [C, C, L, C]
+    lib.frv_vec_sub.argtypes = [C, C, L, C]
+    lib.frv_vec_mul.argtypes = [C, C, L, C]
+    lib.frv_axpy.argtypes = [C, C, C, L]
+    lib.frv_scale.argtypes = [C, C, L, C]
+    lib.frv_inner.argtypes = [C, C, L, C]
+    lib.frv_sum.argtypes = [C, L, C]
+    lib.frv_mle_eval_be.argtypes = [C, L, C, I, C]
+    lib.frv_init(_fr_constants_blob())
+    lib._frv_ready = True
     return lib
 
 

@@ -1,0 +1,342 @@
+/* BN254 Fr vector runtime: batch Montgomery kernels for the host prover tier.
+ *
+ * The sumcheck provers' host hot loops are all shapes over Fr arrays:
+ * eq-table construction (doubling algorithm, reference src/poly/mod.zig:252-290),
+ * challenge folds new[i] = lo + r*(hi-lo) (bindLow/bindFirst,
+ * src/poly/mod.zig:128-175), and per-round evaluation sums
+ * Σ Π_k (lo_k + t*(hi_k-lo_k)) for t in 0..degree. This file implements them
+ * over 4x u64-limb Montgomery elements so the host tier runs at native speed;
+ * the Python big-int implementations remain the differential oracle
+ * (tests/test_native.py), and the JAX limb kernels remain the device tier.
+ *
+ * ABI: element buffers are n*32 bytes of 4x u64 little-endian limbs in
+ * MONTGOMERY form (convert at the boundary with frv_to_mont/frv_from_mont;
+ * canonical values are plain LE 256-bit integers).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef uint64_t u64;
+typedef unsigned __int128 u128;
+
+typedef struct { u64 l[4]; } fr;
+
+static fr FRMOD, FR_R2;
+static u64 FR_NINV;
+static fr FR_ONE_M; /* to_mont(1) */
+
+static inline int fr_geq_p(const fr *a) {
+    for (int i = 3; i >= 0; i--) {
+        if (a->l[i] > FRMOD.l[i]) return 1;
+        if (a->l[i] < FRMOD.l[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void fr_sub_p(fr *a) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->l[i] - FRMOD.l[i] - (u64)borrow;
+        a->l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static inline void fr_add(fr *r, const fr *a, const fr *b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a->l[i] + b->l[i] + (u64)carry;
+        r->l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_geq_p(r)) fr_sub_p(r);
+}
+
+static inline void fr_sub(fr *r, const fr *a, const fr *b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->l[i] - b->l[i] - (u64)borrow;
+        r->l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)r->l[i] + FRMOD.l[i] + (u64)carry;
+            r->l[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+}
+
+/* CIOS Montgomery multiplication (same schedule as bn254.c fp_mul) */
+static void fr_mul(fr *r, const fr *a, const fr *b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        u64 ai = a->l[i];
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)t[j] + (u128)ai * b->l[j] + (u64)carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + (u64)carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * FR_NINV;
+        carry = 0;
+        u128 s2 = (u128)t[0] + (u128)m * FRMOD.l[0];
+        carry = s2 >> 64;
+        for (int j = 1; j < 4; j++) {
+            u128 s3 = (u128)t[j] + (u128)m * FRMOD.l[j] + (u64)carry;
+            t[j - 1] = (u64)s3;
+            carry = s3 >> 64;
+        }
+        u128 s4 = (u128)t[4] + (u64)carry;
+        t[3] = (u64)s4;
+        t[4] = t[5] + (u64)(s4 >> 64);
+        t[5] = 0;
+    }
+    r->l[0] = t[0]; r->l[1] = t[1]; r->l[2] = t[2]; r->l[3] = t[3];
+    if (t[4] || fr_geq_p(r)) fr_sub_p(r);
+}
+
+static inline void fr_load(fr *r, const uint8_t *b) { memcpy(r->l, b, 32); }
+static inline void fr_store(const fr *a, uint8_t *b) { memcpy(b, a->l, 32); }
+
+/* ------------------------------------------------------------------ */
+/* init + boundary conversion                                          */
+/* ------------------------------------------------------------------ */
+
+void frv_init(const uint8_t *blob) {
+    /* blob: fr modulus (32 LE) + R2 mod p (32 LE, canonical) + ninv (8 LE) */
+    fr_load(&FRMOD, blob);
+    fr r2_can;
+    fr_load(&r2_can, blob + 32);
+    FR_R2 = r2_can; /* R2 in canonical limbs IS the Montgomery rep of R */
+    FR_NINV = 0;
+    for (int j = 7; j >= 0; j--) FR_NINV = (FR_NINV << 8) | blob[64 + j];
+    fr one = {{1, 0, 0, 0}};
+    fr_mul(&FR_ONE_M, &one, &FR_R2);
+}
+
+void frv_to_mont(const uint8_t *in, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++) {
+        fr a, m;
+        fr_load(&a, in + i * 32);
+        fr_mul(&m, &a, &FR_R2);
+        fr_store(&m, out + i * 32);
+    }
+}
+
+void frv_from_mont(const uint8_t *in, long n, uint8_t *out) {
+    fr one = {{1, 0, 0, 0}};
+    for (long i = 0; i < n; i++) {
+        fr a, c;
+        fr_load(&a, in + i * 32);
+        fr_mul(&c, &a, &one);
+        fr_store(&c, out + i * 32);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* eq tables                                                            */
+/* ------------------------------------------------------------------ */
+
+/* eq(point, j) for all j, big-endian (point[0] <-> MSB of j); doubling
+ * algorithm. point: n_vars Montgomery elements; out: 2^n_vars elements. */
+void frv_eq_table_be(const uint8_t *point, int n_vars, uint8_t *out) {
+    fr *t = (fr *)out;
+    t[0] = FR_ONE_M;
+    long size = 1;
+    for (int v = n_vars - 1; v >= 0; v--) {
+        fr pv;
+        fr_load(&pv, point + (long)v * 32);
+        for (long i = size - 1; i >= 0; i--) {
+            fr hi, lo;
+            fr_mul(&hi, &t[i], &pv);
+            fr_sub(&lo, &t[i], &hi);
+            t[i + size] = hi; /* safe: walking i downward, writes stay above reads */
+            t[i] = lo;
+        }
+        size <<= 1;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* folds                                                                */
+/* ------------------------------------------------------------------ */
+
+/* out[i] = a[2i] + r*(a[2i+1] - a[2i]); out may alias a. n = input length. */
+void frv_fold_adj(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *out) {
+    fr r;
+    fr_load(&r, r_mont);
+    const fr *a = (const fr *)in;
+    fr *o = (fr *)out;
+    for (long i = 0; i < n / 2; i++) {
+        fr d, m;
+        fr_sub(&d, &a[2 * i + 1], &a[2 * i]);
+        fr_mul(&m, &d, &r);
+        fr_add(&o[i], &a[2 * i], &m);
+    }
+}
+
+/* out[i] = a[i] + r*(a[i+h] - a[i]), h = n/2; out may alias a. */
+void frv_fold_half(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *out) {
+    fr r;
+    fr_load(&r, r_mont);
+    const fr *a = (const fr *)in;
+    fr *o = (fr *)out;
+    long h = n / 2;
+    for (long i = 0; i < h; i++) {
+        fr d, m;
+        fr_sub(&d, &a[i + h], &a[i]);
+        fr_mul(&m, &d, &r);
+        fr_add(&o[i], &a[i], &m);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* round-evaluation sums                                                */
+/* ------------------------------------------------------------------ */
+
+/* Stride-h pairing, degree-2 eq*f rounds (batch-opening reduction):
+ * out = [a0, a2] with a0 = Σ_j e[j]*f[j],
+ * a2 = Σ_j (2f[j+h]-f[j]) * (2e[j+h]-e[j]);  h = n/2. */
+void frv_quad_sums_half(const uint8_t *fbuf, const uint8_t *ebuf, long n,
+                        uint8_t *out) {
+    const fr *f = (const fr *)fbuf;
+    const fr *e = (const fr *)ebuf;
+    long h = n / 2;
+    fr a0 = {{0, 0, 0, 0}}, a2 = {{0, 0, 0, 0}};
+    for (long j = 0; j < h; j++) {
+        fr t, f2, e2;
+        fr_mul(&t, &e[j], &f[j]);
+        fr_add(&a0, &a0, &t);
+        fr_add(&f2, &f[j + h], &f[j + h]);
+        fr_sub(&f2, &f2, &f[j]);
+        fr_add(&e2, &e[j + h], &e[j + h]);
+        fr_sub(&e2, &e2, &e[j]);
+        fr_mul(&t, &f2, &e2);
+        fr_add(&a2, &a2, &t);
+    }
+    fr_store(&a0, out);
+    fr_store(&a2, out + 32);
+}
+
+/* Adjacent pairing, k-factor product evaluated at t = 0..degree:
+ * out[t] = Σ_i Π_k (lo_k + t*(hi_k - lo_k)) with lo_k = tab_k[2i],
+ * hi_k = tab_k[2i+1]. tabs = k table pointers, each n elements.
+ * k <= 8, degree <= 8. */
+void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
+                        uint8_t *out) {
+    const fr *tp[8];
+    for (int c = 0; c < k; c++) tp[c] = (const fr *)tabs[c];
+    fr acc[9];
+    for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
+    for (long i = 0; i < n / 2; i++) {
+        fr val[8], d[8];
+        for (int c = 0; c < k; c++) {
+            val[c] = tp[c][2 * i];
+            fr_sub(&d[c], &tp[c][2 * i + 1], &val[c]);
+        }
+        for (int t = 0; t <= degree; t++) {
+            fr prod = val[0];
+            for (int c = 1; c < k; c++) fr_mul(&prod, &prod, &val[c]);
+            fr_add(&acc[t], &acc[t], &prod);
+            for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
+        }
+    }
+    for (int t = 0; t <= degree; t++) fr_store(&acc[t], out + (long)t * 32);
+}
+
+/* Stride-h pairing variant of the product-eval kernel. */
+void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
+                         uint8_t *out) {
+    const fr *tp[8];
+    for (int c = 0; c < k; c++) tp[c] = (const fr *)tabs[c];
+    long h = n / 2;
+    fr acc[9];
+    for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
+    for (long i = 0; i < h; i++) {
+        fr val[8], d[8];
+        for (int c = 0; c < k; c++) {
+            val[c] = tp[c][i];
+            fr_sub(&d[c], &tp[c][i + h], &val[c]);
+        }
+        for (int t = 0; t <= degree; t++) {
+            fr prod = val[0];
+            for (int c = 1; c < k; c++) fr_mul(&prod, &prod, &val[c]);
+            fr_add(&acc[t], &acc[t], &prod);
+            for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
+        }
+    }
+    for (int t = 0; t <= degree; t++) fr_store(&acc[t], out + (long)t * 32);
+}
+
+/* ------------------------------------------------------------------ */
+/* elementwise / reduction utilities                                    */
+/* ------------------------------------------------------------------ */
+
+void frv_vec_add(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++)
+        fr_add((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
+}
+
+void frv_vec_sub(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++)
+        fr_sub((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
+}
+
+void frv_vec_mul(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++)
+        fr_mul((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
+}
+
+/* acc += c * x (elementwise) */
+void frv_axpy(uint8_t *acc, const uint8_t *x, const uint8_t *c_mont, long n) {
+    fr c;
+    fr_load(&c, c_mont);
+    for (long i = 0; i < n; i++) {
+        fr m;
+        fr_mul(&m, (const fr *)(x + i * 32), &c);
+        fr_add((fr *)(acc + i * 32), (const fr *)(acc + i * 32), &m);
+    }
+}
+
+void frv_scale(const uint8_t *a, const uint8_t *c_mont, long n, uint8_t *out) {
+    fr c;
+    fr_load(&c, c_mont);
+    for (long i = 0; i < n; i++)
+        fr_mul((fr *)(out + i * 32), (const fr *)(a + i * 32), &c);
+}
+
+void frv_inner(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+    fr acc = {{0, 0, 0, 0}};
+    for (long i = 0; i < n; i++) {
+        fr m;
+        fr_mul(&m, (const fr *)(a + i * 32), (const fr *)(b + i * 32));
+        fr_add(&acc, &acc, &m);
+    }
+    fr_store(&acc, out);
+}
+
+void frv_sum(const uint8_t *a, long n, uint8_t *out) {
+    fr acc = {{0, 0, 0, 0}};
+    for (long i = 0; i < n; i++) fr_add(&acc, &acc, (const fr *)(a + i * 32));
+    fr_store(&acc, out);
+}
+
+/* MLE evaluation, big-endian point (point[0] binds the top index bit):
+ * repeatedly fold-half. Scratch: caller passes a writable copy in `tab`. */
+void frv_mle_eval_be(uint8_t *tab, long n, const uint8_t *point, int n_vars,
+                     uint8_t *out) {
+    long size = n;
+    for (int v = 0; v < n_vars; v++) {
+        frv_fold_half(tab, size, point + (long)v * 32, tab);
+        size /= 2;
+    }
+    memcpy(out, tab, 32);
+}

@@ -1,0 +1,316 @@
+"""FrVec: batch Fr vectors over the native runtime (fr_vec.c), with a pure-
+Python fallback.
+
+The host prover tier's hot loops — eq-table construction, challenge folds,
+per-round product-evaluation sums (SURVEY §5.7's structures) — all operate on
+Fr arrays. FrVec keeps those arrays as native Montgomery byte buffers across
+rounds so only per-round scalars (challenges in, round-poly evaluations out)
+cross the Python boundary. Every op has a list-of-ints fallback (set
+ZOLT_TPU_NO_NATIVE=1) and tests/test_native.py differentially checks the two.
+
+Results are exact mod p either way, so proofs remain byte-identical.
+
+Buffer discipline: this environment's allocator makes large bytes copies
+pathologically slow (~5 MB/s for b"".join / bytes(bytearray)), so every
+native call passes the backing bytearray zero-copy via ctypes.from_buffer,
+folds shrink in place, and int<->bytes conversion happens element-wise
+through a memoryview only at construction/extraction.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+from ..field.params import FR
+
+P = FR.p
+
+
+def _get_lib():
+    from . import get_lib
+
+    lib = get_lib()
+    return lib if lib is not None and getattr(lib, "_frv_ready", False) else None
+
+
+def _buf(b: bytearray) -> ctypes.c_char_p:
+    """Zero-copy pointer to a bytearray's storage."""
+    return ctypes.cast((ctypes.c_char * len(b)).from_buffer(b), ctypes.c_char_p)
+
+
+def _pack(vals: list[int]) -> bytearray:
+    out = bytearray(32 * len(vals))
+    mv = memoryview(out)
+    for i, v in enumerate(vals):
+        mv[i * 32:(i + 1) * 32] = (v % P).to_bytes(32, "little")
+    return out
+
+
+def _unpack(buf: bytearray, n: int) -> list[int]:
+    return [int.from_bytes(buf[i * 32:(i + 1) * 32], "little") for i in range(n)]
+
+
+class FrVec:
+    """A length-n Fr vector. Native: Montgomery 32-byte LE limbs in a
+    bytearray (owned; ops may mutate/shrink it in place). Fallback:
+    canonical ints in a list."""
+
+    __slots__ = ("n", "_mont", "_ints")
+
+    def __init__(self, n: int, mont: bytearray | None = None,
+                 ints: list[int] | None = None):
+        self.n = n
+        self._mont = mont
+        self._ints = ints
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def from_ints(cls, vals: list[int]) -> "FrVec":
+        lib = _get_lib()
+        n = len(vals)
+        if lib is None:
+            return cls(n, ints=[v % P for v in vals])
+        buf = _pack(vals)
+        p = _buf(buf)
+        lib.frv_to_mont(p, n, p)  # elementwise: in-place alias is safe
+        return cls(n, mont=buf)
+
+    @classmethod
+    def zeros(cls, n: int) -> "FrVec":
+        lib = _get_lib()
+        if lib is None:
+            return cls(n, ints=[0] * n)
+        return cls(n, mont=bytearray(32 * n))  # 0 is 0 in Montgomery form
+
+    @classmethod
+    def eq_table_be(cls, point: list[int]) -> "FrVec":
+        """eq(point, j) for all j; point[0] owns the MSB of j."""
+        lib = _get_lib()
+        nv = len(point)
+        if lib is None:
+            out = [1]
+            for t in reversed(point):
+                t %= P
+                nxt = [0] * (2 * len(out))
+                for i, v in enumerate(out):
+                    hi = v * t % P
+                    nxt[i + len(out)] = hi
+                    nxt[i] = (v - hi) % P
+                out = nxt
+            return cls(1 << nv, ints=out)
+        pm = _mont_scalars(point)
+        out = bytearray(32 << nv)
+        lib.frv_eq_table_be(_buf(pm), nv, _buf(out))
+        return cls(1 << nv, mont=out)
+
+    def copy(self) -> "FrVec":
+        if self._mont is not None:
+            return FrVec(self.n, mont=bytearray(self._mont[: 32 * self.n]))
+        return FrVec(self.n, ints=list(self._ints))
+
+    # -- boundary -----------------------------------------------------
+    def to_ints(self) -> list[int]:
+        if self._mont is None:
+            return list(self._ints)
+        lib = _get_lib()
+        out = bytearray(32 * self.n)
+        lib.frv_from_mont(_buf(self._mont), self.n, _buf(out))
+        return _unpack(out, self.n)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def first(self) -> int:
+        """Canonical value of element 0 (sumcheck finals)."""
+        if self._mont is None:
+            return self._ints[0]
+        lib = _get_lib()
+        out = bytearray(32)
+        lib.frv_from_mont(_buf(self._mont), 1, _buf(out))
+        return int.from_bytes(out, "little")
+
+    # -- folds (consume self: the backing buffer is reused) -------------
+    def fold_adj(self, r: int) -> "FrVec":
+        """new[i] = a[2i] + r·(a[2i+1] − a[2i]); halves the length."""
+        if self._mont is None:
+            a = self._ints
+            return FrVec(self.n // 2,
+                         ints=[(a[2 * i] + r * (a[2 * i + 1] - a[2 * i])) % P
+                               for i in range(self.n // 2)])
+        lib = _get_lib()
+        p = _buf(self._mont)
+        lib.frv_fold_adj(p, self.n, _buf(_mont_scalars([r])), p)
+        return FrVec(self.n // 2, mont=self._mont)
+
+    def fold_half(self, r: int) -> "FrVec":
+        """new[i] = a[i] + r·(a[i+h] − a[i]), h = n/2; halves the length."""
+        if self._mont is None:
+            a, h = self._ints, self.n // 2
+            return FrVec(h, ints=[(a[i] + r * (a[i + h] - a[i])) % P
+                                  for i in range(h)])
+        lib = _get_lib()
+        p = _buf(self._mont)
+        lib.frv_fold_half(p, self.n, _buf(_mont_scalars([r])), p)
+        return FrVec(self.n // 2, mont=self._mont)
+
+    # -- round sums -----------------------------------------------------
+    @staticmethod
+    def prod_evals_adj(vecs: list["FrVec"], degree: int) -> list[int]:
+        """[Σ_i Π_k (lo_k + t·(hi_k−lo_k)) for t in 0..degree], adjacent
+        pairs. All vecs must share a length."""
+        k, n = len(vecs), vecs[0].n
+        lib = _get_lib()
+        if lib is None or any(v._mont is None for v in vecs):
+            tabs = [v._ints if v._ints is not None else v.to_ints() for v in vecs]
+            out = []
+            for t in range(degree + 1):
+                s = 0
+                for i in range(n // 2):
+                    prod = 1
+                    for tab in tabs:
+                        lo, hi = tab[2 * i], tab[2 * i + 1]
+                        prod = prod * ((lo + t * (hi - lo)) % P) % P
+                    s = (s + prod) % P
+                out.append(s)
+            return out
+        ptrs = (ctypes.c_char_p * k)(*[_buf(v._mont) for v in vecs])
+        outb = bytearray(32 * (degree + 1))
+        lib.frv_prod_evals_adj(ptrs, k, n, degree, _buf(outb))
+        return _from_mont_list(outb, degree + 1)
+
+    @staticmethod
+    def prod_evals_half(vecs: list["FrVec"], degree: int) -> list[int]:
+        k, n = len(vecs), vecs[0].n
+        lib = _get_lib()
+        if lib is None or any(v._mont is None for v in vecs):
+            tabs = [v._ints if v._ints is not None else v.to_ints() for v in vecs]
+            h = n // 2
+            out = []
+            for t in range(degree + 1):
+                s = 0
+                for i in range(h):
+                    prod = 1
+                    for tab in tabs:
+                        lo, hi = tab[i], tab[i + h]
+                        prod = prod * ((lo + t * (hi - lo)) % P) % P
+                    s = (s + prod) % P
+                out.append(s)
+            return out
+        ptrs = (ctypes.c_char_p * k)(*[_buf(v._mont) for v in vecs])
+        outb = bytearray(32 * (degree + 1))
+        lib.frv_prod_evals_half(ptrs, k, n, degree, _buf(outb))
+        return _from_mont_list(outb, degree + 1)
+
+    @staticmethod
+    def quad_sums_half(f: "FrVec", e: "FrVec") -> tuple[int, int]:
+        """(Σ e[j]f[j], Σ (2f[j+h]−f[j])(2e[j+h]−e[j])), h = n/2."""
+        lib = _get_lib()
+        if lib is None or f._mont is None or e._mont is None:
+            ft = f._ints if f._ints is not None else f.to_ints()
+            et = e._ints if e._ints is not None else e.to_ints()
+            h = f.n // 2
+            a0 = a2 = 0
+            for j in range(h):
+                a0 += et[j] * ft[j]
+                a2 += (2 * ft[j + h] - ft[j]) * (2 * et[j + h] - et[j])
+            return a0 % P, a2 % P
+        outb = bytearray(64)
+        lib.frv_quad_sums_half(_buf(f._mont), _buf(e._mont), f.n, _buf(outb))
+        vals = _from_mont_list(outb, 2)
+        return vals[0], vals[1]
+
+    # -- elementwise ------------------------------------------------------
+    def _bin(self, other: "FrVec", cfn: str, pyfn) -> "FrVec":
+        lib = _get_lib()
+        if lib is None or self._mont is None or other._mont is None:
+            a = self._ints if self._ints is not None else self.to_ints()
+            b = other._ints if other._ints is not None else other.to_ints()
+            return FrVec(self.n, ints=[pyfn(x, y) for x, y in zip(a, b)])
+        out = bytearray(32 * self.n)
+        getattr(lib, cfn)(_buf(self._mont), _buf(other._mont), self.n, _buf(out))
+        return FrVec(self.n, mont=out)
+
+    def add(self, other: "FrVec") -> "FrVec":
+        return self._bin(other, "frv_vec_add", lambda x, y: (x + y) % P)
+
+    def sub(self, other: "FrVec") -> "FrVec":
+        return self._bin(other, "frv_vec_sub", lambda x, y: (x - y) % P)
+
+    def mul(self, other: "FrVec") -> "FrVec":
+        return self._bin(other, "frv_vec_mul", lambda x, y: x * y % P)
+
+    def axpy_(self, x: "FrVec", c: int) -> "FrVec":
+        """self += c·x, in place."""
+        lib = _get_lib()
+        if lib is None or self._mont is None or x._mont is None:
+            a = self._ints if self._ints is not None else self.to_ints()
+            b = x._ints if x._ints is not None else x.to_ints()
+            self._ints = [(u + c * v) % P for u, v in zip(a, b)]
+            self._mont = None
+            return self
+        lib.frv_axpy(_buf(self._mont), _buf(x._mont), _buf(_mont_scalars([c])),
+                     min(self.n, x.n))
+        return self
+
+    def scale(self, c: int) -> "FrVec":
+        lib = _get_lib()
+        if lib is None or self._mont is None:
+            return FrVec(self.n, ints=[v * c % P for v in self._ints])
+        out = bytearray(32 * self.n)
+        lib.frv_scale(_buf(self._mont), _buf(_mont_scalars([c])), self.n, _buf(out))
+        return FrVec(self.n, mont=out)
+
+    def inner(self, other: "FrVec") -> int:
+        lib = _get_lib()
+        if lib is None or self._mont is None or other._mont is None:
+            a = self._ints if self._ints is not None else self.to_ints()
+            b = other._ints if other._ints is not None else other.to_ints()
+            return sum(x * y for x, y in zip(a, b)) % P
+        out = bytearray(32)
+        lib.frv_inner(_buf(self._mont), _buf(other._mont), self.n, _buf(out))
+        return _from_mont_list(out, 1)[0]
+
+    def sum(self) -> int:
+        lib = _get_lib()
+        if lib is None or self._mont is None:
+            return sum(self._ints) % P
+        out = bytearray(32)
+        lib.frv_sum(_buf(self._mont), self.n, _buf(out))
+        return _from_mont_list(out, 1)[0]
+
+    def mle_eval_be(self, point: list[int]) -> int:
+        """Evaluate as an MLE at a big-endian point (len(point) vars);
+        shorter tables are zero-padded to 2^len(point)."""
+        lib = _get_lib()
+        if lib is None or self._mont is None:
+            t = self._ints if self._ints is not None else self.to_ints()
+            t = list(t)
+            nv = len(point)
+            if len(t) < (1 << nv):
+                t += [0] * ((1 << nv) - len(t))
+            for p_i in point:
+                h = len(t) // 2
+                t = [(t[i] + p_i * (t[i + h] - t[i])) % P for i in range(h)]
+            return t[0]
+        nv = len(point)
+        scratch = bytearray(32 << nv)
+        scratch[: 32 * self.n] = self._mont[: 32 * self.n]
+        out = bytearray(32)
+        pm = _mont_scalars(point)
+        lib.frv_mle_eval_be(_buf(scratch), 1 << nv, _buf(pm), nv, _buf(out))
+        return _from_mont_list(out, 1)[0]
+
+
+def _mont_scalars(vals: list[int]) -> bytearray:
+    lib = _get_lib()
+    out = _pack(vals)
+    p = _buf(out)
+    lib.frv_to_mont(p, len(vals), p)
+    return out
+
+
+def _from_mont_list(buf: bytearray, n: int) -> list[int]:
+    lib = _get_lib()
+    out = bytearray(32 * n)
+    lib.frv_from_mont(_buf(buf), n, _buf(out))
+    return _unpack(out, n)

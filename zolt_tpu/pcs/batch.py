@@ -132,7 +132,20 @@ def _absorb_round(transcript, evals3: list[int]) -> int:
 def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                         num_vars: int) -> BatchOpeningProof:
     """Run the reduction + joint Dory opening. `num_vars` must be even and
-    ≥ every claim's point length; srs must cover num_vars."""
+    ≥ every claim's point length; srs must cover num_vars.
+
+    Factored-eq fast path (byte-identical to the dense O(claims·N·2^N)
+    schedule): a claim with n_i point variables is, after zero-padding to N
+    variables, eq(0,x_hi)·eq(q_i,x_lo)·f_i(x_lo). While round k binds a
+    padded variable (k < N−n_i) both the eq table's x_k=1 half and the f
+    table's hi half are zero, so the round contributions collapse to
+    a0 = a2 = Π_{j<k}(1−r_j)²·v_i with no table work at all, and the fold
+    just multiplies both tables by (1−r). Only when its own variables start
+    binding does the claim materialize size-2^{n_i} tables — total work
+    O(Σ_i 2^{n_i}) instead of O(claims·N·2^N). Table work runs on the native
+    Fr runtime (FrVec) when available."""
+    from ..native.frvec import FrVec
+
     assert num_vars % 2 == 0, "pad to an even num_vars (square Dory layout)"
     n_tab = 1 << num_vars
     proof = BatchOpeningProof()
@@ -140,48 +153,78 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     transcript.append_scalar(len(claims))
     rho = transcript.challenge_scalar()
 
-    # per-claim tables: zero-padded f_i and eq(q_i_pad, ·)
-    ftabs, etabs, coeffs = [], [], []
+    # Per-claim state: dormant until round N−n_i, then live tables.
+    n_claims = len(claims)
+    n_is = []            # point lengths
+    fs = []              # raw (unpadded) eval tables, reduced mod P
+    vals = []            # claimed values mod P
+    coeffs = []
+    s_f = [1] * n_claims  # Π(1−r) accumulated while dormant (f-table scalar)
+    s_e = [1] * n_claims  # same for the eq table
+    ftabs: list[FrVec | None] = [None] * n_claims
+    etabs: list[FrVec | None] = [None] * n_claims
     c_pow = 1
     claim_sum = 0
     for cl in claims:
-        q = _pad_point(cl.point_be, num_vars)
+        n_i = len(cl.point_be)
+        assert n_i <= num_vars
         f = [v % P for v in cl.evals]
-        f += [0] * (n_tab - len(f))
-        assert mle_eval_be(f, q) == cl.value % P, "claim value != f(q)"
-        ftabs.append(f)
-        etabs.append(eq_table_be(q))
+        assert len(f) <= (1 << n_i)
+        n_is.append(n_i)
+        fs.append(f)
+        vals.append(cl.value % P)
         coeffs.append(c_pow)
         claim_sum = (claim_sum + c_pow * cl.value) % P
         c_pow = c_pow * rho % P
 
+    def _activate(i: int) -> None:
+        f = fs[i] + [0] * ((1 << n_is[i]) - len(fs[i]))
+        fv = FrVec.from_ints(f)
+        q = [c % P for c in claims[i].point_be]
+        assert fv.mle_eval_be(q) == vals[i], "claim value != f(q)"
+        ftabs[i] = fv
+        etabs[i] = FrVec.eq_table_be(q)
+
+    for i in range(n_claims):
+        if n_is[i] == num_vars:
+            _activate(i)
+
     # sumcheck: N rounds, degree 2, bind MSB first
     r_star: list[int] = []
     cur = claim_sum
-    for _ in range(num_vars):
-        h = len(ftabs[0]) // 2
+    for k in range(num_vars):
         e0 = e2 = 0
-        for c_i, f, e in zip(coeffs, ftabs, etabs):
-            a0 = a2 = 0
-            for j in range(h):
-                flo, fhi = f[j], f[j + h]
-                elo, ehi = e[j], e[j + h]
-                a0 += elo * flo
-                a2 += (2 * fhi - flo) * (2 * ehi - elo)
-            e0 = (e0 + c_i * a0) % P
-            e2 = (e2 + c_i * a2) % P
+        for i in range(n_claims):
+            f, e = ftabs[i], etabs[i]
+            if f is None:  # dormant: closed-form contribution
+                a = s_f[i] * s_e[i] % P * vals[i] % P
+                e0 = (e0 + coeffs[i] * a) % P
+                e2 = (e2 + coeffs[i] * a) % P
+                continue
+            a0, a2 = FrVec.quad_sums_half(f, e)
+            scale = coeffs[i] * s_f[i] % P * s_e[i] % P
+            e0 = (e0 + scale * a0) % P
+            e2 = (e2 + scale * a2) % P
         e1 = (cur - e0) % P
         proof.round_polys.append([e0, e1, e2])
         r = _absorb_round(transcript, [e0, e1, e2])
         r_star.append(r)
         # p(r) via degree-2 Lagrange on {0,1,2}
         cur = _deg2_eval([e0, e1, e2], r)
-        for arr_list in (ftabs, etabs):
-            for k, t in enumerate(arr_list):
-                arr_list[k] = [(t[j] + r * (t[j + h] - t[j])) % P for j in range(h)]
+        one_minus_r = (1 - r) % P
+        for i in range(n_claims):
+            f = ftabs[i]
+            if f is None:
+                s_f[i] = s_f[i] * one_minus_r % P
+                s_e[i] = s_e[i] * one_minus_r % P
+                if num_vars - (k + 1) == n_is[i]:
+                    _activate(i)
+                continue
+            ftabs[i] = f.fold_half(r)
+            etabs[i] = etabs[i].fold_half(r)
 
-    # per-claim finals
-    proof.finals = [f[0] for f in ftabs]
+    # per-claim finals (fold scalars back in)
+    proof.finals = [ftabs[i].first() * s_f[i] % P for i in range(n_claims)]
     for v in proof.finals:
         transcript.append_scalar(v)
 

@@ -104,11 +104,27 @@ def eq_plus_one_mle(x: list[int], y: list[int]) -> int:
     return result
 
 
-def eq_plus_one_evals(x: list[int]) -> list[int]:
-    """eq+1(x, j) for all j in {0,1}^l (big-endian index)."""
-    l = len(x)
-    out = []
-    for j in range(1 << l):
-        y = [(j >> (l - 1 - b)) & 1 for b in range(l)]
-        out.append(eq_plus_one_mle(x, y))
+def eq_be_evals(x: list[int]) -> list[int]:
+    """eq(x, j) for all j in {0,1}^l, big-endian index (x[0] = MSB), via the
+    doubling algorithm (reference src/poly/mod.zig:252-290): O(2^l) mults."""
+    out = [1]
+    for t in reversed(x):
+        nxt = [0] * (2 * len(out))
+        for i, v in enumerate(out):
+            hi = v * t % P
+            nxt[i + len(out)] = hi
+            nxt[i] = (v - hi) % P
+        out = nxt
     return out
+
+
+def eq_plus_one_evals(x: list[int]) -> list[int]:
+    """eq+1(x, j) for all j in {0,1}^l (big-endian index).
+
+    For binary j, eq+1(x, j) is the MLE in x of [x = j-1], i.e. eq(x, j-1);
+    with no wraparound the table is the big-endian eq table shifted one slot
+    right (index 0 gets 0). O(2^l) instead of the pointwise O(2^l·l^2)."""
+    if not x:
+        return [0]
+    eq = eq_be_evals(x)
+    return [0] + eq[:-1]

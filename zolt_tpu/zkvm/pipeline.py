@@ -77,6 +77,8 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
         trace_length=trace_length,
     )
 
+    from ..utils.log import metrics
+
     bytecode_len = len(getattr(emu, "program_bytecode", b"")) or _bytecode_len(elf_path)
     phase = None
     if golden_commitments is not None:
@@ -84,10 +86,11 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
             transcript.append_gt(c)
         commitment_bytes = list(golden_commitments)
     else:
-        phase = commit_and_absorb(transcript, padded, bytecode_len,
-                                  len(emu.ram.trace), srs=srs, sound=sound,
-                                  log_ram_k=LOG_RAM_K,
-                                  start_address=emu.device.layout.lowest_address())
+        with metrics.stage("commitments"):
+            phase = commit_and_absorb(transcript, padded, bytecode_len,
+                                      len(emu.ram.trace), srs=srs, sound=sound,
+                                      log_ram_k=LOG_RAM_K,
+                                      start_address=emu.device.layout.lowest_address())
         commitment_bytes = list(phase.commitments)
 
     tau = derive_tau(transcript, n_cycle_vars)
@@ -137,8 +140,9 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
                                           n_cycle_vars, LOG_RAM_K)
         claims = [batch.BatchClaim(b"", pt, v, evals=phase.polys[ci])
                   for (_, ci, pt), v in zip(specs, values)]
-        bproof = batch.prove_batch_opening(transcript, claims, phase.srs,
-                                           phase.global_num_vars)
+        with metrics.stage("batch_opening"):
+            bproof = batch.prove_batch_opening(transcript, claims, phase.srs,
+                                               phase.global_num_vars)
         proof.batch_opening = batch.serialize_batch_opening(bproof)
     if with_joint_proof:
         proof.joint_opening_proof = build_joint_opening_proof(

@@ -25,7 +25,6 @@ from dataclasses import dataclass, field as dfield
 
 from ..field.params import FR
 from ..poly import unipoly
-from ..poly.special import eq_plus_one_mle
 from ..r1cs import inputs as ri
 from .stage2_batch import _eq_table_be, _lagrange_eval_0123
 
@@ -33,12 +32,9 @@ P = FR.p
 
 
 def _eq_plus_one_table(r: list[int], size: int) -> list[int]:
-    n = len(r)
-    out = []
-    for j in range(size):
-        y = [(j >> (n - 1 - b)) & 1 for b in range(n)]
-        out.append(eq_plus_one_mle(r, y))
-    return out
+    from ..poly.special import eq_plus_one_evals
+
+    return eq_plus_one_evals(r)[:size]
 
 
 def _fold(arr: list[int], r: int) -> list[int]:
