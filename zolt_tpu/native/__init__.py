@@ -76,6 +76,7 @@ def _build_and_load():
     lib.bn254_init(_constants_blob())
     C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
     lib.frv_init.argtypes = [C]
+    lib.frv_from_u64.argtypes = [C, L, C]
     lib.frv_to_mont.argtypes = [C, L, C]
     lib.frv_from_mont.argtypes = [C, L, C]
     lib.frv_eq_table_be.argtypes = [C, I, C]
@@ -93,6 +94,8 @@ def _build_and_load():
     lib.frv_inner.argtypes = [C, C, L, C]
     lib.frv_sum.argtypes = [C, L, C]
     lib.frv_mle_eval_be.argtypes = [C, L, C, I, C]
+    lib.frv_raf_sums.argtypes = [C, L, C]
+    lib.frv_gruen_quad.argtypes = [C, L, C, L, I, C, C, L, C]
     lib.frv_init(_fr_constants_blob())
     lib._frv_ready = True
     return lib

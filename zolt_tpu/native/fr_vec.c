@@ -122,6 +122,18 @@ void frv_init(const uint8_t *blob) {
     fr_mul(&FR_ONE_M, &one, &FR_R2);
 }
 
+/* u64 little-endian values -> Montgomery elements (fast ingest path) */
+void frv_from_u64(const uint8_t *in, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++) {
+        fr a = {{0, 0, 0, 0}}, m;
+        u64 v = 0;
+        for (int j = 7; j >= 0; j--) v = (v << 8) | in[i * 8 + j];
+        a.l[0] = v;
+        fr_mul(&m, &a, &FR_R2);
+        fr_store(&m, out + i * 32);
+    }
+}
+
 void frv_to_mont(const uint8_t *in, long n, uint8_t *out) {
     for (long i = 0; i < n; i++) {
         fr a, m;
@@ -274,6 +286,71 @@ void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
         }
     }
     for (int t = 0; t <= degree; t++) fr_store(&acc[t], out + (long)t * 32);
+}
+
+/* RAF round sums (stage-2 RamRafEvaluation, adjacent pairs):
+ * out = [s_lo, s_lo_i, s_2, s_2_i] with
+ *   s_lo   = Σ_i ra[2i]            s_lo_i = Σ_i ra[2i]·i
+ *   s_2    = Σ_i (2·ra[2i+1] − ra[2i])
+ *   s_2_i  = Σ_i (2·ra[2i+1] − ra[2i])·i          (all mod p) */
+void frv_raf_sums(const uint8_t *rabuf, long n, uint8_t *out) {
+    const fr *ra = (const fr *)rabuf;
+    fr s_lo = {{0}}, s_lo_i = {{0}}, s_2 = {{0}}, s_2_i = {{0}};
+    fr iv = {{0}}; /* Montgomery i, incremented by FR_ONE_M */
+    for (long i = 0; i < n / 2; i++) {
+        fr lo = ra[2 * i], ra2, t;
+        fr_add(&ra2, &ra[2 * i + 1], &ra[2 * i + 1]);
+        fr_sub(&ra2, &ra2, &lo);
+        fr_add(&s_lo, &s_lo, &lo);
+        fr_add(&s_2, &s_2, &ra2);
+        fr_mul(&t, &lo, &iv);
+        fr_add(&s_lo_i, &s_lo_i, &t);
+        fr_mul(&t, &ra2, &iv);
+        fr_add(&s_2_i, &s_2_i, &t);
+        fr_add(&iv, &iv, &FR_ONE_M);
+    }
+    fr_store(&s_lo, out);
+    fr_store(&s_lo_i, out + 32);
+    fr_store(&s_2, out + 64);
+    fr_store(&s_2_i, out + 96);
+}
+
+/* Gruen-window quadratic sums (stage-2 ProductVirtualRemainder):
+ * t0   = Σ_{x_out} e_out[x_out] · Σ_{x_in} e_in[x_in] · l_lo·r_lo
+ * tinf = Σ_{x_out} e_out[x_out] · Σ_{x_in} e_in[x_in] · (l_hi−l_lo)(r_hi−r_lo)
+ * where g = (x_out << head_in) | x_in indexes pairs (skip g >= num_groups),
+ * l_lo = left[2g], l_hi = left[2g+1], same for right. out = [t0, tinf]. */
+void frv_gruen_quad(const uint8_t *e_out, long n_out, const uint8_t *e_in,
+                    long n_in, int head_in, const uint8_t *left,
+                    const uint8_t *right, long num_groups, uint8_t *out) {
+    const fr *eo = (const fr *)e_out;
+    const fr *ei = (const fr *)e_in;
+    const fr *l = (const fr *)left;
+    const fr *r = (const fr *)right;
+    fr t0 = {{0}}, tinf = {{0}};
+    for (long xo = 0; xo < n_out; xo++) {
+        fr inner0 = {{0}}, innerI = {{0}};
+        for (long xi = 0; xi < n_in; xi++) {
+            long g = (xo << head_in) | xi;
+            if (g >= num_groups) continue;
+            fr p0, dl, dr, pI;
+            fr_mul(&p0, &l[2 * g], &r[2 * g]);
+            fr_mul(&p0, &p0, &ei[xi]);
+            fr_add(&inner0, &inner0, &p0);
+            fr_sub(&dl, &l[2 * g + 1], &l[2 * g]);
+            fr_sub(&dr, &r[2 * g + 1], &r[2 * g]);
+            fr_mul(&pI, &dl, &dr);
+            fr_mul(&pI, &pI, &ei[xi]);
+            fr_add(&innerI, &innerI, &pI);
+        }
+        fr t;
+        fr_mul(&t, &inner0, &eo[xo]);
+        fr_add(&t0, &t0, &t);
+        fr_mul(&t, &innerI, &eo[xo]);
+        fr_add(&tinf, &tinf, &t);
+    }
+    fr_store(&t0, out);
+    fr_store(&tinf, out + 32);
 }
 
 /* ------------------------------------------------------------------ */

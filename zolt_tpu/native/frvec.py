@@ -70,6 +70,17 @@ class FrVec:
         n = len(vals)
         if lib is None:
             return cls(n, ints=[v % P for v in vals])
+        try:
+            # u64 fast path (RAM words, masks, lookup operands): one
+            # struct.pack instead of n int.to_bytes calls
+            import struct
+
+            raw = struct.pack("<%dQ" % n, *vals)
+            out = bytearray(32 * n)
+            lib.frv_from_u64(raw, n, _buf(out))
+            return cls(n, mont=out)
+        except struct.error:
+            pass
         buf = _pack(vals)
         p = _buf(buf)
         lib.frv_to_mont(p, n, p)  # elementwise: in-place alias is safe
@@ -277,6 +288,59 @@ class FrVec:
         out = bytearray(32)
         lib.frv_sum(_buf(self._mont), self.n, _buf(out))
         return _from_mont_list(out, 1)[0]
+
+    @staticmethod
+    def raf_sums(ra: "FrVec") -> tuple[int, int, int, int]:
+        """(Σ ra[2i], Σ ra[2i]·i, Σ (2ra[2i+1]−ra[2i]), Σ (2ra[2i+1]−ra[2i])·i)
+        over adjacent pairs, all mod p (stage-2 RamRafEvaluation rounds)."""
+        lib = _get_lib()
+        if lib is None or ra._mont is None:
+            t = ra._ints if ra._ints is not None else ra.to_ints()
+            s_lo = s_lo_i = s_2 = s_2_i = 0
+            for i in range(ra.n // 2):
+                lo, hi = t[2 * i], t[2 * i + 1]
+                ra2 = 2 * hi - lo
+                s_lo += lo
+                s_lo_i += lo * i
+                s_2 += ra2
+                s_2_i += ra2 * i
+            return s_lo % P, s_lo_i % P, s_2 % P, s_2_i % P
+        out = bytearray(128)
+        lib.frv_raf_sums(_buf(ra._mont), ra.n, _buf(out))
+        v = _from_mont_list(out, 4)
+        return v[0], v[1], v[2], v[3]
+
+    @staticmethod
+    def gruen_quad(e_out: "FrVec", e_in: "FrVec", head_in: int,
+                   left: "FrVec", right: "FrVec", num_groups: int) -> tuple[int, int]:
+        """Windowed Gruen quadratic sums (t0, tinf): pairs indexed
+        g = (x_out << head_in) | x_in, skipping g ≥ num_groups."""
+        lib = _get_lib()
+        if (lib is None or e_out._mont is None or e_in._mont is None
+                or left._mont is None or right._mont is None):
+            eo = e_out._ints if e_out._ints is not None else e_out.to_ints()
+            ei = e_in._ints if e_in._ints is not None else e_in.to_ints()
+            lt = left._ints if left._ints is not None else left.to_ints()
+            rt = right._ints if right._ints is not None else right.to_ints()
+            t0 = tinf = 0
+            for xo, vo in enumerate(eo):
+                inner0 = innerI = 0
+                for xi, vi in enumerate(ei):
+                    g = (xo << head_in) | xi
+                    if g >= num_groups:
+                        continue
+                    inner0 = (inner0 + lt[2 * g] * rt[2 * g] % P * vi) % P
+                    innerI = (innerI + (lt[2 * g + 1] - lt[2 * g])
+                              * (rt[2 * g + 1] - rt[2 * g]) % P * vi) % P
+                t0 = (t0 + inner0 * vo) % P
+                tinf = (tinf + innerI * vo) % P
+            return t0, tinf
+        out = bytearray(64)
+        lib.frv_gruen_quad(_buf(e_out._mont), e_out.n, _buf(e_in._mont), e_in.n,
+                           head_in, _buf(left._mont), _buf(right._mont),
+                           num_groups, _buf(out))
+        v = _from_mont_list(out, 2)
+        return v[0], v[1]
 
     def mle_eval_be(self, point: list[int]) -> int:
         """Evaluate as an MLE at a big-endian point (len(point) vars);

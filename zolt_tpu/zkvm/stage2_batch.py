@@ -115,32 +115,27 @@ class ProductVirtualRemainderProver:
         tau_low, tau_high = tau[:-1], tau[-1]
         kern = us.lagrange_kernel(us.PV_DOMAIN, r0, tau_high)
         self.split_eq = GruenSplitEq(tau_low, scaling_factor=kern)
-        self.left = [0] * padded
-        self.right = [0] * padded
+        from ..native.frvec import FrVec
+
+        left = [0] * padded
+        right = [0] * padded
         for i, f in enumerate(factors):
-            self.left[i] = (w[0] * f[0] + w[1] * f[2] + w[2] * f[2]
-                            + w[3] * f[5] + w[4] * f[4]) % P
-            self.right[i] = (w[0] * f[1] + w[1] * f[3] + w[2] * f[4]
-                             + w[3] * f[6] + w[4] * (1 - f[7])) % P
+            left[i] = (w[0] * f[0] + w[1] * f[2] + w[2] * f[2]
+                       + w[3] * f[5] + w[4] * f[4]) % P
+            right[i] = (w[0] * f[1] + w[1] * f[3] + w[2] * f[4]
+                        + w[3] * f[6] + w[4] * (1 - f[7])) % P
+        self.left = FrVec.from_ints(left)
+        self.right = FrVec.from_ints(right)
         self.current_round = 0
         self.current_claim = uni_skip_claim % P
 
     def round_evals(self) -> list[int]:
+        from ..native.frvec import FrVec
+
         E_out, E_in, head_in = _window_tables(self.split_eq)
         num_groups = len(self.left) // 2
-        t0 = tinf = 0
-        for x_out, e_out in enumerate(E_out):
-            inner0 = innerI = 0
-            for x_in, e_in in enumerate(E_in):
-                g = (x_out << head_in) | x_in
-                if g >= num_groups:
-                    continue
-                l_lo, l_hi = self.left[2 * g], self.left[2 * g + 1]
-                r_lo, r_hi = self.right[2 * g], self.right[2 * g + 1]
-                inner0 = (inner0 + l_lo * r_lo % P * e_in) % P
-                innerI = (innerI + (l_hi - l_lo) * (r_hi - r_lo) % P * e_in) % P
-            t0 = (t0 + inner0 * e_out) % P
-            tinf = (tinf + innerI * e_out) % P
+        t0, tinf = FrVec.gruen_quad(FrVec.from_ints(E_out), FrVec.from_ints(E_in),
+                                    head_in, self.left, self.right, num_groups)
         evals = _gruen_cubic(self.split_eq, t0, tinf, self.current_claim)
         # replicate the driver's compressed->evals round trip (proof_converter)
         compressed = unipoly.evals_to_compressed(evals)
@@ -153,11 +148,8 @@ class ProductVirtualRemainderProver:
         return [s0, s1, s2, s3]
 
     def bind(self, r: int) -> None:
-        half = len(self.left) // 2
-        self.left = [(self.left[2 * i] + r * (self.left[2 * i + 1] - self.left[2 * i])) % P
-                     for i in range(half)]
-        self.right = [(self.right[2 * i] + r * (self.right[2 * i + 1] - self.right[2 * i])) % P
-                      for i in range(half)]
+        self.left = self.left.fold_adj(r)
+        self.right = self.right.fold_adj(r)
         self.split_eq.bind(r)
         self.current_round += 1
 
@@ -173,7 +165,8 @@ class RafEvaluationProver:
     def __init__(self, accesses, r_cycle: list[int], start_address: int,
                  log_k: int, initial_claim: int, sound: bool = False):
         k_size = 1 << log_k
-        self.ra = [0] * k_size
+        ra = [0] * k_size
+        self.ra = ra
         if sound:
             # Sound mode: ra(k) = Σ_cycles eq_BE(r_cycle, cycle)·[cycle
             # accessed slot k] — the aggregation whose Σ_k ra(k)·unmap(k)
@@ -196,6 +189,9 @@ class RafEvaluationProver:
                     k = (a.address - start_address) // 8
                     if k < k_size:
                         self.ra[k] = (self.ra[k] + (eq[j] if j < len(eq) else 0)) % P
+        from ..native.frvec import FrVec
+
+        self.ra = FrVec.from_ints(ra)
         self.num_vars = log_k
         self.start_address = start_address
         self.bound_values: list[int] = []
@@ -203,8 +199,8 @@ class RafEvaluationProver:
         self.current_claim = initial_claim % P
 
     def round_evals(self) -> list[int]:
-        active = 1 << self.num_vars
-        half = active // 2
+        from ..native.frvec import FrVec
+
         base = self.start_address % P
         power = 8
         for v in self.bound_values:
@@ -214,16 +210,7 @@ class RafEvaluationProver:
         # u(i) = base + 2·current_power·i on the lo lane (the per-bit rem
         # walk telescopes to 2·cp·i), u2(i) = u(i) + 2·current_power
         cp2 = 2 * current_power
-        s_lo = s_lo_i = s_2 = s_2_i = 0
-        for i in range(half):
-            ra_lo, ra_hi = self.ra[2 * i], self.ra[2 * i + 1]
-            if ra_lo:
-                s_lo += ra_lo
-                s_lo_i += ra_lo * i
-            if ra_hi or ra_lo:
-                ra2 = 2 * ra_hi - ra_lo
-                s_2 += ra2
-                s_2_i += ra2 * i
+        s_lo, s_lo_i, s_2, s_2_i = FrVec.raf_sums(self.ra)
         s0 = (s_lo * base + s_lo_i * cp2) % P
         s2 = (s_2 * (base + cp2) + s_2_i * cp2) % P
         s1 = (self.current_claim - s0) % P
@@ -231,11 +218,7 @@ class RafEvaluationProver:
         return [s0, s1, s2, s3]
 
     def bind(self, r: int) -> None:
-        active = 1 << self.num_vars
-        half = active // 2
-        for i in range(half):
-            lo, hi = self.ra[2 * i], self.ra[2 * i + 1]
-            self.ra[i] = ((1 - r) * lo + r * hi) % P
+        self.ra = self.ra.fold_adj(r)
         self.num_vars -= 1
         self.bound_values.append(r)
         self.round += 1
@@ -303,7 +286,7 @@ class RamReadWriteCheckingProver:
         entries.sort(key=lambda e: (e.cycle, e.address))
         self.entries = entries
 
-        self.eq_evals = [_eq_be(r_cycle, j, log_t) for j in range(T)]
+        self.eq_evals = _eq_table_be([c % P for c in r_cycle])
         self.eq_size = T
         self.gruen = GruenSplitEq(list(r_cycle))
 
@@ -802,46 +785,29 @@ class OutputSumcheckProver:
             if k != term_idx:
                 val_init[k] = val_final[k]
 
-        self.val_init = val_init
-        self.val_final = val_final
-        self.val_io = val_io
-        self.io_mask = io_mask
-        self.eq = _eq_table_be(r_address)
+        from ..native.frvec import FrVec
+
+        self.val_init = FrVec.from_ints(val_init)
+        self.val_final = FrVec.from_ints(val_final)
+        self.val_io = FrVec.from_ints(val_io)
+        self.io_mask = FrVec.from_ints(io_mask)
+        self.eq = FrVec.eq_table_be([c % P for c in r_address])
         self.current_size = K
         self.current_claim = 0
 
     def round_evals(self) -> list[int]:
-        half = self.current_size // 2
-        s = [0, 0, 0, 0]
-        io_mask, val_final, val_io, eq = self.io_mask, self.val_final, self.val_io, self.eq
-        for gidx in range(half):
-            i0, i1 = 2 * gidx, 2 * gidx + 1
-            io0, io1 = io_mask[i0], io_mask[i1]
-            v0 = (val_final[i0] - val_io[i0]) % P
-            v1 = (val_final[i1] - val_io[i1]) % P
-            # the io_mask and (val_final − val_io) supports are sparse:
-            # outside both, every t-eval term is zero
-            if not (io0 or io1) or not (v0 or v1):
-                continue
-            eq0, eq1 = eq[i0], eq[i1]
-            deq, dio, dv = (eq1 - eq0) % P, (io1 - io0) % P, (v1 - v0) % P
-            for t in range(4):
-                e = (eq0 + t * deq) % P
-                o = (io0 + t * dio) % P
-                v = (v0 + t * dv) % P
-                s[t] = (s[t] + e * o % P * v) % P
-        return s
+        from ..native.frvec import FrVec
+
+        v = self.val_final.sub(self.val_io)
+        return FrVec.prod_evals_adj([self.eq, self.io_mask, v], 3)
 
     def bind(self, r: int) -> None:
-        half = self.current_size // 2
-        for arr in (self.eq, self.io_mask, self.val_final, self.val_io, self.val_init):
-            for gidx in range(half):
-                lo, hi = arr[2 * gidx], arr[2 * gidx + 1]
-                if lo or hi:
-                    arr[gidx] = (lo + r * (hi - lo)) % P
-                else:
-                    arr[gidx] = 0
-        self.current_size = half
+        self.eq = self.eq.fold_adj(r)
+        self.io_mask = self.io_mask.fold_adj(r)
+        self.val_final = self.val_final.fold_adj(r)
+        self.val_io = self.val_io.fold_adj(r)
+        self.val_init = self.val_init.fold_adj(r)
+        self.current_size //= 2
 
     def update_claim(self, evals4: list[int], r: int) -> None:
         self.current_claim = _lagrange_eval_0123(evals4, r)
@@ -854,41 +820,37 @@ class OutputSumcheckProver:
 class InstructionLookupsProver:
     def __init__(self, gamma: int, r_spartan: list[int], n_cycle_vars: int,
                  initial_claim: int, lookup_outputs, left_ops, right_ops):
+        from ..native.frvec import FrVec
+
         T = 1 << n_cycle_vars
         self.gamma = gamma % P
         self.gamma_sqr = gamma * gamma % P
-        self.eq = [_eq_be(r_spartan, j, len(r_spartan)) for j in range(T)]
+        assert len(r_spartan) == n_cycle_vars
+        self.eq = FrVec.eq_table_be([c % P for c in r_spartan])
         pad = lambda xs: ([x % P for x in xs] + [0] * T)[:T]
-        self.lo = pad(lookup_outputs)
-        self.left = pad(left_ops)
-        self.right = pad(right_ops)
+        self.lo = FrVec.from_ints(pad(lookup_outputs))
+        self.left = FrVec.from_ints(pad(left_ops))
+        self.right = FrVec.from_ints(pad(right_ops))
+        # combined c = lo + γ·left + γ²·right folds consistently with its
+        # terms (the fold is linear), so keep it bound alongside them
+        self.comb = self.lo.copy().axpy_(self.left, self.gamma).axpy_(
+            self.right, self.gamma_sqr)
         self.current_claim = initial_claim % P
 
     def round_evals(self) -> list[int]:
-        g, g2 = self.gamma, self.gamma_sqr
-        half = len(self.eq) // 2
-        s0 = s2 = 0
-        for i in range(half):
-            l, h = 2 * i, 2 * i + 1
-            c_lo = (self.lo[l] + g * self.left[l] + g2 * self.right[l]) % P
-            c_hi = (self.lo[h] + g * self.left[h] + g2 * self.right[h]) % P
-            eq_lo, eq_hi = self.eq[l], self.eq[h]
-            s0 = (s0 + eq_lo * c_lo) % P
-            s2 = (s2 + ((2 * eq_hi - eq_lo) % P) * ((2 * c_hi - c_lo) % P)) % P
+        from ..native.frvec import FrVec
+
+        s0, _, s2 = FrVec.prod_evals_adj([self.eq, self.comb], 2)
         s1 = (self.current_claim - s0) % P
         s3 = (s0 - 3 * s1 + 3 * s2) % P
         return [s0, s1, s2, s3]
 
     def bind(self, r: int) -> None:
-        half = len(self.eq) // 2
-        for arr in (self.eq, self.lo, self.left, self.right):
-            for i in range(half):
-                lo, hi = arr[2 * i], arr[2 * i + 1]
-                arr[i] = (lo + r * (hi - lo)) % P
-        self.eq = self.eq[:half]
-        self.lo = self.lo[:half]
-        self.left = self.left[:half]
-        self.right = self.right[:half]
+        self.eq = self.eq.fold_adj(r)
+        self.lo = self.lo.fold_adj(r)
+        self.left = self.left.fold_adj(r)
+        self.right = self.right.fold_adj(r)
+        self.comb = self.comb.fold_adj(r)
 
     def update_claim(self, evals4: list[int], r: int) -> None:
         self.current_claim = _lagrange_eval_0123(evals4, r)
@@ -1058,7 +1020,7 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
         for k in range(8):
             res.factor_evals[k] = (res.factor_evals[k] + e * f[k]) % P
 
-    res.raf_final_claim = raf.ra[0] if raf is not None else 0
+    res.raf_final_claim = raf.ra.first() if raf is not None else 0
 
     if sound:
         # Honest bound MLE values: the verifier recomputes the instance's
@@ -1067,12 +1029,12 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
         res.rwc_ra_claim = op["ra"]
         res.rwc_val_claim = op["val"]
         res.rwc_inc_claim = op["inc"]
-        res.output_val_final_claim = output.val_final[0]
-        res.output_val_init_claim = output.val_init[0]
+        res.output_val_final_claim = output.val_final.first()
+        res.output_val_init_claim = output.val_init.first()
         if instr is not None:
-            res.instr_lookup_output_claim = instr.lo[0]
-            res.instr_left_operand_claim = instr.left[0]
-            res.instr_right_operand_claim = instr.right[0]
+            res.instr_lookup_output_claim = instr.lo.first()
+            res.instr_left_operand_claim = instr.left.first()
+            res.instr_right_operand_claim = instr.right.first()
         for v in res.factor_evals:
             transcript.append_scalar(v)
         transcript.append_scalar(res.raf_final_claim)
@@ -1119,12 +1081,12 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     res.rwc_val_claim = val_claim
     res.rwc_inc_claim = rwc.inc[0]
 
-    res.output_val_final_claim = output.val_final[0]
-    res.output_val_init_claim = output.val_init[0]
+    res.output_val_final_claim = output.val_final.first()
+    res.output_val_init_claim = output.val_init.first()
     if instr is not None:
-        res.instr_lookup_output_claim = instr.lo[0]
-        res.instr_left_operand_claim = instr.left[0]
-        res.instr_right_operand_claim = instr.right[0]
+        res.instr_lookup_output_claim = instr.lo.first()
+        res.instr_left_operand_claim = instr.left.first()
+        res.instr_right_operand_claim = instr.right.first()
 
     # cache_openings transcript absorption: 17 claims in instance order
     for v in res.factor_evals:
