@@ -73,6 +73,10 @@ def _build_and_load():
                                  ctypes.c_int, ctypes.c_char_p]
     lib.bn254_g2_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                  ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g2_batch_mul.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                       ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g1_msm_rows.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
     lib.bn254_init(_constants_blob())
     C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
     lib.frv_init.argtypes = [C]
@@ -96,6 +100,7 @@ def _build_and_load():
     lib.frv_mle_eval_be.argtypes = [C, L, C, I, C]
     lib.frv_raf_sums.argtypes = [C, L, C]
     lib.frv_gruen_quad.argtypes = [C, L, C, L, I, C, C, L, C]
+    lib.frv_bool_round.argtypes = [C, C, C, L, C]
     lib.frv_init(_fr_constants_blob())
     lib._frv_ready = True
     return lib
@@ -191,6 +196,82 @@ def g1_msm_native(points, scalars):
         return None
     return (int.from_bytes(out.raw[1:33], "little"),
             int.from_bytes(out.raw[33:65], "little"))
+
+
+def _g1_from_out(raw: bytes):
+    if raw[0] == 0:
+        return None
+    return (int.from_bytes(raw[1:33], "little"),
+            int.from_bytes(raw[33:65], "little"))
+
+
+def _g2_from_out(raw: bytes):
+    if raw[0] == 0:
+        return None
+    return ((int.from_bytes(raw[1:33], "little"),
+             int.from_bytes(raw[33:65], "little")),
+            (int.from_bytes(raw[65:97], "little"),
+             int.from_bytes(raw[97:129], "little")))
+
+
+def g2_batch_mul_native(point, scalars):
+    """[s·point for s in scalars] via a shared fixed-base window table.
+    Returns None if the native lib is unavailable or point is None."""
+    lib = get_lib()
+    if lib is None or point is None:
+        return None
+    from ..field.params import FR
+
+    (x0, x1), (y0, y1) = point
+    pb = (int(x0).to_bytes(32, "little") + int(x1).to_bytes(32, "little")
+          + int(y0).to_bytes(32, "little") + int(y1).to_bytes(32, "little"))
+    n = len(scalars)
+    sb = bytearray(32 * n)
+    mv = memoryview(sb)
+    for i, s in enumerate(scalars):
+        mv[i * 32:(i + 1) * 32] = (s % FR.p).to_bytes(32, "little")
+    out = bytearray(129 * n)
+    lib.bn254_g2_batch_mul(pb, bytes(sb), n,
+                           ctypes.cast((ctypes.c_char * len(out)).from_buffer(out),
+                                       ctypes.c_char_p))
+    return [_g2_from_out(bytes(out[i * 129:(i + 1) * 129])) for i in range(n)]
+
+
+def g1_msm_rows_native(points, scalar_rows):
+    """[MSM(points, row) for row in scalar_rows] with bases parsed once.
+    scalar_rows: list of equal-length lists of canonical ints (len(points)).
+    None entries in points are skipped. Returns None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field.params import FR
+
+    n = len(points)
+    pb = bytearray(64 * n)
+    pmv = memoryview(pb)
+    for i, p in enumerate(points):
+        if p is None:
+            continue
+        pmv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
+        pmv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
+    rows = len(scalar_rows)
+    sb = bytearray(32 * n * rows)
+    smv = memoryview(sb)
+    off = 0
+    for row in scalar_rows:
+        assert len(row) == n
+        for s in row:
+            s %= FR.p
+            if s:
+                smv[off:off + 32] = s.to_bytes(32, "little")
+            off += 32
+    out = bytearray(65 * rows)
+    lib.bn254_g1_msm_rows(
+        ctypes.cast((ctypes.c_char * len(pb)).from_buffer(pb), ctypes.c_char_p),
+        ctypes.cast((ctypes.c_char * len(sb)).from_buffer(sb), ctypes.c_char_p),
+        n, rows,
+        ctypes.cast((ctypes.c_char * len(out)).from_buffer(out), ctypes.c_char_p))
+    return [_g1_from_out(bytes(out[r * 65:(r + 1) * 65])) for r in range(rows)]
 
 
 def g2_msm_native(points, scalars):

@@ -16,6 +16,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef uint64_t u64;
@@ -1077,68 +1078,256 @@ void bn254_fp12_pow(const uint8_t *f_in, const uint8_t *e_le, uint8_t *out) {
 
 /* MSM: points n*64 (x,y canonical; x==y==0 means infinity -> skip),
  * scalars n*32 LE. out 65 bytes: flag(1: 0=inf) + x + y. */
+/* -------- Pippenger bucket method (G1 and G2) -------- */
+
+static int pip_window_size(int n) {
+    if (n < 32) return 0;            /* naive double-and-add */
+    if (n < 128) return 5;
+    if (n < 512) return 7;
+    if (n < 2048) return 8;
+    if (n < 8192) return 10;
+    if (n < 32768) return 11;
+    return 12;
+}
+
+/* bits [pos, pos+c) of a 256-bit little-endian scalar, c <= 12 */
+static inline int scalar_digit(const uint8_t *s, int pos, int c) {
+    int byte = pos >> 3, sh = pos & 7;
+    unsigned int v = s[byte];
+    if (byte + 1 < 32) v |= (unsigned int)s[byte + 1] << 8;
+    if (byte + 2 < 32) v |= (unsigned int)s[byte + 2] << 16;
+    return (int)((v >> sh) & ((1u << c) - 1));
+}
+
+/* core MSM over pre-parsed affine points (Montgomery coords); m entries */
+static void g1_msm_core(g1jac *acc, const fp *px, const fp *py,
+                        const uint8_t *sc, int m) {
+    memset(acc, 0, sizeof *acc);
+    int c = pip_window_size(m);
+    if (c == 0) {
+        for (int i = 0; i < m; i++) {
+            g1jac term, t;
+            g1_scalar_mul(&term, &px[i], &py[i], sc + (long)i * 32);
+            g1_add(&t, acc, &term);
+            *acc = t;
+        }
+        return;
+    }
+    int nbuckets = (1 << c) - 1;
+    g1jac *buckets = malloc((size_t)nbuckets * sizeof(g1jac));
+    int nwin = (254 + c - 1) / c;
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (w != nwin - 1)
+            for (int k = 0; k < c; k++) g1_dbl(acc, acc);
+        memset(buckets, 0, (size_t)nbuckets * sizeof(g1jac));
+        for (int i = 0; i < m; i++) {
+            int d = scalar_digit(sc + (long)i * 32, w * c, c);
+            if (d) g1_add_affine(&buckets[d - 1], &buckets[d - 1], &px[i], &py[i]);
+        }
+        g1jac run, sum, t;
+        memset(&run, 0, sizeof run);
+        memset(&sum, 0, sizeof sum);
+        for (int b = nbuckets - 1; b >= 0; b--) {
+            g1_add(&t, &run, &buckets[b]);
+            run = t;
+            g1_add(&t, &sum, &run);
+            sum = t;
+        }
+        g1jac t2;
+        g1_add(&t2, acc, &sum);
+        *acc = t2;
+    }
+    free(buckets);
+}
+
+static void g2_msm_core(g2jac *acc, const fp2 *px, const fp2 *py,
+                        const uint8_t *sc, int m) {
+    memset(acc, 0, sizeof *acc);
+    int c = pip_window_size(m);
+    if (c == 0) {
+        for (int i = 0; i < m; i++) {
+            g2jac term, t;
+            g2_scalar_mul(&term, &px[i], &py[i], sc + (long)i * 32);
+            g2_add(&t, acc, &term);
+            *acc = t;
+        }
+        return;
+    }
+    int nbuckets = (1 << c) - 1;
+    g2jac *buckets = malloc((size_t)nbuckets * sizeof(g2jac));
+    int nwin = (254 + c - 1) / c;
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (w != nwin - 1)
+            for (int k = 0; k < c; k++) g2_dbl(acc, acc);
+        memset(buckets, 0, (size_t)nbuckets * sizeof(g2jac));
+        for (int i = 0; i < m; i++) {
+            int d = scalar_digit(sc + (long)i * 32, w * c, c);
+            if (d) g2_add_affine(&buckets[d - 1], &buckets[d - 1], &px[i], &py[i]);
+        }
+        g2jac run, sum, t;
+        memset(&run, 0, sizeof run);
+        memset(&sum, 0, sizeof sum);
+        for (int b = nbuckets - 1; b >= 0; b--) {
+            g2_add(&t, &run, &buckets[b]);
+            run = t;
+            g2_add(&t, &sum, &run);
+            sum = t;
+        }
+        g2jac t2;
+        g2_add(&t2, acc, &sum);
+        *acc = t2;
+    }
+    free(buckets);
+}
+
+static void g1_jac_out(const g1jac *acc, uint8_t *out) {
+    if (fp_is_zero(&acc->z)) { memset(out, 0, 65); return; }
+    fp zinv, zinv2, zinv3, ax, ay;
+    fp_inv(&zinv, &acc->z);
+    fp_sqr(&zinv2, &zinv);
+    fp_mul(&zinv3, &zinv2, &zinv);
+    fp_mul(&ax, &acc->x, &zinv2);
+    fp_mul(&ay, &acc->y, &zinv3);
+    out[0] = 1;
+    fp_to_bytes(&ax, out + 1);
+    fp_to_bytes(&ay, out + 33);
+}
+
+static void g2_jac_out(const g2jac *acc, uint8_t *out) {
+    if (fp2_is_zero(&acc->z)) { memset(out, 0, 129); return; }
+    fp2 zinv, zinv2, zinv3, ax, ay;
+    fp2_inv(&zinv, &acc->z);
+    fp2_sqr(&zinv2, &zinv);
+    fp2_mul(&zinv3, &zinv2, &zinv);
+    fp2_mul(&ax, &acc->x, &zinv2);
+    fp2_mul(&ay, &acc->y, &zinv3);
+    out[0] = 1;
+    fp2_to_bytes(&ax, out + 1);
+    fp2_to_bytes(&ay, out + 65);
+}
+
 void bn254_g1_msm(const uint8_t *pts, const uint8_t *scalars, int n, uint8_t *out) {
-    g1jac acc;
-    memset(&acc, 0, sizeof acc);
+    fp *px = malloc((size_t)n * sizeof(fp));
+    fp *py = malloc((size_t)n * sizeof(fp));
+    uint8_t *sc = malloc((size_t)n * 32);
+    int m = 0;
     for (int i = 0; i < n; i++) {
-        const uint8_t *pb = pts + i * 64;
+        const uint8_t *pb = pts + (long)i * 64;
         int allz = 1;
         for (int k = 0; k < 64; k++) if (pb[k]) { allz = 0; break; }
         if (allz) continue;
         int sz = 1;
         for (int k = 0; k < 32; k++) if (scalars[i * 32 + k]) { sz = 0; break; }
         if (sz) continue;
-        fp px, py;
-        fp_from_bytes(&px, pb);
-        fp_from_bytes(&py, pb + 32);
-        g1jac term;
-        g1_scalar_mul(&term, &px, &py, scalars + i * 32);
-        g1jac t;
-        g1_add(&t, &acc, &term);
-        acc = t;
+        fp_from_bytes(&px[m], pb);
+        fp_from_bytes(&py[m], pb + 32);
+        memcpy(sc + (long)m * 32, scalars + (long)i * 32, 32);
+        m++;
     }
-    if (fp_is_zero(&acc.z)) { memset(out, 0, 65); return; }
-    fp zinv, zinv2, zinv3, ax, ay;
-    fp_inv(&zinv, &acc.z);
-    fp_sqr(&zinv2, &zinv);
-    fp_mul(&zinv3, &zinv2, &zinv);
-    fp_mul(&ax, &acc.x, &zinv2);
-    fp_mul(&ay, &acc.y, &zinv3);
-    out[0] = 1;
-    fp_to_bytes(&ax, out + 1);
-    fp_to_bytes(&ay, out + 33);
+    g1jac acc;
+    g1_msm_core(&acc, px, py, sc, m);
+    free(px); free(py); free(sc);
+    g1_jac_out(&acc, out);
 }
 
 /* G2 MSM: points n*128 (x,y fp2 canonical), scalars n*32 LE.
  * out 129 bytes: flag + x(64) + y(64). */
 void bn254_g2_msm(const uint8_t *pts, const uint8_t *scalars, int n, uint8_t *out) {
-    g2jac acc;
-    memset(&acc, 0, sizeof acc);
+    fp2 *px = malloc((size_t)n * sizeof(fp2));
+    fp2 *py = malloc((size_t)n * sizeof(fp2));
+    uint8_t *sc = malloc((size_t)n * 32);
+    int m = 0;
     for (int i = 0; i < n; i++) {
-        const uint8_t *pb = pts + i * 128;
+        const uint8_t *pb = pts + (long)i * 128;
         int allz = 1;
         for (int k = 0; k < 128; k++) if (pb[k]) { allz = 0; break; }
         if (allz) continue;
         int sz = 1;
         for (int k = 0; k < 32; k++) if (scalars[i * 32 + k]) { sz = 0; break; }
         if (sz) continue;
-        fp2 px, py;
-        fp2_from_bytes(&px, pb);
-        fp2_from_bytes(&py, pb + 64);
-        g2jac term;
-        g2_scalar_mul(&term, &px, &py, scalars + i * 32);
-        g2jac t;
-        g2_add(&t, &acc, &term);
-        acc = t;
+        fp2_from_bytes(&px[m], pb);
+        fp2_from_bytes(&py[m], pb + 64);
+        memcpy(sc + (long)m * 32, scalars + (long)i * 32, 32);
+        m++;
     }
-    if (fp2_is_zero(&acc.z)) { memset(out, 0, 129); return; }
-    fp2 zinv, zinv2, zinv3, ax, ay;
-    fp2_inv(&zinv, &acc.z);
-    fp2_sqr(&zinv2, &zinv);
-    fp2_mul(&zinv3, &zinv2, &zinv);
-    fp2_mul(&ax, &acc.x, &zinv2);
-    fp2_mul(&ay, &acc.y, &zinv3);
-    out[0] = 1;
-    fp2_to_bytes(&ax, out + 1);
-    fp2_to_bytes(&ay, out + 65);
+    g2jac acc;
+    g2_msm_core(&acc, px, py, sc, m);
+    free(px); free(py); free(sc);
+    g2_jac_out(&acc, out);
+}
+
+/* Fixed-base batch scalar multiplication over G2: out[i] = scalars[i]·B.
+ * 4-bit windowed table (64 windows x 15 multiples) shared across the batch;
+ * point: 128 bytes affine, scalars: n*32 LE, out: n*129 (flag + affine). */
+void bn254_g2_batch_mul(const uint8_t *point, const uint8_t *scalars, int n,
+                        uint8_t *out) {
+    fp2 bx, by;
+    fp2_from_bytes(&bx, point);
+    fp2_from_bytes(&by, point + 64);
+    g2jac *table = malloc((size_t)64 * 15 * sizeof(g2jac));
+    g2jac base;   /* 2^{4w}·B as jacobian */
+    memset(&base, 0, sizeof base);
+    g2_add_affine(&base, &base, &bx, &by);
+    for (int w = 0; w < 64; w++) {
+        g2jac *row = table + w * 15;
+        row[0] = base;
+        for (int d = 1; d < 15; d++) g2_add(&row[d], &row[d - 1], &base);
+        if (w < 63) {
+            g2_add(&base, &row[14], &base);   /* 16·B_w */
+        }
+    }
+    for (int i = 0; i < n; i++) {
+        const uint8_t *s = scalars + (long)i * 32;
+        g2jac acc, t;
+        memset(&acc, 0, sizeof acc);
+        for (int w = 0; w < 64; w++) {
+            int d = (s[w >> 1] >> ((w & 1) * 4)) & 0xF;
+            if (d) {
+                g2_add(&t, &acc, &table[w * 15 + (d - 1)]);
+                acc = t;
+            }
+        }
+        g2_jac_out(&acc, out + (long)i * 129);
+    }
+    free(table);
+}
+
+/* Shared-base row MSMs (Dory row commitments): bases parsed once, `rows`
+ * scalar rows of length n each; out: rows*65. */
+void bn254_g1_msm_rows(const uint8_t *pts, const uint8_t *scalars, int n,
+                       int rows, uint8_t *out) {
+    fp *px = malloc((size_t)n * sizeof(fp));
+    fp *py = malloc((size_t)n * sizeof(fp));
+    uint8_t *inf = malloc((size_t)n);
+    for (int i = 0; i < n; i++) {
+        const uint8_t *pb = pts + (long)i * 64;
+        int allz = 1;
+        for (int k = 0; k < 64; k++) if (pb[k]) { allz = 0; break; }
+        inf[i] = (uint8_t)allz;
+        if (!allz) {
+            fp_from_bytes(&px[i], pb);
+            fp_from_bytes(&py[i], pb + 32);
+        }
+    }
+    fp *cpx = malloc((size_t)n * sizeof(fp));
+    fp *cpy = malloc((size_t)n * sizeof(fp));
+    uint8_t *csc = malloc((size_t)n * 32);
+    for (int r = 0; r < rows; r++) {
+        const uint8_t *sc = scalars + (long)r * n * 32;
+        int m = 0;
+        for (int i = 0; i < n; i++) {
+            if (inf[i]) continue;
+            int sz = 1;
+            for (int k = 0; k < 32; k++) if (sc[i * 32 + k]) { sz = 0; break; }
+            if (sz) continue;
+            cpx[m] = px[i];
+            cpy[m] = py[i];
+            memcpy(csc + (long)m * 32, sc + (long)i * 32, 32);
+            m++;
+        }
+        g1jac acc;
+        g1_msm_core(&acc, cpx, cpy, csc, m);
+        g1_jac_out(&acc, out + (long)r * 65);
+    }
+    free(px); free(py); free(inf); free(cpx); free(cpy); free(csc);
 }

@@ -353,6 +353,45 @@ void frv_gruen_quad(const uint8_t *e_out, long n_out, const uint8_t *e_in,
     fr_store(&tinf, out + 32);
 }
 
+/* Booleanity+Hamming round sums (stage 7), adjacent pairs, t = 0..3:
+ * out[t]   = Σ_i e_b(t)·x(t)·(1−x(t))   (booleanity of the one-hot col)
+ * out[4+t] = Σ_i e_hw(t)·x(t)           (Hamming-weight linkage)
+ * where f(t) = f_lo + t·(f_hi − f_lo) over pairs (2i, 2i+1). */
+void frv_bool_round(const uint8_t *eq_b, const uint8_t *eq_hw,
+                    const uint8_t *oh, long n, uint8_t *out) {
+    const fr *eb = (const fr *)eq_b;
+    const fr *eh = (const fr *)eq_hw;
+    const fr *x = (const fr *)oh;
+    fr A[4], B[4];
+    memset(A, 0, sizeof A);
+    memset(B, 0, sizeof B);
+    for (long i = 0; i < n / 2; i++) {
+        fr ebv = eb[2 * i], ehv = eh[2 * i], xv = x[2 * i];
+        fr ebd, ehd, xd;
+        fr_sub(&ebd, &eb[2 * i + 1], &ebv);
+        fr_sub(&ehd, &eh[2 * i + 1], &ehv);
+        fr_sub(&xd, &x[2 * i + 1], &xv);
+        for (int t = 0; t < 4; t++) {
+            fr omx, tacc, tacc2;
+            fr_sub(&omx, &FR_ONE_M, &xv);
+            fr_mul(&tacc, &ebv, &xv);
+            fr_mul(&tacc, &tacc, &omx);
+            fr_add(&A[t], &A[t], &tacc);
+            fr_mul(&tacc2, &ehv, &xv);
+            fr_add(&B[t], &B[t], &tacc2);
+            if (t < 3) {
+                fr_add(&ebv, &ebv, &ebd);
+                fr_add(&ehv, &ehv, &ehd);
+                fr_add(&xv, &xv, &xd);
+            }
+        }
+    }
+    for (int t = 0; t < 4; t++) {
+        fr_store(&A[t], out + t * 32);
+        fr_store(&B[t], out + (4 + t) * 32);
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* elementwise / reduction utilities                                    */
 /* ------------------------------------------------------------------ */

@@ -94,6 +94,23 @@ class FrVec:
         return cls(n, mont=bytearray(32 * n))  # 0 is 0 in Montgomery form
 
     @classmethod
+    def indicator(cls, n: int, positions) -> "FrVec":
+        """0/1 vector with 1 at the given positions (sparse one-hot build)."""
+        lib = _get_lib()
+        if lib is None:
+            out = [0] * n
+            for p in positions:
+                out[p] = 1
+            return cls(n, ints=out)
+        one = _mont_scalars([1])
+        buf = bytearray(32 * n)
+        mv = memoryview(buf)
+        ob = bytes(one)
+        for p in positions:
+            mv[p * 32:(p + 1) * 32] = ob
+        return cls(n, mont=buf)
+
+    @classmethod
     def eq_table_be(cls, point: list[int]) -> "FrVec":
         """eq(point, j) for all j; point[0] owns the MSB of j."""
         lib = _get_lib()
@@ -288,6 +305,31 @@ class FrVec:
         out = bytearray(32)
         lib.frv_sum(_buf(self._mont), self.n, _buf(out))
         return _from_mont_list(out, 1)[0]
+
+    @staticmethod
+    def bool_round(eq_b: "FrVec", eq_hw: "FrVec", oh: "FrVec") -> tuple[list[int], list[int]]:
+        """([Σ e_b(t)·x(t)·(1−x(t)) for t in 0..3],
+            [Σ e_hw(t)·x(t) for t in 0..3]) over adjacent pairs."""
+        lib = _get_lib()
+        if lib is None or eq_b._mont is None or eq_hw._mont is None or oh._mont is None:
+            eb = eq_b._ints if eq_b._ints is not None else eq_b.to_ints()
+            eh = eq_hw._ints if eq_hw._ints is not None else eq_hw.to_ints()
+            x = oh._ints if oh._ints is not None else oh.to_ints()
+            A = [0] * 4
+            B = [0] * 4
+            for i in range(eq_b.n // 2):
+                for t in range(4):
+                    ebv = (eb[2 * i] + t * (eb[2 * i + 1] - eb[2 * i])) % P
+                    ehv = (eh[2 * i] + t * (eh[2 * i + 1] - eh[2 * i])) % P
+                    xv = (x[2 * i] + t * (x[2 * i + 1] - x[2 * i])) % P
+                    A[t] = (A[t] + ebv * xv % P * ((1 - xv) % P)) % P
+                    B[t] = (B[t] + ehv * xv) % P
+            return A, B
+        out = bytearray(256)
+        lib.frv_bool_round(_buf(eq_b._mont), _buf(eq_hw._mont), _buf(oh._mont),
+                           eq_b.n, _buf(out))
+        v = _from_mont_list(out, 8)
+        return v[:4], v[4:]
 
     @staticmethod
     def raf_sums(ra: "FrVec") -> tuple[int, int, int, int]:

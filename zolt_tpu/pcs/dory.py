@@ -163,8 +163,11 @@ def setup(max_num_vars: int) -> DorySRS:
     seed = hashlib.sha3_256(b"Jolt Dory URS seed").digest()
     g1_vec = [G1.scalar_mul(G1.G1_GEN, _derive_scalar(seed, i, b"G1"))
               for i in range(1 << sigma)]
-    g2_vec = [G2.scalar_mul(G2.G2_GEN, _derive_scalar(seed, (1 << sigma) + i, b"G2"))
-              for i in range(1 << nu)]
+    from ..native import g2_batch_mul_native
+
+    _g2s = [_derive_scalar(seed, (1 << sigma) + i, b"G2") for i in range(1 << nu)]
+    g2_vec = g2_batch_mul_native(G2.G2_GEN, _g2s) or \
+        [G2.scalar_mul(G2.G2_GEN, k) for k in _g2s]
     return DorySRS(g1_vec=g1_vec, g2_vec=g2_vec, sigma=sigma, nu=nu)
 
 
@@ -210,13 +213,24 @@ def _matrix_dims(n_evals: int) -> tuple[int, int]:
 def row_commitments(srs: DorySRS, evals: list[int]) -> list:
     sigma, nu = _matrix_dims(len(evals))
     num_cols = 1 << sigma
+    from ..native import g1_msm_rows_native
+
+    full_rows = len(evals) // num_cols
+    if full_rows:
+        scalar_rows = [evals[r * num_cols:(r + 1) * num_cols]
+                       for r in range(full_rows)]
+        native = g1_msm_rows_native(srs.g1_vec[:num_cols], scalar_rows)
+    else:
+        native = [] if g1_msm_rows_native(srs.g1_vec[:1], []) is not None else None
     rows = []
     for r in range(1 << nu):
         seg = evals[r * num_cols : (r + 1) * num_cols]
         if not seg:
             rows.append(None)
-            continue
-        rows.append(g1_msm(srs.g1_vec[: len(seg)], [v % P for v in seg]))
+        elif native is not None and r < full_rows:
+            rows.append(native[r])
+        else:
+            rows.append(g1_msm(srs.g1_vec[: len(seg)], [v % P for v in seg]))
     return rows
 
 
@@ -339,7 +353,11 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
 
     vec_len = num_cols
     v1 = list(padded_rows)
-    v2 = [G2.scalar_mul(srs.g2_vec[0], v) if v else None for v in v_vec]
+    from ..native import g2_batch_mul_native
+
+    _v2n = g2_batch_mul_native(srs.g2_vec[0], v_vec)
+    v2 = ([p if v % P else None for p, v in zip(_v2n, v_vec)] if _v2n is not None
+          else [G2.scalar_mul(srs.g2_vec[0], v) if v else None for v in v_vec])
     s1 = list(right_vec)
     s2 = (left_vec + [0] * vec_len)[:vec_len]
 
@@ -706,8 +724,17 @@ def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
 
     vec_len = num_cols
     v1 = list(padded_rows)
-    v2 = [G2.scalar_mul(srs.g2_vec[0], v_vec[i]) if i < len(v_vec) and v_vec[i] else None
-          for i in range(vec_len)]
+    from ..native import g2_batch_mul_native
+
+    _v2n = g2_batch_mul_native(srs.g2_vec[0],
+                               [(v_vec[i] if i < len(v_vec) else 0)
+                                for i in range(vec_len)])
+    if _v2n is not None:
+        v2 = [(_v2n[i] if i < len(v_vec) and v_vec[i] % P else None)
+              for i in range(vec_len)]
+    else:
+        v2 = [G2.scalar_mul(srs.g2_vec[0], v_vec[i]) if i < len(v_vec) and v_vec[i] else None
+              for i in range(vec_len)]
     s1 = list(right_vec) + [0] * (vec_len - len(right_vec))
     s2 = list(left_vec) + [0] * (vec_len - len(left_vec))
 

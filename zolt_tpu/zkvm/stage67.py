@@ -228,37 +228,36 @@ def prove_stage7(transcript, padded_steps, stage6_challenges,
     res.r_b = [transcript.challenge_scalar() for _ in range(n_rounds)]
     res.betas = [transcript.challenge_scalar_full() for _ in range(2 * ram_d)]
 
+    from ..native.frvec import FrVec
+
     mask = (1 << LOG_K_CHUNK) - 1
-    oh = [[0] * cube for _ in range(ram_d)]
-    for j, k in enumerate(slots):
-        if k is None:
-            continue
-        for d, sh in enumerate(shifts):
-            oh[d][(((k >> sh) & mask) << n_cycle_vars) | j] = 1
-    eq_b = [_eq_le_bits(res.r_b, i) for i in range(cube)]
-    eq_hw = [0] * cube
-    for i in range(cube):
-        eq_hw[i] = _eq_le_bits(stage6_challenges, i & (T - 1))
+    oh = []
+    for d, sh in enumerate(shifts):
+        oh.append(FrVec.indicator(
+            cube, ((((k >> sh) & mask) << n_cycle_vars) | j
+                   for j, k in enumerate(slots) if k is not None)))
+    # flat index i = k_chunk·T + j is bound low-bit-first against r_b, so the
+    # eq tables are little-endian — a big-endian table over the reversed point
+    eq_b = FrVec.eq_table_be(list(reversed([c % P for c in res.r_b])))
+    eq_hw_base = FrVec.eq_table_be(
+        list(reversed([c % P for c in stage6_challenges])))
+    assert eq_hw_base.n == T
+    # eq_hw[i] = eq_le(stage6_challenges, i mod T): tile the size-T table
+    if eq_hw_base._mont is not None:
+        eq_hw = FrVec(cube, mont=bytearray(bytes(eq_hw_base._mont[:32 * T])
+                                           * (cube // T)))
+    else:
+        eq_hw = FrVec(cube, ints=eq_hw_base.to_ints() * (cube // T))
 
     hw_betas = res.betas[ram_d:]
     claim = sum(hw_betas) % P * hw_claim % P
-    tables = [eq_b, eq_hw] + oh
 
     for _ in range(n_rounds):
-        half = len(eq_b) // 2
         evs = [0, 0, 0, 0]
-        for i in range(half):
-            lo = [t[2 * i] for t in tables]
-            dl = [t[2 * i + 1] - t[2 * i] for t in tables]
+        for d in range(ram_d):
+            A, B = FrVec.bool_round(eq_b, eq_hw, oh[d])
             for t in range(4):
-                v = [(l + t * d) % P for l, d in zip(lo, dl)]
-                e_b, e_hw = v[0], v[1]
-                acc = 0
-                for d in range(ram_d):
-                    x = v[2 + d]
-                    acc = (acc + res.betas[d] * (e_b * x % P * ((1 - x) % P))
-                           + hw_betas[d] * (e_hw * x % P)) % P
-                evs[t] = (evs[t] + acc) % P
+                evs[t] = (evs[t] + res.betas[d] * A[t] + hw_betas[d] * B[t]) % P
 
         compressed = unipoly.evals_to_compressed(evs)
         res.compressed_polys.append(compressed)
@@ -269,13 +268,12 @@ def prove_stage7(transcript, padded_steps, stage6_challenges,
         r = transcript.challenge_scalar()
         res.challenges.append(r)
         claim = eval_from_hint(compressed, claim, r)
-        for t in tables:
-            for i in range(half):
-                t[i] = (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % P
-            del t[half:]
+        eq_b = eq_b.fold_adj(r)
+        eq_hw = eq_hw.fold_adj(r)
+        oh = [t.fold_adj(r) for t in oh]
 
     res.final_claim = claim
-    res.oh_claims = [oh[d][0] for d in range(ram_d)]
+    res.oh_claims = [oh[d].first() for d in range(ram_d)]
     for v in res.oh_claims:
         transcript.append_scalar(v)
     return res
