@@ -209,6 +209,100 @@ def bench_scaling(report, quick: bool) -> None:
                f"({n / sec / 1e6:>7.2f} M eval-pairs/s)")
 
 
+def bench_roofline(report, quick: bool) -> None:
+    """Self-calibrated roofline: the mont_mul kernel's sustained MXU-matmul
+    throughput as a fraction of the device's ACHIEVABLE peak for the same
+    op class (f32 dot at Precision.HIGHEST, the exact-integer configuration
+    the kernel requires). BASELINE target: > 70% of per-chip roofline.
+
+    Methodology: peak is measured, not quoted from a datasheet — a bare
+    (n·16, 256)x(256, 33) HIGHEST-precision dot (the kernel's own inner
+    matmul shape family) is timed steady-state; mont_mul is then timed and
+    credited with its 2 such matmuls per element. Everything outside the
+    matmuls (outer product, 16 REDC steps, carries) counts against it, so
+    the ratio is a true utilization number."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .field import FR, limb
+    from .field.limb import FR_C
+
+    n = 1 << (12 if quick else 16)
+    rng = np.random.default_rng(11)
+    vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(2 * n)]
+    a = jax.device_put(np.asarray(limb.encode(vals[:n], FR_C)))
+    b = jax.device_put(np.asarray(limb.encode(vals[n:], FR_C)))
+
+    # peak: the kernel's inner matmul shape, isolated
+    A = jax.device_put(rng.integers(0, 1 << 16, (n * 16, 256)).astype(np.float32))
+    S = jax.device_put((rng.integers(0, 2, (256, 33))).astype(np.float32))
+    dot = jax.jit(lambda x, s: jnp.dot(x, s, preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST))
+    sec_peak = _time(lambda: dot(A, S).block_until_ready(), 10, warmup=3)
+    peak_flops = 2.0 * A.shape[0] * 256 * 33 / sec_peak
+
+    mm = jax.jit(lambda x, y: limb.mont_mul(x, y, FR_C))
+    sec_mm = _time(lambda: mm(a, b).block_until_ready(), 10, warmup=3)
+    # per element: 2 dots of (16x16=256)·(256x33) → 2·2·256·33 matmul flops
+    mm_matmul_flops = 2 * 2.0 * 256 * 33 * n / sec_mm
+
+    report("Roofline (mont_mul vs measured per-chip matmul peak):")
+    report(f"  matmul peak (same shape/precision) {peak_flops / 1e9:>8.2f} GFLOP/s")
+    report(f"  mont_mul sustained (matmul part)   {mm_matmul_flops / 1e9:>8.2f} GFLOP/s")
+    report(f"  mont_mul throughput                {n / sec_mm / 1e6:>8.2f} M elem/s")
+    report(f"  roofline utilization               {mm_matmul_flops / peak_flops * 100:>8.1f} %")
+
+
+def bench_mesh(report, quick: bool) -> None:
+    """Strong-scaling efficiency of the sharded sumcheck round (eval+fold)
+    over 1/2/4/8-device meshes (ICI psum reductions). BASELINE target:
+    > 80% scaling efficiency. On a 1-device host this reports the single-
+    chip time and notes that scaling needs more devices; under the virtual
+    CPU mesh the numbers measure sharding overhead, not speedup (the
+    devices share the same cores)."""
+    import jax
+    import numpy as np
+
+    from .field import FR, limb
+    from .field.limb import FR_C
+    from .parallel import mesh as pmesh
+
+    devices = jax.devices()
+    log_n = 14 if quick else 18
+    n = 1 << log_n
+    rng = np.random.default_rng(13)
+    vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(2 * n)]
+    tables = np.stack([np.asarray(limb.encode(vals[:n], FR_C)),
+                       np.asarray(limb.encode(vals[n:], FR_C))])
+    r = np.asarray(limb.encode([987654321], FR_C)[0])
+
+    report(f"Mesh scaling (sharded sumcheck round, T=2^{log_n}, "
+           f"{len(devices)} device(s) visible):")
+    t1 = None
+    nd = 1
+    while nd <= len(devices):
+        mesh = pmesh.make_mesh(devices[:nd])
+        ev, fold = pmesh.make_sharded_eval_fold(mesh, n_factors=2)
+        dt = jax.device_put(tables)
+        rv = jax.device_put(r)
+
+        def step():
+            e = ev(dt)
+            f = fold(dt, rv)
+            jax.block_until_ready((e, f))
+
+        sec = _time(step, 5, warmup=2)
+        eff = (t1 / (nd * sec) * 100) if t1 is not None else 100.0
+        if t1 is None:
+            t1 = sec
+        report(f"  {nd} device(s)   {sec * 1e3:>8.2f} ms/round   "
+               f"efficiency {eff:>6.1f} %")
+        nd *= 2
+    if len(devices) == 1:
+        report("  (>1 device required to measure cross-chip scaling)")
+
+
 SECTIONS = {
     "field": bench_field,
     "poly": bench_poly,
@@ -217,6 +311,8 @@ SECTIONS = {
     "emulator": bench_emulator,
     "prover": bench_prover,
     "scaling": bench_scaling,
+    "roofline": bench_roofline,
+    "mesh": bench_mesh,
 }
 
 

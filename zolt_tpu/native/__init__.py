@@ -101,6 +101,11 @@ def _build_and_load():
     lib.frv_raf_sums.argtypes = [C, L, C]
     lib.frv_gruen_quad.argtypes = [C, L, C, L, I, C, C, L, C]
     lib.frv_bool_round.argtypes = [C, C, C, L, C]
+    lib.frv_interleave.argtypes = [C, C, L, C]
+    lib.frv_s4_phase1.argtypes = [C, C, I, PP, PP, PP, C, I, L, C]
+    lib.frv_s4_phase2.argtypes = [C, C, PP, PP, PP, L, L, C]
+    lib.frv_s4_phase3.argtypes = [C, C, PP, PP, PP, I, L, C]
+    lib.frv_triple_inner.argtypes = [C, C, C, L, C]
     lib.frv_init(_fr_constants_blob())
     lib._frv_ready = True
     return lib

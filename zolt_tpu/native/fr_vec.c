@@ -396,6 +396,194 @@ void frv_bool_round(const uint8_t *eq_b, const uint8_t *eq_hw,
 /* elementwise / reduction utilities                                    */
 /* ------------------------------------------------------------------ */
 
+/* Stage-4 RegistersRWC phase-1 round sums (cycle binding with Gruen eq):
+ * for each cycle pair i (je=2i, jo=2i+1), E = e_out[i>>head_in]·e_in[i&mask];
+ *   c0  = Σ_k ra_e·v_e + wa_e·(v_e + inc0)
+ *   cX2 = Σ_k ra_s·v_s + wa_s·(v_s + incs)   (s = odd − even slopes)
+ * out2 = [Σ E·c0, Σ E·cX2]. rows are K pointers to length-T buffers. */
+void frv_s4_phase1(const uint8_t *e_out, const uint8_t *e_in, int head_in,
+                   const uint8_t *const *ra_rows, const uint8_t *const *wa_rows,
+                   const uint8_t *const *val_rows, const uint8_t *inc,
+                   int K, long T, uint8_t *out2) {
+    const fr *eo = (const fr *)e_out;
+    const fr *ei = (const fr *)e_in;
+    const fr *incv = (const fr *)inc;
+    long mask = (1L << head_in) - 1;
+    fr q0 = {{0}}, qX2 = {{0}};
+    for (long i = 0; i < T / 2; i++) {
+        fr E;
+        fr_mul(&E, &eo[i >> head_in], &ei[i & mask]);
+        fr inc0 = incv[2 * i], incs;
+        fr_sub(&incs, &incv[2 * i + 1], &inc0);
+        fr c0 = {{0}}, cX2 = {{0}};
+        for (int k = 0; k < K; k++) {
+            const fr *ra = (const fr *)ra_rows[k];
+            const fr *wa = (const fr *)wa_rows[k];
+            const fr *v = (const fr *)val_rows[k];
+            fr ra_e = ra[2 * i], wa_e = wa[2 * i], v_e = v[2 * i];
+            fr ra_s, wa_s, v_s, t, t2;
+            fr_sub(&ra_s, &ra[2 * i + 1], &ra_e);
+            fr_sub(&wa_s, &wa[2 * i + 1], &wa_e);
+            fr_sub(&v_s, &v[2 * i + 1], &v_e);
+            fr_mul(&t, &ra_e, &v_e);
+            fr_add(&c0, &c0, &t);
+            fr_add(&t2, &v_e, &inc0);
+            fr_mul(&t, &wa_e, &t2);
+            fr_add(&c0, &c0, &t);
+            fr_mul(&t, &ra_s, &v_s);
+            fr_add(&cX2, &cX2, &t);
+            fr_add(&t2, &v_s, &incs);
+            fr_mul(&t, &wa_s, &t2);
+            fr_add(&cX2, &cX2, &t);
+        }
+        fr t;
+        fr_mul(&t, &E, &c0);
+        fr_add(&q0, &q0, &t);
+        fr_mul(&t, &E, &cX2);
+        fr_add(&qX2, &qX2, &t);
+    }
+    fr_store(&q0, out2);
+    fr_store(&qX2, out2 + 32);
+}
+
+/* Stage-4 phase-2 round sums (register binding, dense merged eq over T):
+ * for register pair i (ke=2i, ko=2i+1) and every cycle j:
+ *   e0 += eq[j]·(ra_e·v_e + wa_e·(v_e + inc_j))
+ *   e2 += eq[j]·(ra2·v2 + wa2·(v2 + inc_j)),  x2 = 2·odd − even.
+ * out2 = [e0, e2]; rows indexed 0..2·pairs−1. */
+void frv_s4_phase2(const uint8_t *eq, const uint8_t *inc,
+                   const uint8_t *const *ra_rows, const uint8_t *const *wa_rows,
+                   const uint8_t *const *val_rows, long pairs, long T,
+                   uint8_t *out2) {
+    const fr *eqv = (const fr *)eq;
+    const fr *incv = (const fr *)inc;
+    fr e0 = {{0}}, e2 = {{0}};
+    for (long i = 0; i < pairs; i++) {
+        const fr *ra_e = (const fr *)ra_rows[2 * i];
+        const fr *ra_o = (const fr *)ra_rows[2 * i + 1];
+        const fr *wa_e = (const fr *)wa_rows[2 * i];
+        const fr *wa_o = (const fr *)wa_rows[2 * i + 1];
+        const fr *v_e = (const fr *)val_rows[2 * i];
+        const fr *v_o = (const fr *)val_rows[2 * i + 1];
+        for (long j = 0; j < T; j++) {
+            fr t, t2, c;
+            fr_mul(&c, &ra_e[j], &v_e[j]);
+            fr_add(&t2, &v_e[j], &incv[j]);
+            fr_mul(&t, &wa_e[j], &t2);
+            fr_add(&c, &c, &t);
+            fr_mul(&c, &c, &eqv[j]);
+            fr_add(&e0, &e0, &c);
+            fr ra2, wa2, v2;
+            fr_add(&ra2, &ra_o[j], &ra_o[j]);
+            fr_sub(&ra2, &ra2, &ra_e[j]);
+            fr_add(&wa2, &wa_o[j], &wa_o[j]);
+            fr_sub(&wa2, &wa2, &wa_e[j]);
+            fr_add(&v2, &v_o[j], &v_o[j]);
+            fr_sub(&v2, &v2, &v_e[j]);
+            fr_mul(&c, &ra2, &v2);
+            fr_add(&t2, &v2, &incv[j]);
+            fr_mul(&t, &wa2, &t2);
+            fr_add(&c, &c, &t);
+            fr_mul(&c, &c, &eqv[j]);
+            fr_add(&e2, &e2, &c);
+        }
+    }
+    fr_store(&e0, out2);
+    fr_store(&e2, out2 + 32);
+}
+
+/* Stage-4 phase-3 round sums (remaining cycle vars, dense eq, degree 3):
+ * out3 = [e0, e2, e3] over cycle pairs with t-extensions at 0, 2, 3. */
+void frv_s4_phase3(const uint8_t *eq, const uint8_t *inc,
+                   const uint8_t *const *ra_rows, const uint8_t *const *wa_rows,
+                   const uint8_t *const *val_rows, int K, long T,
+                   uint8_t *out3) {
+    const fr *eqv = (const fr *)eq;
+    const fr *incv = (const fr *)inc;
+    fr e0 = {{0}}, e2 = {{0}}, e3 = {{0}};
+    for (long j = 0; j < T / 2; j++) {
+        fr inc0 = incv[2 * j], incs;
+        fr_sub(&incs, &incv[2 * j + 1], &inc0);
+        fr inc2, inc3;
+        fr_add(&inc2, &inc0, &incs);
+        fr_add(&inc2, &inc2, &incs);
+        fr_add(&inc3, &inc2, &incs);
+        fr eq0 = eqv[2 * j], eqs;
+        fr_sub(&eqs, &eqv[2 * j + 1], &eq0);
+        fr eq2, eq3;
+        fr_add(&eq2, &eq0, &eqs);
+        fr_add(&eq2, &eq2, &eqs);
+        fr_add(&eq3, &eq2, &eqs);
+        fr i0 = {{0}}, i2 = {{0}}, i3 = {{0}};
+        for (int k = 0; k < K; k++) {
+            const fr *ra = (const fr *)ra_rows[k];
+            const fr *wa = (const fr *)wa_rows[k];
+            const fr *v = (const fr *)val_rows[k];
+            fr ra_e = ra[2 * j], wa_e = wa[2 * j], v_e = v[2 * j];
+            fr ra_s, wa_s, v_s, t, t2;
+            fr_sub(&ra_s, &ra[2 * j + 1], &ra_e);
+            fr_sub(&wa_s, &wa[2 * j + 1], &wa_e);
+            fr_sub(&v_s, &v[2 * j + 1], &v_e);
+            fr_mul(&t, &ra_e, &v_e);
+            fr_add(&i0, &i0, &t);
+            fr_add(&t2, &v_e, &inc0);
+            fr_mul(&t, &wa_e, &t2);
+            fr_add(&i0, &i0, &t);
+            fr ra_t = ra_e, wa_t = wa_e, v_t = v_e;
+            fr_add(&ra_t, &ra_t, &ra_s); fr_add(&ra_t, &ra_t, &ra_s);
+            fr_add(&wa_t, &wa_t, &wa_s); fr_add(&wa_t, &wa_t, &wa_s);
+            fr_add(&v_t, &v_t, &v_s); fr_add(&v_t, &v_t, &v_s);
+            fr_mul(&t, &ra_t, &v_t);
+            fr_add(&i2, &i2, &t);
+            fr_add(&t2, &v_t, &inc2);
+            fr_mul(&t, &wa_t, &t2);
+            fr_add(&i2, &i2, &t);
+            fr_add(&ra_t, &ra_t, &ra_s);
+            fr_add(&wa_t, &wa_t, &wa_s);
+            fr_add(&v_t, &v_t, &v_s);
+            fr_mul(&t, &ra_t, &v_t);
+            fr_add(&i3, &i3, &t);
+            fr_add(&t2, &v_t, &inc3);
+            fr_mul(&t, &wa_t, &t2);
+            fr_add(&i3, &i3, &t);
+        }
+        fr t;
+        fr_mul(&t, &eq0, &i0);
+        fr_add(&e0, &e0, &t);
+        fr_mul(&t, &eq2, &i2);
+        fr_add(&e2, &e2, &t);
+        fr_mul(&t, &eq3, &i3);
+        fr_add(&e3, &e3, &t);
+    }
+    fr_store(&e0, out3);
+    fr_store(&e2, out3 + 32);
+    fr_store(&e3, out3 + 64);
+}
+
+/* out[2i] = a[i], out[2i+1] = b[i] */
+void frv_interleave(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+    for (long i = 0; i < n; i++) {
+        memcpy(out + (2 * i) * 32, a + i * 32, 32);
+        memcpy(out + (2 * i + 1) * 32, b + i * 32, 32);
+    }
+}
+
+/* Σ_i e[i]·a[i]·b[i] */
+void frv_triple_inner(const uint8_t *e, const uint8_t *a, const uint8_t *b,
+                      long n, uint8_t *out) {
+    const fr *ev = (const fr *)e;
+    const fr *av = (const fr *)a;
+    const fr *bv = (const fr *)b;
+    fr acc = {{0, 0, 0, 0}};
+    for (long i = 0; i < n; i++) {
+        fr t;
+        fr_mul(&t, &av[i], &bv[i]);
+        fr_mul(&t, &t, &ev[i]);
+        fr_add(&acc, &acc, &t);
+    }
+    fr_store(&acc, out);
+}
+
 void frv_vec_add(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
     for (long i = 0; i < n; i++)
         fr_add((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));

@@ -94,6 +94,42 @@ class FrVec:
         return cls(n, mont=bytearray(32 * n))  # 0 is 0 in Montgomery form
 
     @classmethod
+    def filled(cls, n: int, value: int) -> "FrVec":
+        lib = _get_lib()
+        if lib is None:
+            return cls(n, ints=[value % P] * n)
+        return cls(n, mont=bytearray(bytes(_mont_scalars([value])) * n))
+
+    @staticmethod
+    def interleave(a: "FrVec", b: "FrVec") -> "FrVec":
+        """[a0, b0, a1, b1, ...]"""
+        lib = _get_lib()
+        if lib is None or a._mont is None or b._mont is None:
+            ai = a._ints if a._ints is not None else a.to_ints()
+            bi = b._ints if b._ints is not None else b.to_ints()
+            out = [0] * (2 * a.n)
+            out[0::2] = ai
+            out[1::2] = bi
+            return FrVec(2 * a.n, ints=out)
+        out = bytearray(64 * a.n)
+        lib.frv_interleave(_buf(a._mont), _buf(b._mont), a.n, _buf(out))
+        return FrVec(2 * a.n, mont=out)
+
+    @staticmethod
+    def triple_inner(e: "FrVec", a: "FrVec", b: "FrVec") -> int:
+        """Σ_i e[i]·a[i]·b[i]"""
+        lib = _get_lib()
+        if lib is None or e._mont is None or a._mont is None or b._mont is None:
+            ei = e._ints if e._ints is not None else e.to_ints()
+            ai = a._ints if a._ints is not None else a.to_ints()
+            bi = b._ints if b._ints is not None else b.to_ints()
+            return sum(x * y % P * z for x, y, z in zip(ei, ai, bi)) % P
+        out = bytearray(32)
+        lib.frv_triple_inner(_buf(e._mont), _buf(a._mont), _buf(b._mont), e.n,
+                             _buf(out))
+        return _from_mont_list(out, 1)[0]
+
+    @classmethod
     def indicator(cls, n: int, positions) -> "FrVec":
         """0/1 vector with 1 at the given positions (sparse one-hot build)."""
         lib = _get_lib()
@@ -330,6 +366,47 @@ class FrVec:
                            eq_b.n, _buf(out))
         v = _from_mont_list(out, 8)
         return v[:4], v[4:]
+
+    @staticmethod
+    def s4_phase1(e_out: "FrVec", e_in: "FrVec", head_in: int, ra_rows, wa_rows,
+                  val_rows, inc: "FrVec", T: int) -> tuple[int, int] | None:
+        """Stage-4 registers phase-1 (q0, qX2); None → caller falls back."""
+        lib = _get_lib()
+        if lib is None:
+            return None
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        out = bytearray(64)
+        lib.frv_s4_phase1(_buf(e_out._mont), _buf(e_in._mont), head_in,
+                          ptr(ra_rows), ptr(wa_rows), ptr(val_rows),
+                          _buf(inc._mont), len(ra_rows), T, _buf(out))
+        v = _from_mont_list(out, 2)
+        return v[0], v[1]
+
+    @staticmethod
+    def s4_phase2(eq: "FrVec", inc: "FrVec", ra_rows, wa_rows, val_rows,
+                  pairs: int, T: int) -> tuple[int, int] | None:
+        lib = _get_lib()
+        if lib is None:
+            return None
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        out = bytearray(64)
+        lib.frv_s4_phase2(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
+                          ptr(wa_rows), ptr(val_rows), pairs, T, _buf(out))
+        v = _from_mont_list(out, 2)
+        return v[0], v[1]
+
+    @staticmethod
+    def s4_phase3(eq: "FrVec", inc: "FrVec", ra_rows, wa_rows, val_rows,
+                  T: int) -> tuple[int, int, int] | None:
+        lib = _get_lib()
+        if lib is None:
+            return None
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        out = bytearray(96)
+        lib.frv_s4_phase3(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
+                          ptr(wa_rows), ptr(val_rows), len(ra_rows), T, _buf(out))
+        v = _from_mont_list(out, 3)
+        return v[0], v[1], v[2]
 
     @staticmethod
     def raf_sums(ra: "FrVec") -> tuple[int, int, int, int]:

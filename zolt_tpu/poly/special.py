@@ -128,3 +128,63 @@ def eq_plus_one_evals(x: list[int]) -> list[int]:
         return [0]
     eq = eq_be_evals(x)
     return [0] + eq[:-1]
+
+
+class EqPlusOnePrefixSuffix:
+    """Prefix–suffix decomposition of eq+1 over a big-endian split point
+    r = (r_hi ‖ r_lo) (reference src/poly/mod.zig:464-581):
+
+        eq+1(r, (y_hi ‖ y_lo)) = prefix_0[y_lo]·suffix_0[y_hi]
+                               + prefix_1[y_lo]·suffix_1[y_hi]
+
+    with prefix_0 = eq+1(r_lo, ·), suffix_0 = eq(r_hi, ·),
+    prefix_1 = is_max(r_lo)·δ(y_lo = 0) (the low half wraps exactly when the
+    successor carries out of it), suffix_1 = eq+1(r_hi, ·). Storage is
+    O(2^{n/2}) per table instead of the O(2^n) dense eq+1 table — the shift
+    sumcheck's phase-1 structure (reference src/zkvm/spartan/prefix_suffix.zig).
+    """
+
+    def __init__(self, r: list[int]):
+        assert len(r) >= 2
+        mid = len(r) // 2
+        r_hi = [c % P for c in r[:mid]]
+        r_lo = [c % P for c in r[mid:]]
+        self.n_hi, self.n_lo = len(r_hi), len(r_lo)
+        self.prefix_0 = eq_plus_one_evals(r_lo)
+        self.suffix_0 = eq_be_evals(r_hi)
+        is_max = 1
+        for c in r_lo:
+            is_max = is_max * c % P
+        self.prefix_1 = [0] * (1 << self.n_lo)
+        self.prefix_1[0] = is_max
+        self.suffix_1 = eq_plus_one_evals(r_hi)
+
+    def prefix_size(self) -> int:
+        return 1 << self.n_lo
+
+    def suffix_size(self) -> int:
+        return 1 << self.n_hi
+
+    def evaluate(self, y: int) -> int:
+        """eq+1(r, y) recombined from the four tables."""
+        y_lo = y & ((1 << self.n_lo) - 1)
+        y_hi = y >> self.n_lo
+        return (self.prefix_0[y_lo] * self.suffix_0[y_hi]
+                + self.prefix_1[y_lo] * self.suffix_1[y_hi]) % P
+
+    def dense_table(self, size: int | None = None) -> list[int]:
+        """Materialize eq+1(r, ·) from the decomposition (suffix-major block
+        structure: block y_hi is prefix_0 scaled by suffix_0[y_hi], plus the
+        sparse carry term at each block's index 0)."""
+        n = 1 << (self.n_hi + self.n_lo)
+        if size is None:
+            size = n
+        out = [0] * size
+        p0, p1 = self.prefix_0, self.prefix_1
+        block = 1 << self.n_lo
+        for y_hi in range(min(1 << self.n_hi, (size + block - 1) // block)):
+            s0, s1 = self.suffix_0[y_hi], self.suffix_1[y_hi]
+            base = y_hi << self.n_lo
+            for y_lo in range(min(block, size - base)):
+                out[base + y_lo] = (p0[y_lo] * s0 + p1[y_lo] * s1) % P
+        return out

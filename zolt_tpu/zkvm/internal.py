@@ -355,7 +355,8 @@ def _stage4(accesses, transcript, trace_len: int, log_t: int, log_k: int,
         r = transcript.challenge_scalar(b"val_eval_round")
         sp.challenges.append(r)
         prover.bind_with_poly(r, evals)
-    sp.final_claims.append(prover.inc[0] * prover.wa[0] % P * prover.lt[0] % P)
+    sp.final_claims.append(prover.inc.first() * prover.wa.first() % P
+                           * prover.lt.first() % P)
     return sp
 
 

@@ -32,9 +32,14 @@ P = FR.p
 
 
 def _eq_plus_one_table(r: list[int], size: int) -> list[int]:
-    from ..poly.special import eq_plus_one_evals
+    """Dense eq+1 table built through the 4-table prefix–suffix
+    decomposition (reference src/poly/mod.zig:464-581 /
+    src/zkvm/spartan/prefix_suffix.zig): component tables are O(2^{n/2})."""
+    from ..poly.special import EqPlusOnePrefixSuffix, eq_plus_one_evals
 
-    return eq_plus_one_evals(r)[:size]
+    if len(r) < 2:
+        return eq_plus_one_evals(r)[:size]
+    return EqPlusOnePrefixSuffix(r).dense_table(size)
 
 
 def _fold(arr: list[int], r: int) -> list[int]:
@@ -104,23 +109,25 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
     alphas = [transcript.challenge_scalar_full() for _ in range(3)]
     res.batching_coeffs = alphas
 
+    from ..native.frvec import FrVec
+
     # dense tables
-    eqp1_outer = _eq_plus_one_table(r_outer, T)
-    eqp1_prod = _eq_plus_one_table(r_product, T)
-    eq_outer = _eq_table_be(r_outer)[:T]
-    eq_prod = _eq_table_be(r_product)[:T]
+    eqp1_outer = FrVec.from_ints(_eq_plus_one_table(r_outer, T))
+    eqp1_prod = FrVec.from_ints(_eq_plus_one_table(r_product, T))
+    eq_outer = FrVec.from_ints(_eq_table_be(r_outer)[:T])
+    eq_prod = FrVec.from_ints(_eq_table_be(r_product)[:T])
 
     def col(idx):
-        return [w[idx] % P for w in witness_rows[:T]] + [0] * (T - len(witness_rows))
+        return FrVec.from_ints(
+            [w[idx] % P for w in witness_rows[:T]] + [0] * (T - len(witness_rows)))
 
     upc = col(ri.Inp.UnexpandedPC)
     pc = col(ri.Inp.PC)
     virt = col(ri.Inp.FlagVirtualInstruction)
     first = col(ri.Inp.FlagIsFirstInSequence)
     noop = col(ri.Inp.FlagIsNoop)
-    combo = [(upc[j] + gp[1] * pc[j] + gp[2] * virt[j] + gp[3] * first[j]) % P
-             for j in range(T)]
-    one_minus_noop = [(1 - noop[j]) % P for j in range(T)]
+    combo = upc.copy().axpy_(pc, gp[1]).axpy_(virt, gp[2]).axpy_(first, gp[3])
+    one_minus_noop = FrVec.filled(T, 1).sub(noop)
 
     l_rs1 = col(ri.Inp.FlagLeftOperandIsRs1)
     rs1 = col(ri.Inp.Rs1Value)
@@ -134,56 +141,37 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
     rd = col(ri.Inp.RdWriteValue)
     r_rs1v = col(ri.Inp.Rs1Value)
     r_rs2v = col(ri.Inp.Rs2Value)
-    reg_combo = [(rd[j] + g_reg * r_rs1v[j] + g_reg2 * r_rs2v[j]) % P for j in range(T)]
+    reg_combo = rd.copy().axpy_(r_rs1v, g_reg).axpy_(r_rs2v, g_reg2)
 
     shift_claim, instr_claim, reg_claim = shift_input, instr_input, reg_input
     combined_claim = (shift_input * alphas[0] + instr_input * alphas[1]
                       + reg_input * alphas[2]) % P
 
     instr_arrays = [l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm]
-    eq_arrays = [eq_outer, eq_prod]
 
     for rnd in range(n_cycle_vars):
-        half = len(eqp1_outer) // 2
         # Shift (deg 2): evals at 0, 2 (p1 from claim)
-        s0 = s2 = 0
-        for j in range(half):
-            a0, a2, _ = _lerp3(eqp1_outer[2 * j], eqp1_outer[2 * j + 1])
-            b0, b2, _ = _lerp3(combo[2 * j], combo[2 * j + 1])
-            c0_, c2_, _ = _lerp3(eqp1_prod[2 * j], eqp1_prod[2 * j + 1])
-            d0, d2, _ = _lerp3(one_minus_noop[2 * j], one_minus_noop[2 * j + 1])
-            s0 = (s0 + a0 * b0 + gp[4] * c0_ % P * d0) % P
-            s2 = (s2 + a2 * b2 + gp[4] * c2_ % P * d2) % P
+        ab = FrVec.prod_evals_adj([eqp1_outer, combo], 2)
+        cd = FrVec.prod_evals_adj([eqp1_prod, one_minus_noop], 2)
+        s0 = (ab[0] + gp[4] * cd[0]) % P
+        s2 = (ab[2] + gp[4] * cd[2]) % P
         shift_evals = [s0, (shift_claim - s0) % P, s2]
 
-        # InstrInput (deg 3): evals at 0, 2, 3 (p1 from claim)
-        i0 = i2 = i3 = 0
-        for j in range(half):
-            vals = {}
-            for name, arr in (("lr", l_rs1), ("r1", rs1), ("lp", l_pc), ("up", i_upc),
-                              ("rr", r_rs2), ("r2", rs2), ("ri", r_imm), ("im", imm),
-                              ("eo", eq_outer), ("ep", eq_prod)):
-                vals[name] = _lerp3(arr[2 * j], arr[2 * j + 1])
-            for t_i, t in enumerate((0, 1, 2)):
-                left = (vals["lr"][t] * vals["r1"][t] + vals["lp"][t] * vals["up"][t]) % P
-                right = (vals["rr"][t] * vals["r2"][t] + vals["ri"][t] * vals["im"][t]) % P
-                eqw = (vals["eo"][t] + g_instr2 * vals["ep"][t]) % P
-                f = eqw * ((right + g_instr * left) % P) % P
-                if t_i == 0:
-                    i0 = (i0 + f) % P
-                elif t_i == 1:
-                    i2 = (i2 + f) % P
-                else:
-                    i3 = (i3 + f) % P
-        instr_evals = [i0, (instr_claim - i0) % P, i2, i3]
+        # InstrInput (deg 3): evals at 0, 2, 3 (p1 from claim); the weight
+        # eq_outer + γ²·eq_prod folds linearly, so it is kept combined and
+        # the product splits into four 3-factor sums
+        eqw = eq_outer.copy().axpy_(eq_prod, g_instr2)
+        rr_r2 = FrVec.prod_evals_adj([eqw, r_rs2, rs2], 3)
+        ri_im = FrVec.prod_evals_adj([eqw, r_imm, imm], 3)
+        lr_r1 = FrVec.prod_evals_adj([eqw, l_rs1, rs1], 3)
+        lp_up = FrVec.prod_evals_adj([eqw, l_pc, i_upc], 3)
+        iev = [(rr_r2[t] + ri_im[t] + g_instr * (lr_r1[t] + lp_up[t])) % P
+               for t in range(4)]
+        instr_evals = [iev[0], (instr_claim - iev[0]) % P, iev[2], iev[3]]
 
         # Registers (deg 2)
-        g0 = g2 = 0
-        for j in range(half):
-            a0, a2, _ = _lerp3(eq_outer[2 * j], eq_outer[2 * j + 1])
-            b0, b2, _ = _lerp3(reg_combo[2 * j], reg_combo[2 * j + 1])
-            g0 = (g0 + a0 * b0) % P
-            g2 = (g2 + a2 * b2) % P
+        gg = FrVec.prod_evals_adj([eq_outer, reg_combo], 2)
+        g0, g2 = gg[0], gg[2]
         reg_evals = [g0, (reg_claim - g0) % P, g2]
 
         # combine (pad deg-2 to cubic: p3 = 3p2 - 3p1 + p0)
@@ -213,29 +201,32 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
         reg_claim = unipoly.horner_eval(unipoly.interpolate(reg_evals), r)
 
         # bind everything low-to-high
-        eqp1_outer = _fold(eqp1_outer, r)
-        eqp1_prod = _fold(eqp1_prod, r)
-        combo = _fold(combo, r)
-        one_minus_noop = _fold(one_minus_noop, r)
-        upc, pc, virt, first, noop = (_fold(a, r) for a in (upc, pc, virt, first, noop))
+        eqp1_outer = eqp1_outer.fold_adj(r)
+        eqp1_prod = eqp1_prod.fold_adj(r)
+        combo = combo.fold_adj(r)
+        one_minus_noop = one_minus_noop.fold_adj(r)
+        upc, pc, virt, first, noop = (a.fold_adj(r)
+                                      for a in (upc, pc, virt, first, noop))
         for k in range(len(instr_arrays)):
-            instr_arrays[k] = _fold(instr_arrays[k], r)
+            instr_arrays[k] = instr_arrays[k].fold_adj(r)
         (l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm) = instr_arrays
-        eq_outer = _fold(eq_outer, r)
-        eq_prod = _fold(eq_prod, r)
-        reg_combo = _fold(reg_combo, r)
-        rd, r_rs1v, r_rs2v = (_fold(a, r) for a in (rd, r_rs1v, r_rs2v))
+        eq_outer = eq_outer.fold_adj(r)
+        eq_prod = eq_prod.fold_adj(r)
+        reg_combo = reg_combo.fold_adj(r)
+        rd, r_rs1v, r_rs2v = (a.fold_adj(r) for a in (rd, r_rs1v, r_rs2v))
 
     res.final_claim = combined_claim
     res.instance_final_claims = [shift_claim, instr_claim, reg_claim]
-    res.shift_claims = {"unexpanded_pc": upc[0], "pc": pc[0], "is_virtual": virt[0],
-                        "is_first_in_sequence": first[0], "is_noop": noop[0]}
-    res.instr_claims = {"left_is_rs1": l_rs1[0], "rs1_value": rs1[0],
-                        "left_is_pc": l_pc[0], "unexpanded_pc": i_upc[0],
-                        "right_is_rs2": r_rs2[0], "rs2_value": rs2[0],
-                        "right_is_imm": r_imm[0], "imm": imm[0]}
-    res.reg_claims = {"rd_write_value": rd[0], "rs1_value": r_rs1v[0],
-                      "rs2_value": r_rs2v[0]}
+    res.shift_claims = {"unexpanded_pc": upc.first(), "pc": pc.first(),
+                        "is_virtual": virt.first(),
+                        "is_first_in_sequence": first.first(),
+                        "is_noop": noop.first()}
+    res.instr_claims = {"left_is_rs1": l_rs1.first(), "rs1_value": rs1.first(),
+                        "left_is_pc": l_pc.first(), "unexpanded_pc": i_upc.first(),
+                        "right_is_rs2": r_rs2.first(), "rs2_value": rs2.first(),
+                        "right_is_imm": r_imm.first(), "imm": imm.first()}
+    res.reg_claims = {"rd_write_value": rd.first(), "rs1_value": r_rs1v.first(),
+                      "rs2_value": r_rs2v.first()}
 
     # cache_openings absorption (stage3_prover.zig:703-726)
     for v in (res.shift_claims["unexpanded_pc"], res.shift_claims["pc"],

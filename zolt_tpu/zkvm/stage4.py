@@ -55,6 +55,23 @@ def _eq_be(r: list[int], idx: int) -> int:
     return out
 
 
+def _lt_table_le(r: list[int], n_vars: int) -> list[int]:
+    """LT(j, r) for all j < 2^n_vars via the MSB-first comparison doubling
+    (each step adds bit i as the new top bit; r is little-endian so bit i
+    owns r[i]): LT_new(j_i‖j) = eq(j_i, r_i)·LT(j) + (1−j_i)·r_i —
+    O(2^n) instead of the pointwise O(2^n·n²)."""
+    L = [0]
+    for i in range(n_vars):
+        ri = (r[i] if i < len(r) else 0) % P
+        size = len(L)
+        nL = [0] * (2 * size)
+        for j in range(size):
+            nL[j] = ((1 - ri) * L[j] + ri) % P
+            nL[j + size] = ri * L[j] % P
+        L = nL
+    return L
+
+
 def _lt_le(r: list[int], j: int) -> int:
     """LT(j, r) = Σ_{i: j_i=0} r_i · Π_{k>i} eq(j_k, r_k), little-endian
     (reference src/zkvm/ram/val_evaluation.zig:314-343)."""
@@ -150,16 +167,26 @@ class Stage4RegistersProver:
                 rd_wa[rd][cycle] = 1
                 inc[cycle] = (step.rd_value - regs[rd]) % P
                 regs[rd] = step.rd_value
-        self.val, self.rd_wa, self.ra = val, rd_wa, ra
-        self.rs1_ra, self.rs2_ra, self.inc = rs1_ra, rs2_ra, inc
+        from ..native.frvec import FrVec
+
+        # rows k >= 32 are identically zero (only architectural registers are
+        # touched); they are represented by a shared zero row
+        to_rows = lambda rows: [FrVec.from_ints(rows[k]) for k in range(32)]
+        self.val, self.rd_wa, self.ra = to_rows(val), to_rows(rd_wa), to_rows(ra)
+        self.rs1_ra, self.rs2_ra = to_rows(rs1_ra), to_rows(rs2_ra)
+        self.inc = FrVec.from_ints(inc)
+        self._zero_row = FrVec.zeros(T)
 
         r_cycle_be = list(reversed([c % P for c in r_cycle_le]))
         self.gruen = GruenSplitEq(r_cycle_be)
-        self.merged_eq: list[int] | None = None
+        self.merged_eq: object | None = None
         self.current_T = T
         self.current_K = K
         # only registers 0..31 are ever nonzero; the bound shrinks in phase 2
         self.active_K = 32
+
+    def _row(self, rows, k):
+        return rows[k] if k < len(rows) else self._zero_row
 
     def input_claim(self) -> int:
         c = self.claims
@@ -169,28 +196,19 @@ class Stage4RegistersProver:
     # -- round messages ----------------------------------------------------
 
     def _phase1_coeffs(self, prev_claim: int) -> list[int]:
+        from ..native.frvec import FrVec
+
         g = self.gruen
         E_in = g.E_in_vec[-1]
         E_out = g.E_out_vec[-1]
         nbits = (len(E_in).bit_length() - 1) if len(E_in) > 1 else 0
-        mask = (1 << nbits) - 1
-        q0 = qX2 = 0
-        half_T = self.current_T // 2
-        for i in range(half_T):
-            je, jo = 2 * i, 2 * i + 1
-            E = E_out[i >> nbits] * E_in[i & mask] % P
-            inc0 = self.inc[je]
-            incs = self.inc[jo] - inc0
-            c0_acc = cX2_acc = 0
-            for k in range(self.active_K):
-                ra_e, ra_o = self.ra[k][je], self.ra[k][jo]
-                wa_e, wa_o = self.rd_wa[k][je], self.rd_wa[k][jo]
-                v_e, v_o = self.val[k][je], self.val[k][jo]
-                ra_s, wa_s, v_s = ra_o - ra_e, wa_o - wa_e, v_o - v_e
-                c0_acc += ra_e * v_e + wa_e * (v_e + inc0)
-                cX2_acc += ra_s * v_s + wa_s * (v_s + incs)
-            q0 = (q0 + E * c0_acc) % P
-            qX2 = (qX2 + E * cX2_acc) % P
+        aK = self.active_K
+        q0, qX2 = FrVec.s4_phase1(
+            FrVec.from_ints(E_out), FrVec.from_ints(E_in), nbits,
+            [self._row(self.ra, k) for k in range(aK)],
+            [self._row(self.rd_wa, k) for k in range(aK)],
+            [self._row(self.val, k) for k in range(aK)],
+            self.inc, self.current_T)
         return self._gruen_coeffs(q0, qX2, prev_claim)
 
     def _gruen_coeffs(self, q0: int, qX2: int, claim: int) -> list[int]:
@@ -212,69 +230,45 @@ class Stage4RegistersProver:
         return unipoly.interpolate_degree3(evals)
 
     def _phase2_coeffs(self, prev_claim: int) -> list[int]:
-        merged = self.merged_eq
+        from ..native.frvec import FrVec
+
         half_K = self.current_K // 2
         active_pairs = min(half_K, (self.active_K + 1) // 2)
-        e0 = e2 = 0
-        for i in range(active_pairs):
-            ke, ko = 2 * i, 2 * i + 1
-            for j in range(self.current_T):
-                inc_j = self.inc[j]
-                eq_j = merged[j]
-                ra_e, ra_o = self.ra[ke][j], self.ra[ko][j]
-                wa_e, wa_o = self.rd_wa[ke][j], self.rd_wa[ko][j]
-                v_e, v_o = self.val[ke][j], self.val[ko][j]
-                c0 = ra_e * v_e + wa_e * (v_e + inc_j)
-                e0 = (e0 + eq_j * c0) % P
-                ra2 = 2 * ra_o - ra_e
-                wa2 = 2 * wa_o - wa_e
-                v2 = 2 * v_o - v_e
-                c2 = ra2 * v2 + wa2 * (v2 + inc_j)
-                e2 = (e2 + eq_j * c2) % P
+        e0, e2 = FrVec.s4_phase2(
+            self.merged_eq, self.inc,
+            [self._row(self.ra, k) for k in range(2 * active_pairs)],
+            [self._row(self.rd_wa, k) for k in range(2 * active_pairs)],
+            [self._row(self.val, k) for k in range(2 * active_pairs)],
+            active_pairs, self.current_T)
         e1 = (prev_claim - e0) % P
         c2_ = (e0 - 2 * e1 + e2) * pow(2, -1, P) % P
         c1_ = (e1 - e0 - c2_) % P
         return [e0 % P, c1_, c2_, 0]
 
     def _phase3_coeffs(self, prev_claim: int) -> list[int]:
-        merged = self.merged_eq
-        half_T = self.current_T // 2
+        from ..native.frvec import FrVec
+
         Kp = self.current_K
         aK = min(Kp, self.active_K)
         if self.current_T > 1:
-            e0 = e2 = e3 = 0
-            for j in range(half_T):
-                je, jo = 2 * j, 2 * j + 1
-                inc0 = self.inc[je]
-                incs = self.inc[jo] - inc0
-                inc2, inc3 = inc0 + 2 * incs, inc0 + 3 * incs
-                eq0 = merged[je]
-                eqs = merged[jo] - eq0
-                eq2, eq3 = (eq0 + 2 * eqs) % P, (eq0 + 3 * eqs) % P
-                i0 = i2 = i3 = 0
-                for k in range(aK):
-                    ra_e, ra_o = self.ra[k][je], self.ra[k][jo]
-                    wa_e, wa_o = self.rd_wa[k][je], self.rd_wa[k][jo]
-                    v_e, v_o = self.val[k][je], self.val[k][jo]
-                    ra_s, wa_s, v_s = ra_o - ra_e, wa_o - wa_e, v_o - v_e
-                    i0 += ra_e * v_e + wa_e * (v_e + inc0)
-                    ra2, wa2, v2 = ra_e + 2 * ra_s, wa_e + 2 * wa_s, v_e + 2 * v_s
-                    i2 += ra2 * v2 + wa2 * (v2 + inc2)
-                    ra3, wa3, v3 = ra_e + 3 * ra_s, wa_e + 3 * wa_s, v_e + 3 * v_s
-                    i3 += ra3 * v3 + wa3 * (v3 + inc3)
-                e0 = (e0 + eq0 * i0) % P
-                e2 = (e2 + eq2 * i2) % P
-                e3 = (e3 + eq3 * i3) % P
+            e0, e2, e3 = FrVec.s4_phase3(
+                self.merged_eq, self.inc,
+                [self._row(self.ra, k) for k in range(aK)],
+                [self._row(self.rd_wa, k) for k in range(aK)],
+                [self._row(self.val, k) for k in range(aK)],
+                self.current_T)
             e1 = (prev_claim - e0) % P
             return unipoly.interpolate_degree3([e0, e1, e2, e3])
         # cycles exhausted: quadratic in the remaining register variable
-        inc_e, eq_e = self.inc[0], merged[0]
+        inc_e, eq_e = self.inc.first(), self.merged_eq.first()
         e0 = e2 = 0
         for i in range(Kp // 2):
-            ke, ko = 2 * i, 2 * i + 1
-            ra_e, ra_o = self.ra[ke][0], self.ra[ko][0]
-            wa_e, wa_o = self.rd_wa[ke][0], self.rd_wa[ko][0]
-            v_e, v_o = self.val[ke][0], self.val[ko][0]
+            ra_e = self._row(self.ra, 2 * i).first()
+            ra_o = self._row(self.ra, 2 * i + 1).first()
+            wa_e = self._row(self.rd_wa, 2 * i).first()
+            wa_o = self._row(self.rd_wa, 2 * i + 1).first()
+            v_e = self._row(self.val, 2 * i).first()
+            v_o = self._row(self.val, 2 * i + 1).first()
             e0 += ra_e * v_e + wa_e * (v_e + inc_e)
             ra2, wa2, v2 = 2 * ra_o - ra_e, 2 * wa_o - wa_e, 2 * v_o - v_e
             e2 += ra2 * v2 + wa2 * (v2 + inc_e)
@@ -302,51 +296,49 @@ class Stage4RegistersProver:
     # -- binding -----------------------------------------------------------
 
     def bind(self, rnd: int, r: int) -> None:
+        from ..native.frvec import FrVec
+
         omr = (1 - r) % P
         p1, p2 = self.phase1_rounds, self.phase1_rounds + self.phase2_rounds
+        all_rows = (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra)
         if rnd < p1:
             half_T = self.current_T // 2
-            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
-                for k in range(self.active_K):
-                    row = rows[k]
-                    for i in range(half_T):
-                        row[i] = (row[2 * i] * omr + row[2 * i + 1] * r) % P
-            for i in range(half_T):
-                self.inc[i] = (self.inc[2 * i] * omr + self.inc[2 * i + 1] * r) % P
+            for rows in all_rows:
+                for k in range(min(self.active_K, len(rows))):
+                    rows[k] = rows[k].fold_adj(r)
+            self.inc = self.inc.fold_adj(r)
+            self._zero_row = FrVec.zeros(half_T)
             self.current_T = half_T
             self.gruen.bind(r)
             if rnd == p1 - 1:
-                self.merged_eq = self.gruen.full_eq_table()
+                self.merged_eq = FrVec.from_ints(self.gruen.full_eq_table())
         elif rnd < p2:
             half_K = self.current_K // 2
             n_active = min(half_K, (self.active_K + 1) // 2)
-            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
+            for rows in all_rows:
                 for i in range(n_active):
-                    lo, hi = rows[2 * i], rows[2 * i + 1]
-                    rows[i] = [(lo[j] * omr + hi[j] * r) % P
-                               for j in range(self.current_T)]
-                for i in range(n_active, half_K):
-                    rows[i] = [0] * self.current_T
+                    lo = self._row(rows, 2 * i)
+                    hi = self._row(rows, 2 * i + 1)
+                    merged = lo.scale(omr)
+                    merged.axpy_(hi, r)
+                    rows[i] = merged
+                del rows[n_active:]
             self.current_K = half_K
             self.active_K = n_active
         else:
             half_T = self.current_T // 2
-            for rows in (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra):
-                for k in range(min(self.current_K, self.active_K)):
-                    row = rows[k]
-                    for i in range(half_T):
-                        row[i] = (row[2 * i] * omr + row[2 * i + 1] * r) % P
-            for i in range(half_T):
-                self.inc[i] = (self.inc[2 * i] * omr + self.inc[2 * i + 1] * r) % P
-            for i in range(half_T):
-                self.merged_eq[i] = (self.merged_eq[2 * i] * omr
-                                     + self.merged_eq[2 * i + 1] * r) % P
+            for rows in all_rows:
+                for k in range(min(self.current_K, self.active_K, len(rows))):
+                    rows[k] = rows[k].fold_adj(r)
+            self.inc = self.inc.fold_adj(r)
+            self.merged_eq = self.merged_eq.fold_adj(r)
+            self._zero_row = FrVec.zeros(half_T)
             self.current_T = half_T
 
     def final_claims(self) -> dict[str, int]:
-        return {"val": self.val[0][0], "rs1_ra": self.rs1_ra[0][0],
-                "rs2_ra": self.rs2_ra[0][0], "rd_wa": self.rd_wa[0][0],
-                "inc": self.inc[0]}
+        return {"val": self.val[0].first(), "rs1_ra": self.rs1_ra[0].first(),
+                "rs2_ra": self.rs2_ra[0].first(), "rd_wa": self.rd_wa[0].first(),
+                "inc": self.inc.first()}
 
 
 # ---------------------------------------------------------------------------
@@ -396,59 +388,53 @@ class ValEvaluationProver:
     def __init__(self, accesses, initial_ram, trace_len: int, k: int,
                  r_address_le: list[int], r_cycle_le: list[int],
                  start_address: int):
-        self.inc, self.wa = _build_inc_wa(accesses, initial_ram, trace_len,
-                                          start_address, k, r_address_le)
-        n = len(self.inc)
-        self.lt = [_lt_le(r_cycle_le, j) for j in range(n)]
+        from ..native.frvec import FrVec
+
+        inc, wa = _build_inc_wa(accesses, initial_ram, trace_len,
+                                start_address, k, r_address_le)
+        n = len(inc)
         self.num_vars = n.bit_length() - 1 if n > 1 else 0
+        lt = _lt_table_le(r_cycle_le, self.num_vars)[:n]
         self.round = 0
         self.current_claim = 0
         for j in range(n):
             self.current_claim = (self.current_claim
-                                  + self.inc[j] * self.wa[j] % P * self.lt[j]) % P
+                                  + inc[j] * wa[j] % P * lt[j]) % P
+        self.inc = FrVec.from_ints(inc)
+        self.wa = FrVec.from_ints(wa)
+        self.lt = FrVec.from_ints(lt)
 
     def num_rounds(self) -> int:
         return self.num_vars
 
     def _len(self) -> int:
-        return len(self.inc) >> self.round
+        return self.inc.n
 
     def round_evals(self) -> list[int]:
+        from ..native.frvec import FrVec
+
         n = self._len()
-        half = n // 2
-        ev = [0, 0, 0, 0]
-        if half == 0:
+        if n // 2 == 0:
+            ev = [0, 0, 0, 0]
             if n > 0:
-                ev[0] = self.inc[0] * self.wa[0] % P * self.lt[0] % P
+                ev[0] = (self.inc.first() * self.wa.first() % P
+                         * self.lt.first() % P)
             return ev
-        for i in range(half):
-            i0, w0, l0 = self.inc[2 * i], self.wa[2 * i], self.lt[2 * i]
-            i1, w1, l1 = self.inc[2 * i + 1], self.wa[2 * i + 1], self.lt[2 * i + 1]
-            ev[0] = (ev[0] + i0 * w0 % P * l0) % P
-            ev[1] = (ev[1] + i1 * w1 % P * l1) % P
-            i2, w2, l2 = 2 * i1 - i0, 2 * w1 - w0, 2 * l1 - l0
-            ev[2] = (ev[2] + i2 * w2 % P * l2) % P
-            i3, w3, l3 = 3 * i1 - 2 * i0, 3 * w1 - 2 * w0, 3 * l1 - 2 * l0
-            ev[3] = (ev[3] + i3 * w3 % P * l3) % P
-        return ev
+        return FrVec.prod_evals_adj([self.inc, self.wa, self.lt], 3)
 
     def bind_with_poly(self, r: int, evals4: list[int]) -> None:
-        n = self._len()
-        half = n // 2
-        if half == 0:
+        if self._len() // 2 == 0:
             self.round += 1
             return
-        omr = (1 - r) % P
-        for arr in (self.inc, self.wa, self.lt):
-            for i in range(half):
-                arr[i] = (omr * arr[2 * i] + r * arr[2 * i + 1]) % P
-            for i in range(half, n):
-                arr[i] = 0
+        self.inc = self.inc.fold_adj(r)
+        self.wa = self.wa.fold_adj(r)
+        self.lt = self.lt.fold_adj(r)
         self.current_claim = _lagrange_eval_0123(evals4, r)
         self.round += 1
 
     def final_openings(self) -> dict[str, int]:
-        return {"inc": self.inc[0], "wa": self.wa[0], "lt": self.lt[0]}
+        return {"inc": self.inc.first(), "wa": self.wa.first(),
+                "lt": self.lt.first()}
 
 
 class ValFinalProver:
@@ -456,56 +442,48 @@ class ValFinalProver:
 
     def __init__(self, accesses, initial_ram, trace_len: int,
                  r_address: list[int], start_address: int):
+        from ..native.frvec import FrVec
+
         k = 1 << len(r_address)
-        self.inc, self.wa = _build_inc_wa(accesses, initial_ram, trace_len,
-                                          start_address, k, r_address)
-        n = len(self.inc)
+        inc, wa = _build_inc_wa(accesses, initial_ram, trace_len,
+                                start_address, k, r_address)
+        n = len(inc)
         self.num_vars = n.bit_length() - 1 if n > 1 else 0
         self.round = 0
         self.current_claim = 0
         for j in range(n):
-            self.current_claim = (self.current_claim + self.inc[j] * self.wa[j]) % P
+            self.current_claim = (self.current_claim + inc[j] * wa[j]) % P
+        self.inc = FrVec.from_ints(inc)
+        self.wa = FrVec.from_ints(wa)
 
     def num_rounds(self) -> int:
         return self.num_vars
 
     def _len(self) -> int:
-        return len(self.inc) >> self.round
+        return self.inc.n
 
     def round_evals(self) -> list[int]:
+        from ..native.frvec import FrVec
+
         n = self._len()
-        half = n // 2
-        ev = [0, 0, 0, 0]
-        if half == 0:
+        if n // 2 == 0:
+            ev = [0, 0, 0, 0]
             if n > 0:
-                ev[0] = self.inc[0] * self.wa[0] % P
+                ev[0] = self.inc.first() * self.wa.first() % P
             return ev
-        for i in range(half):
-            i0, w0 = self.inc[2 * i], self.wa[2 * i]
-            i1, w1 = self.inc[2 * i + 1], self.wa[2 * i + 1]
-            ev[0] = (ev[0] + i0 * w0) % P
-            ev[1] = (ev[1] + i1 * w1) % P
-            ev[2] = (ev[2] + (2 * i1 - i0) * (2 * w1 - w0)) % P
-            ev[3] = (ev[3] + (3 * i1 - 2 * i0) * (3 * w1 - 2 * w0)) % P
-        return ev
+        return FrVec.prod_evals_adj([self.inc, self.wa], 3)
 
     def bind_with_poly(self, r: int, evals4: list[int]) -> None:
-        n = self._len()
-        half = n // 2
-        if half == 0:
+        if self._len() // 2 == 0:
             self.round += 1
             return
-        omr = (1 - r) % P
-        for arr in (self.inc, self.wa):
-            for i in range(half):
-                arr[i] = (omr * arr[2 * i] + r * arr[2 * i + 1]) % P
-            for i in range(half, n):
-                arr[i] = 0
+        self.inc = self.inc.fold_adj(r)
+        self.wa = self.wa.fold_adj(r)
         self.current_claim = _lagrange_eval_0123(evals4, r)
         self.round += 1
 
     def final_openings(self) -> dict[str, int]:
-        return {"inc": self.inc[0], "wa": self.wa[0]}
+        return {"inc": self.inc.first(), "wa": self.wa.first()}
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,73 @@ def _witness_az_bz(w: list[int], group: int) -> tuple[list[int], list[int]]:
     return az, bz
 
 
+def _constraint_columns(witnesses):
+    """Az/Bz constraint COLUMNS over all cycles as FrVec (the transposed view
+    of the reference's per-cycle evaluators, r1cs/evaluators.zig:36-150):
+    az_cols[g][i][c] = cond_i(w_c), bz_cols[g][i][c] = (left−right)_i(w_c)."""
+    from ..native.frvec import FrVec
+
+    T = len(witnesses)
+    wcols = [FrVec.from_ints(list(col)) for col in zip(*witnesses)]
+    ones = FrVec.filled(T, 1)
+
+    def lc_col(lc):
+        c, terms = lc
+        v = FrVec.zeros(T)
+        if c % P:
+            v.axpy_(ones, c)
+        for idx, coeff in terms:
+            v.axpy_(wcols[idx], coeff)
+        return v
+
+    az_cols: dict[int, list] = {0: [], 1: []}
+    bz_cols: dict[int, list] = {0: [], 1: []}
+    for g, indices in ((0, rc.FIRST_GROUP_INDICES), (1, rc.SECOND_GROUP_INDICES)):
+        for ci in indices:
+            cond, left, right = rc.CONSTRAINTS[ci]
+            az_cols[g].append(lc_col(cond))
+            bz_cols[g].append(lc_col(left).sub(lc_col(right)))
+    return az_cols, bz_cols
+
+
+def window_round_evals_multiquadratic(az: list[int], bz: list[int],
+                                      E_out: list[int], E_in: list[int],
+                                      head_in: int) -> tuple[int, int]:
+    """One remaining-round (t'(0), t'(∞)) via per-cell {0,1,∞} windows
+    (reference streaming_outer.zig:1577 computeRemainingRoundPolyMultiquadratic
+    with window_size 1): each pair (az[2g], az[2g+1]) × (bz ditto) expands to
+    a 1-variable multiquadratic product grid whose projection against the
+    E_out×E_in weights gives the Gruen cubic inputs. Algebraically identical
+    to the fused gruen_quad kernel — this is the explicit window form the
+    streaming schedule generalizes (kept as the spec/oracle; the production
+    path runs the fused kernel)."""
+    from ..poly.multiquadratic import MultiquadraticPolynomial
+
+    t0 = tinf = 0
+    n2 = len(az) // 2
+    for g in range(n2):
+        e = E_out[g >> head_in] * E_in[g & ((1 << head_in) - 1)] % P
+        ga = MultiquadraticPolynomial.from_linear(1, [az[2 * g], az[2 * g + 1]])
+        gb = MultiquadraticPolynomial.from_linear(1, [bz[2 * g], bz[2 * g + 1]])
+        prod = MultiquadraticPolynomial(
+            1, [x * y % P for x, y in zip(ga.evaluations, gb.evaluations)])
+        pz, pi = prod.project_to_first_variable([1])
+        t0 = (t0 + e * pz) % P
+        tinf = (tinf + e * pi) % P
+    return t0, tinf
+
+
+def _combine_cols(cols, coeffs):
+    """Σ_i coeffs[i]·cols[i] as an FrVec."""
+    from ..native.frvec import FrVec
+
+    v = FrVec.zeros(cols[0].n)
+    for c, col in zip(coeffs, cols):
+        if c % P:
+            v.axpy_(col, c)
+    return v
+
+
 def _eq_table_be(taus: list[int]) -> list[int]:
     """Big-endian prefix eq table (τ[0] = MSB): each step doubles the table,
     appending the new variable's bit as the index LSB."""
@@ -85,43 +152,40 @@ class StreamingOuterProver:
         self.mesh = mesh
         self._dev = None
 
+    def _cols(self):
+        if getattr(self, "_az_cols", None) is None:
+            self._az_cols, self._bz_cols = _constraint_columns(self.witnesses)
+        return self._az_cols, self._bz_cols
+
     # -- round 0: UniSkip ---------------------------------------------------
     def compute_first_round_poly(self) -> list[int]:
+        """Column-vector form of the per-cycle Lagrange extrapolation: the
+        flat (x_out ‖ x_in) eq table equals the big-endian table over
+        tau[:wprime], whose LSB coordinate tau[wprime−1] is the constraint
+        group, so E(cycle, g) = eq_table_be(tau[:wprime−1])[cycle]·eq1(tau_g, g)
+        and each extension target reduces to two eq·AzY·BzY inner products."""
+        from ..native.frvec import FrVec
+
         tau = self.full_tau
-        m = len(tau) // 2
         wprime = len(tau) - 1
-        num_x_in_bits = wprime - m
-        num_x_in_prime_bits = max(0, num_x_in_bits - 1)
+        T = 1 << (wprime - 1)
+        assert len(self.witnesses) == T, "trace must be pow2-padded"
 
-        E_out = _eq_table_be(tau[:m])
-        E_in = _eq_table_be(tau[m:wprime])
+        e_half = FrVec.eq_table_be([t % P for t in tau[: wprime - 1]])
+        tau_g = tau[wprime - 1] % P
+        e_even = e_half.scale((1 - tau_g) % P)
+        e_odd = e_half.scale(tau_g)
 
-        # az/bz per (cycle, group) are target-independent: compute once and
-        # reuse across the 9 extension targets
-        azbz_cache: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
-        cells = []
-        for x_out, e_out in enumerate(E_out):
-            if e_out == 0:
-                continue
-            for x_in, e_in in enumerate(E_in):
-                cycle = (x_out << num_x_in_prime_bits) | (x_in >> 1)
-                if cycle >= len(self.witnesses):
-                    continue
-                group = x_in & 1
-                key = (cycle, group)
-                if key not in azbz_cache:
-                    azbz_cache[key] = _witness_az_bz(self.witnesses[cycle], group)
-                cells.append((e_out * e_in % P, group, azbz_cache[key]))
-
+        az_cols, bz_cols = self._cols()
         extended = []
         for j, _target in enumerate(us.OUTER_TARGETS):
             coeffs = us.OUTER_COEFFS_PER_J[j]
             total = 0
-            for e, group, (az, bz) in cells:
-                gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
-                az_y = sum(coeffs[i] * az[i] for i in range(gsize)) % P
-                bz_y = sum(coeffs[i] * bz[i] for i in range(gsize)) % P
-                total = (total + e * (az_y * bz_y % P)) % P
+            for g, e_g in ((0, e_even), (1, e_odd)):
+                gsize = FIRST_GROUP_SIZE if g == 0 else SECOND_GROUP_SIZE
+                az_y = _combine_cols(az_cols[g], coeffs[:gsize])
+                bz_y = _combine_cols(bz_cols[g], coeffs[:gsize])
+                total = (total + FrVec.triple_inner(e_g, az_y, bz_y)) % P
             extended.append(total)
 
         return us.build_uniskip_first_round_poly(
@@ -136,38 +200,28 @@ class StreamingOuterProver:
     # -- linear phase -------------------------------------------------------
     def _materialize(self) -> None:
         """az/bz tables over (x_out ‖ x_in ‖ group) with time_step = idx>>1
-        (reference materializeLinearPhasePolynomials). Dimensions follow the
-        split_eq over tau_low: m = len(tau_low)//2."""
-        tau_low_len = len(self.full_tau) - 1
-        m = tau_low_len // 2
-        E_out_len = 1 << m
-        E_in_len = 1 << (tau_low_len - 1 - m)
-        size = E_out_len * E_in_len * 2
-        az = [0] * size
-        bz = [0] * size
-        for i in range(E_out_len * E_in_len):
-            ts = i  # time_step_idx = (2i + j) >> 1 = i
-            if ts >= len(self.witnesses):
-                continue
-            w = self.witnesses[ts]
-            for group in (0, 1):
-                a, b = _witness_az_bz(w, group)
-                gsize = FIRST_GROUP_SIZE if group == 0 else SECOND_GROUP_SIZE
-                av = sum(self.lagrange_evals_r0[t] * a[t] for t in range(gsize)) % P
-                bv = sum(self.lagrange_evals_r0[t] * b[t] for t in range(gsize)) % P
-                az[2 * i + group] = av
-                bz[2 * i + group] = bv
-        self.az = az
-        self.bz = bz
+        (reference materializeLinearPhasePolynomials): the group-g lane is the
+        Lagrange-at-r0 combination of the group's constraint columns."""
+        from ..native.frvec import FrVec
+
+        lam = self.lagrange_evals_r0
+        az_cols, bz_cols = self._cols()
+        az0 = _combine_cols(az_cols[0], lam[:FIRST_GROUP_SIZE])
+        az1 = _combine_cols(az_cols[1], lam[:SECOND_GROUP_SIZE])
+        bz0 = _combine_cols(bz_cols[0], lam[:FIRST_GROUP_SIZE])
+        bz1 = _combine_cols(bz_cols[1], lam[:SECOND_GROUP_SIZE])
+        self.az = FrVec.interleave(az0, az1)
+        self.bz = FrVec.interleave(bz0, bz1)
         if self.backend_kind == "device":
             from .device_outer import DeviceOuterRounds
 
-            self._dev = DeviceOuterRounds(az, bz)
+            self._dev = DeviceOuterRounds(self.az.to_ints(), self.bz.to_ints())
             self.az = self.bz = None
         elif self.backend_kind == "mesh":
             from .device_outer import MeshOuterRounds
 
-            self._dev = MeshOuterRounds(az, bz, self.mesh)
+            self._dev = MeshOuterRounds(self.az.to_ints(), self.bz.to_ints(),
+                                        self.mesh)
             self.az = self.bz = None
 
     def num_remaining_rounds(self) -> int:
@@ -190,18 +244,14 @@ class StreamingOuterProver:
                                              E_in[: 1 << head_in])
             return self._cubic_round_poly(t0, tinf, self.current_claim)
 
-        az, bz = self.az, self.bz
-        n2 = len(az) // 2
-        t0 = tinf = 0
-        for i in range(n2):
-            e = E_out[i >> head_in] * E_in[i & ((1 << head_in) - 1)] % P
-            if e == 0:
-                continue
-            a0, a1 = az[2 * i], az[2 * i + 1]
-            b0, b1 = bz[2 * i], bz[2 * i + 1]
-            t0 = (t0 + e * (a0 * b0 % P)) % P
-            tinf = (tinf + e * ((a1 - a0) * (b1 - b0) % P)) % P
+        from ..native.frvec import FrVec
 
+        n2 = self.az.n // 2
+        n_out = max(1, n2 >> head_in)
+        n_in = min(1 << head_in, n2)
+        t0, tinf = FrVec.gruen_quad(FrVec.from_ints(E_out[:n_out]),
+                                    FrVec.from_ints(E_in[:n_in]), head_in,
+                                    self.az, self.bz, n2)
         return self._cubic_round_poly(t0, tinf, self.current_claim)
 
     def _cubic_round_poly(self, q0: int, qinf: int, claim: int) -> list[int]:
@@ -231,11 +281,8 @@ class StreamingOuterProver:
             self._dev.bind(r)
             self.current_round += 1
             return
-        half = len(self.az) // 2
-        self.az = [(self.az[2 * i] + r * (self.az[2 * i + 1] - self.az[2 * i])) % P
-                   for i in range(half)]
-        self.bz = [(self.bz[2 * i] + r * (self.bz[2 * i + 1] - self.bz[2 * i])) % P
-                   for i in range(half)]
+        self.az = self.az.fold_adj(r)
+        self.bz = self.bz.fold_adj(r)
         self.current_round += 1
 
     def update_claim(self, evals4: list[int], r: int) -> None:
@@ -277,8 +324,10 @@ def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
     proof.r0 = r0
 
     lagrange_tau_r0 = us.lagrange_kernel(us.OUTER_DOMAIN, r0, tau[-1])
+    cols = prover._cols()
     prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0,
                                   backend=backend, mesh=mesh)
+    prover._az_cols, prover._bz_cols = cols
     uni_skip_claim = unipoly.horner_eval(s1, r0)
     proof.uni_skip_claim = uni_skip_claim
     prover.bind_first_round(r0, uni_skip_claim)
