@@ -61,7 +61,10 @@ def _build_and_load():
         cc = os.environ.get("CC", "cc")
         cmd = [cc, "-O3", "-fomit-frame-pointer", "-shared", "-fPIC",
                "-o", so + ".tmp"] + srcs
-        subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            subprocess.run(cmd + ["-fopenmp"], check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)
     lib.bn254_init.argtypes = [ctypes.c_char_p]
@@ -75,6 +78,12 @@ def _build_and_load():
                                  ctypes.c_int, ctypes.c_char_p]
     lib.bn254_g2_batch_mul.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                        ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g2_precompute.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_char_p]
+    lib.bn254_g2_precompute.restype = ctypes.c_int
+    lib.bn254_multi_pairing_pre.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                            ctypes.c_char_p, ctypes.c_int,
+                                            ctypes.c_char_p]
     lib.bn254_g1_msm_rows.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                       ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
     lib.bn254_init(_constants_blob())
@@ -121,7 +130,14 @@ def get_lib():
         return None
     try:
         _LIB = _build_and_load()
-    except Exception:
+    except Exception as e:  # degrade to pure Python, but never silently
+        import sys
+
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError):
+            detail = (e.stderr or b"").decode(errors="replace")[-400:]
+        print(f"[zolt-tpu] native runtime unavailable ({e!r}); falling back "
+              f"to pure Python (10-100x slower). {detail}", file=sys.stderr)
         _LIB = None
     return _LIB
 
@@ -217,6 +233,68 @@ def _g2_from_out(raw: bytes):
              int.from_bytes(raw[33:65], "little")),
             (int.from_bytes(raw[65:97], "little"),
              int.from_bytes(raw[97:129], "little")))
+
+
+# Precomputed Miller-line cache for FIXED G2 vectors (Dory SRS): the ate
+# schedule is point-independent, so each SRS point's line coefficients are
+# computed once and every subsequent pairing against it skips all G2 point
+# arithmetic; the multi-pairing also shares one accumulator across pairs.
+_G2_LINE_CACHE: dict = {}
+_LINE_REC = 192  # 3 fp2 of raw Montgomery limbs per line record
+
+
+def _g2_pack(points) -> bytes:
+    out = bytearray(128 * len(points))
+    mv = memoryview(out)
+    for i, q in enumerate(points):
+        if q is None:
+            continue
+        (x0, x1), (y0, y1) = q
+        mv[i * 128:i * 128 + 32] = int(x0).to_bytes(32, "little")
+        mv[i * 128 + 32:i * 128 + 64] = int(x1).to_bytes(32, "little")
+        mv[i * 128 + 64:i * 128 + 96] = int(y0).to_bytes(32, "little")
+        mv[i * 128 + 96:i * 128 + 128] = int(y1).to_bytes(32, "little")
+    return bytes(out)
+
+
+def multi_pairing_fixed_native(g1_points, g2_vec, n: int):
+    """Π_{i<n} e(g1_points[i], g2_vec[i]) using cached precomputed lines for
+    g2_vec (keyed by object identity, fingerprint-validated). Returns the GT
+    tower tuple, or None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = id(g2_vec)
+    fp_first = g2_vec[0] if g2_vec else None
+    ent = _G2_LINE_CACHE.get(key)
+    if ent is None or ent[0] is not g2_vec or ent[1] < n:
+        m = len(g2_vec)
+        packed = _g2_pack(g2_vec)
+        # probe line count with a zero-size call contract: lines is fixed
+        lines = lib.bn254_g2_precompute(b"\x00" * 128, 0, b"")
+        buf = ctypes.create_string_buffer(m * lines * _LINE_REC)
+        lib.bn254_g2_precompute(packed, m, buf)
+        ent = (g2_vec, m, lines, buf)
+        _G2_LINE_CACHE[key] = ent
+        if len(_G2_LINE_CACHE) > 8:
+            for k in list(_G2_LINE_CACHE):
+                if k != key:
+                    del _G2_LINE_CACHE[k]
+    _, m, lines, buf = ent
+    n = min(n, m, len(g1_points))
+    g1b = bytearray(64 * n)
+    mask = bytearray(n)
+    mv = memoryview(g1b)
+    for i in range(n):
+        p = g1_points[i]
+        if p is None:
+            continue
+        mv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
+        mv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
+        mask[i] = 1
+    out = ctypes.create_string_buffer(384)
+    lib.bn254_multi_pairing_pre(bytes(g1b), buf, bytes(mask), n, out)
+    return _gt_from_coeff_bytes(out.raw)
 
 
 def g2_batch_mul_native(point, scalars):

@@ -19,6 +19,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 typedef uint64_t u64;
 typedef unsigned __int128 u128;
 
@@ -648,6 +652,160 @@ static void miller_accum(fp12 *f, const g1aff *p, const g2aff *q) {
     fp12 t;
     fp12_mul(&t, f, &acc);
     *f = t;
+}
+
+static void final_exp(fp12 *r, const fp12 *f);
+static void fp12_to_bytes_(const fp12 *a, uint8_t *b);
+static void fp2_from_bytes(fp2 *r, const uint8_t *b);
+
+/* ---- precomputed-line multi-Miller (fixed G2 vectors) ----
+ * The ate schedule is point-independent, so each Q's line coefficients
+ * (l0, l1, l2 per dbl/add step) can be computed once and reused across
+ * every pairing with that Q; a multi-pairing then shares ONE accumulator,
+ * replacing n·64 fp12 squarings with 64. */
+
+static int ate_line_count(void) {
+    int n = 64 + 2;
+    for (int idx = 64; idx >= 1; idx--)
+        if (ATE_DIGITS[idx - 1] != 0) n++;
+    return n;
+}
+
+/* emit Q's line triples (Montgomery-form fp2 raw limbs) into out */
+static void g2_precompute_lines(const g2aff *q, fp2 *out) {
+    g2proj r = { q->x, q->y, {FP_ONE_, {{0,0,0,0}}} };
+    g2aff neg_q = *q;
+    fp2_neg(&neg_q.y, &q->y);
+    int w = 0;
+    fp2 l0, l1, l2;
+    for (int idx = 64; idx >= 1; idx--) {
+        dbl_step(&r, &l0, &l1, &l2);
+        out[w] = l0; out[w + 1] = l1; out[w + 2] = l2; w += 3;
+        int8_t bit = ATE_DIGITS[idx - 1];
+        if (bit == 1) {
+            add_step(&r, q, &l0, &l1, &l2);
+            out[w] = l0; out[w + 1] = l1; out[w + 2] = l2; w += 3;
+        } else if (bit == -1) {
+            add_step(&r, &neg_q, &l0, &l1, &l2);
+            out[w] = l0; out[w + 1] = l1; out[w + 2] = l2; w += 3;
+        }
+    }
+    g2aff q1, q2;
+    mul_by_char(&q1, q);
+    add_step(&r, &q1, &l0, &l1, &l2);
+    out[w] = l0; out[w + 1] = l1; out[w + 2] = l2; w += 3;
+    mul_by_char(&q2, &q1);
+    fp2_neg(&q2.y, &q2.y);
+    add_step(&r, &q2, &l0, &l1, &l2);
+    out[w] = l0; out[w + 1] = l1; out[w + 2] = l2;
+}
+
+/* Exported: precompute lines for n G2 points (canonical affine bytes in).
+ * out receives n * ate_line_count() * 3 fp2 = n*lines*128 bytes of raw
+ * Montgomery limb data (opaque to the caller; device/arch-local cache). */
+int bn254_g2_precompute(const uint8_t *g2s, int n, uint8_t *out) {
+    int lines = ate_line_count();
+    for (int i = 0; i < n; i++) {
+        const uint8_t *qb = g2s + (long)i * 128;
+        int allz = 1;
+        for (int k = 0; k < 128; k++) if (qb[k]) { allz = 0; break; }
+        fp2 *dst = (fp2 *)(out + (long)i * lines * 3 * sizeof(fp2));
+        if (allz) {
+            memset(dst, 0, (size_t)lines * 3 * sizeof(fp2));
+            continue;
+        }
+        g2aff q;
+        fp2_from_bytes(&q.x, qb);
+        fp2_from_bytes(&q.y, qb + 64);
+        q.inf = 0;
+        g2_precompute_lines(&q, dst);
+    }
+    return lines;
+}
+
+/* Multi-pairing with precomputed lines + shared accumulator.
+ * g1s: n*64 canonical affine; pre: from bn254_g2_precompute; mask: n bytes
+ * (0 = skip pair). out: 384-byte GT (canonical), final exp applied. */
+void bn254_multi_pairing_pre(const uint8_t *g1s, const uint8_t *pre,
+                             const uint8_t *mask, int n, uint8_t *out) {
+    int lines = ate_line_count();
+    g1aff *ps = malloc((size_t)n * sizeof(g1aff));
+    int any = 0;
+    for (int i = 0; i < n; i++) {
+        const uint8_t *pb = g1s + (long)i * 64;
+        int allz = 1;
+        for (int k = 0; k < 64; k++) if (pb[k]) { allz = 0; break; }
+        ps[i].inf = allz || !mask[i];
+        if (!ps[i].inf) {
+            fp_from_bytes(&ps[i].x, pb);
+            fp_from_bytes(&ps[i].y, pb + 32);
+            any = 1;
+        }
+    }
+    fp12 acc;
+    fp12_one(&acc);
+    if (any) {
+        int nchunks = 1;
+#ifdef _OPENMP
+        nchunks = omp_get_max_threads();
+        if (nchunks > n) nchunks = n;
+        if (nchunks < 1) nchunks = 1;
+#endif
+        fp12 *partial = malloc((size_t)nchunks * sizeof(fp12));
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(nchunks) schedule(static)
+#endif
+        for (int c = 0; c < nchunks; c++) {
+            int lo = (int)((long)n * c / nchunks);
+            int hi = (int)((long)n * (c + 1) / nchunks);
+            fp12 a;
+            fp12_one(&a);
+            long w = 0; /* line index within each point's stream */
+            fp2 s0, s1;
+            for (int idx = 64; idx >= 1; idx--) {
+                if (idx != 64) { fp12 t; fp12_sqr(&t, &a); a = t; }
+                for (int i = lo; i < hi; i++) {
+                    if (ps[i].inf) continue;
+                    const fp2 *l = (const fp2 *)(pre + ((long)i * lines + w) * 3 * sizeof(fp2));
+                    fp2_scalar_fp(&s0, &l[0], &ps[i].y);
+                    fp2_scalar_fp(&s1, &l[1], &ps[i].x);
+                    fp12_mul_by_034(&a, &s0, &s1, &l[2]);
+                }
+                w++;
+                if (ATE_DIGITS[idx - 1] != 0) {
+                    for (int i = lo; i < hi; i++) {
+                        if (ps[i].inf) continue;
+                        const fp2 *l = (const fp2 *)(pre + ((long)i * lines + w) * 3 * sizeof(fp2));
+                        fp2_scalar_fp(&s0, &l[0], &ps[i].y);
+                        fp2_scalar_fp(&s1, &l[1], &ps[i].x);
+                        fp12_mul_by_034(&a, &s0, &s1, &l[2]);
+                    }
+                    w++;
+                }
+            }
+            for (int step = 0; step < 2; step++) {
+                for (int i = lo; i < hi; i++) {
+                    if (ps[i].inf) continue;
+                    const fp2 *l = (const fp2 *)(pre + ((long)i * lines + w) * 3 * sizeof(fp2));
+                    fp2_scalar_fp(&s0, &l[0], &ps[i].y);
+                    fp2_scalar_fp(&s1, &l[1], &ps[i].x);
+                    fp12_mul_by_034(&a, &s0, &s1, &l[2]);
+                }
+                w++;
+            }
+            partial[c] = a;
+        }
+        for (int c = 0; c < nchunks; c++) {
+            fp12 t;
+            fp12_mul(&t, &acc, &partial[c]);
+            acc = t;
+        }
+        free(partial);
+    }
+    free(ps);
+    fp12 r;
+    final_exp(&r, &acc);
+    fp12_to_bytes_(&r, out);
 }
 
 /* ---------------- final exponentiation ---------------- */
@@ -1309,6 +1467,33 @@ void bn254_g1_msm_rows(const uint8_t *pts, const uint8_t *scalars, int n,
             fp_from_bytes(&py[i], pb + 32);
         }
     }
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        fp *cpx = malloc((size_t)n * sizeof(fp));
+        fp *cpy = malloc((size_t)n * sizeof(fp));
+        uint8_t *csc = malloc((size_t)n * 32);
+#pragma omp for schedule(dynamic)
+        for (int r = 0; r < rows; r++) {
+            const uint8_t *sc = scalars + (long)r * n * 32;
+            int m = 0;
+            for (int i = 0; i < n; i++) {
+                if (inf[i]) continue;
+                int sz = 1;
+                for (int k = 0; k < 32; k++) if (sc[i * 32 + k]) { sz = 0; break; }
+                if (sz) continue;
+                cpx[m] = px[i];
+                cpy[m] = py[i];
+                memcpy(csc + (long)m * 32, sc + (long)i * 32, 32);
+                m++;
+            }
+            g1jac acc;
+            g1_msm_core(&acc, cpx, cpy, csc, m);
+            g1_jac_out(&acc, out + (long)r * 65);
+        }
+        free(cpx); free(cpy); free(csc);
+    }
+#else
     fp *cpx = malloc((size_t)n * sizeof(fp));
     fp *cpy = malloc((size_t)n * sizeof(fp));
     uint8_t *csc = malloc((size_t)n * 32);
@@ -1329,5 +1514,7 @@ void bn254_g1_msm_rows(const uint8_t *pts, const uint8_t *scalars, int n,
         g1_msm_core(&acc, cpx, cpy, csc, m);
         g1_jac_out(&acc, out + (long)r * 65);
     }
-    free(px); free(py); free(inf); free(cpx); free(cpy); free(csc);
+    free(cpx); free(cpy); free(csc);
+#endif
+    free(px); free(py); free(inf);
 }

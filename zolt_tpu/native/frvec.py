@@ -87,6 +87,20 @@ class FrVec:
         return cls(n, mont=buf)
 
     @classmethod
+    def from_u64_array(cls, arr) -> "FrVec":
+        """From a numpy uint64 array (zero-copy ingest via frv_from_u64)."""
+        import numpy as np
+
+        lib = _get_lib()
+        n = len(arr)
+        if lib is None:
+            return cls(n, ints=[int(v) for v in arr])
+        raw = np.ascontiguousarray(arr, dtype=np.uint64).tobytes()
+        out = bytearray(32 * n)
+        lib.frv_from_u64(raw, n, _buf(out))
+        return cls(n, mont=out)
+
+    @classmethod
     def zeros(cls, n: int) -> "FrVec":
         lib = _get_lib()
         if lib is None:

@@ -235,8 +235,15 @@ def row_commitments(srs: DorySRS, evals: list[int]) -> list:
 
 
 def commit(srs: DorySRS, evals: list[int]):
-    """GT commitment: Π_row e(rowMSM, g2_vec[row])."""
+    """GT commitment: Π_row e(rowMSM, g2_vec[row]). The G2 side is the fixed
+    SRS vector, so the multi-pairing runs on cached precomputed Miller lines
+    with a shared accumulator (one fp12 squaring chain for all rows)."""
+    from ..native import multi_pairing_fixed_native
+
     rows = row_commitments(srs, evals)
+    out = multi_pairing_fixed_native(rows, srs.g2_vec, len(rows))
+    if out is not None:
+        return out
     pairs = [(rc, srs.g2_vec[i]) for i, rc in enumerate(rows)
              if rc is not None and i < len(srs.g2_vec)]
     return multi_pairing(pairs)
@@ -369,8 +376,14 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
         g2_size = min(n2, cur_row)
         g1_size = min(n2, cur_col)
 
-        d1l = multi_pairing(list(zip(v1[:g2_size], srs.g2_vec[:g2_size])))
-        d1r = multi_pairing(list(zip(v1[n2 : n2 + g2_size], srs.g2_vec[:g2_size])))
+        from ..native import multi_pairing_fixed_native
+
+        d1l = multi_pairing_fixed_native(v1[:g2_size], srs.g2_vec, g2_size)
+        if d1l is None:
+            d1l = multi_pairing(list(zip(v1[:g2_size], srs.g2_vec[:g2_size])))
+        d1r = multi_pairing_fixed_native(v1[n2 : n2 + g2_size], srs.g2_vec, g2_size)
+        if d1r is None:
+            d1r = multi_pairing(list(zip(v1[n2 : n2 + g2_size], srs.g2_vec[:g2_size])))
         d2l = multi_pairing(list(zip(srs.g1_vec[:g1_size], v2[:g1_size])))
         d2r = multi_pairing(list(zip(srs.g1_vec[:g1_size], v2[n2 : n2 + g1_size])))
         e1b = g1_msm(srs.g1_vec[:cur_col], s2[:cur_col])
@@ -744,8 +757,13 @@ def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
         current_len = max(col_len, row_len)
         n2 = current_len // 2
         g2_size = min(n2, row_len)
-        d1_left = _multi_pair(v1[:g2_size], srs.g2_vec[:g2_size])
-        d1_right = _multi_pair(v1[n2 : min(n2 + g2_size, current_len)], srs.g2_vec[:g2_size])
+        from ..native import multi_pairing_fixed_native
+
+        d1_left = (multi_pairing_fixed_native(v1[:g2_size], srs.g2_vec, g2_size)
+                   or _multi_pair(v1[:g2_size], srs.g2_vec[:g2_size]))
+        _d1r_v1 = v1[n2 : min(n2 + g2_size, current_len)]
+        d1_right = (multi_pairing_fixed_native(_d1r_v1, srs.g2_vec, g2_size)
+                    or _multi_pair(_d1r_v1, srs.g2_vec[:g2_size]))
         g1_size = min(n2, col_len)
         d2_left = _multi_pair(srs.g1_vec[:g1_size], v2[:g1_size])
         d2_right = _multi_pair(srs.g1_vec[:g1_size], v2[n2 : min(n2 + g1_size, current_len)])

@@ -139,17 +139,19 @@ class Stage4RegistersProver:
         self.phase2_rounds = LOG_K
 
         # Per-register rows [K][T]; val holds the register value BEFORE the
-        # cycle executes; inc the rd write delta; ra accumulates γ·rs1 + γ²·rs2.
-        val = [[0] * T for _ in range(K)]
-        rd_wa = [[0] * T for _ in range(K)]
-        ra = [[0] * T for _ in range(K)]
-        rs1_ra = [[0] * T for _ in range(K)]
-        rs2_ra = [[0] * T for _ in range(K)]
+        # cycle executes (piecewise-constant between rd writes); inc the rd
+        # write delta; ra accumulates γ·rs1 + γ²·rs2 from the read one-hots.
+        import numpy as np
+
+        from ..native.frvec import FrVec
+
+        rs1_pos = [[] for _ in range(32)]
+        rs2_pos = [[] for _ in range(32)]
+        rd_pos = [[] for _ in range(32)]
+        write_events = [[] for _ in range(32)]  # (cycle, new_value) per k
         inc = [0] * T
         regs = [0] * 32
         for cycle, step in enumerate(steps):
-            for k in range(32):
-                val[k][cycle] = regs[k] % P
             if getattr(step, "is_noop", False):
                 continue
             instr = step.instruction
@@ -158,22 +160,39 @@ class Stage4RegistersProver:
             rs2 = (instr >> 20) & 0x1F
             opcode = instr & 0x7F
             if opcode in _READS_RS1:
-                rs1_ra[rs1][cycle] = 1
-                ra[rs1][cycle] = (ra[rs1][cycle] + self.gamma) % P
+                rs1_pos[rs1].append(cycle)
             if opcode in _READS_RS2:
-                rs2_ra[rs2][cycle] = 1
-                ra[rs2][cycle] = (ra[rs2][cycle] + self.gamma_sq) % P
+                rs2_pos[rs2].append(cycle)
             if opcode not in _NO_RD and rd != 0:
-                rd_wa[rd][cycle] = 1
+                rd_pos[rd].append(cycle)
                 inc[cycle] = (step.rd_value - regs[rd]) % P
+                write_events[rd].append((cycle, step.rd_value))
                 regs[rd] = step.rd_value
-        from ..native.frvec import FrVec
 
-        # rows k >= 32 are identically zero (only architectural registers are
-        # touched); they are represented by a shared zero row
-        to_rows = lambda rows: [FrVec.from_ints(rows[k]) for k in range(32)]
-        self.val, self.rd_wa, self.ra = to_rows(val), to_rows(rd_wa), to_rows(ra)
-        self.rs1_ra, self.rs2_ra = to_rows(rs1_ra), to_rows(rs2_ra)
+        self.val = []
+        self.rd_wa = []
+        self.ra = []
+        self.rs1_ra = []
+        self.rs2_ra = []
+        for k in range(32):
+            # val row: value BEFORE the cycle — a write at cycle c takes
+            # effect from cycle c+1 onward
+            v = np.zeros(T, dtype=np.uint64)
+            prev = 0
+            start = 0
+            for c, newv in write_events[k]:
+                v[start:c + 1] = prev
+                prev = newv
+                start = c + 1
+            v[start:] = prev
+            self.val.append(FrVec.from_u64_array(v))
+            r1 = FrVec.indicator(T, rs1_pos[k])
+            r2 = FrVec.indicator(T, rs2_pos[k])
+            self.rs1_ra.append(r1)
+            self.rs2_ra.append(r2)
+            self.rd_wa.append(FrVec.indicator(T, rd_pos[k]))
+            self.ra.append(FrVec.zeros(T).axpy_(r1, self.gamma)
+                           .axpy_(r2, self.gamma_sq))
         self.inc = FrVec.from_ints(inc)
         self._zero_row = FrVec.zeros(T)
 
