@@ -209,6 +209,51 @@ def bench_scaling(report, quick: bool) -> None:
                f"({n / sec / 1e6:>7.2f} M eval-pairs/s)")
 
 
+def _sum_loop_elf(iters: int) -> bytes:
+    from .vm import elf as elf_mod
+    from .vm.guest import Asm
+    from .vm.layout import MemoryConfig, MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=4096))
+    a = Asm()
+    a.addi(10, 0, 0)
+    a.addi(1, 0, 1)
+    a.lui(2, iters >> 12)
+    a.addi(2, 2, iters & 0xFFF)
+    a.label("loop")
+    a.add(10, 10, 1)
+    a.addi(1, 1, 1)
+    a.bge(2, 1, "loop")
+    a.halt(lay, provable=True)
+    return elf_mod.write_minimal_elf(a.bytes())
+
+
+def bench_e2e(report, quick: bool) -> None:
+    """End-to-end Jolt-format prove wall-clock vs trace length (the
+    framework's scaling axis, SURVEY §5.7), with peak memory. The guest is
+    a provable sum loop sized to fill the target power-of-two trace."""
+    import os
+    import resource
+    import tempfile
+
+    from .zkvm.pipeline import prove_jolt
+
+    report("End-to-end prove scaling (sum loop, Jolt format):")
+    configs = [(1770, 12), (5300, 14)] if quick else [(1770, 12), (5300, 14),
+                                                      (21800, 16)]
+    for iters, log_t in configs:
+        path = tempfile.mktemp(suffix=".elf")
+        with open(path, "wb") as f:
+            f.write(_sum_loop_elf(iters))
+        try:
+            sec = _time(lambda: prove_jolt(path), 1, warmup=0)
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            report(f"  T=2^{log_t:<2}  prove {sec:>7.2f} s   "
+                   f"({(1 << log_t) / sec:>8.0f} cycles/s, peak RSS {rss:.0f} MB)")
+        finally:
+            os.unlink(path)
+
+
 def bench_roofline(report, quick: bool) -> None:
     """Self-calibrated roofline: the mont_mul kernel's sustained MXU-matmul
     throughput as a fraction of the device's ACHIEVABLE peak for the same
@@ -313,6 +358,7 @@ SECTIONS = {
     "scaling": bench_scaling,
     "roofline": bench_roofline,
     "mesh": bench_mesh,
+    "e2e": bench_e2e,
 }
 
 
