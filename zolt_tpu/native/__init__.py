@@ -78,6 +78,10 @@ def _build_and_load():
                                  ctypes.c_int, ctypes.c_char_p]
     lib.bn254_g2_batch_mul.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                        ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g1_fold.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p]
+    lib.bn254_g2_fold.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p]
     lib.bn254_g2_precompute.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                         ctypes.c_char_p]
     lib.bn254_g2_precompute.restype = ctypes.c_int
@@ -295,6 +299,51 @@ def multi_pairing_fixed_native(g1_points, g2_vec, n: int):
     out = ctypes.create_string_buffer(384)
     lib.bn254_multi_pairing_pre(bytes(g1b), buf, bytes(mask), n, out)
     return _gt_from_coeff_bytes(out.raw)
+
+
+def _g1_pack(points) -> bytes:
+    out = bytearray(64 * len(points))
+    mv = memoryview(out)
+    for i, p in enumerate(points):
+        if p is None:
+            continue
+        mv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
+        mv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
+    return bytes(out)
+
+
+def g1_fold_native(xs, ys, s: int):
+    """[s·xs[i] + ys[i]] with one shared scalar, batch-normalized affine.
+    None entries are the identity. Returns None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field.params import FR
+
+    n = len(xs)
+    assert len(ys) == n
+    sb = (s % FR.p).to_bytes(32, "little")
+    out = bytearray(65 * n)
+    lib.bn254_g1_fold(_g1_pack(xs), _g1_pack(ys), sb, n,
+                      ctypes.cast((ctypes.c_char * len(out)).from_buffer(out),
+                                  ctypes.c_char_p))
+    return [_g1_from_out(bytes(out[i * 65:(i + 1) * 65])) for i in range(n)]
+
+
+def g2_fold_native(xs, ys, s: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..field.params import FR
+
+    n = len(xs)
+    assert len(ys) == n
+    sb = (s % FR.p).to_bytes(32, "little")
+    out = bytearray(129 * n)
+    lib.bn254_g2_fold(_g2_pack(xs), _g2_pack(ys), sb, n,
+                      ctypes.cast((ctypes.c_char * len(out)).from_buffer(out),
+                                  ctypes.c_char_p))
+    return [_g2_from_out(bytes(out[i * 129:(i + 1) * 129])) for i in range(n)]
 
 
 def g2_batch_mul_native(point, scalars):

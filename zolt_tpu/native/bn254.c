@@ -1198,23 +1198,176 @@ void bn254_init(const uint8_t *blob) {
  * out: 384 bytes — the multi-pairing WITH final exponentiation. */
 void bn254_multi_pairing(const uint8_t *g1s, const uint8_t *g2s,
                          const uint8_t *mask, int n, uint8_t *out) {
+    int nchunks = 1;
+#ifdef _OPENMP
+    nchunks = omp_get_max_threads();
+    if (nchunks > n) nchunks = n;
+    if (nchunks < 1) nchunks = 1;
+#endif
+    fp12 *partial = malloc((size_t)(nchunks > 0 ? nchunks : 1) * sizeof(fp12));
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(nchunks) schedule(static)
+#endif
+    for (int c = 0; c < nchunks; c++) {
+        int lo = (int)((long)n * c / nchunks);
+        int hi = (int)((long)n * (c + 1) / nchunks);
+        fp12 f;
+        fp12_one(&f);
+        for (int i = lo; i < hi; i++) {
+            if (mask && !mask[i]) continue;
+            g1aff p;
+            fp_from_bytes(&p.x, g1s + (long)i * 64);
+            fp_from_bytes(&p.y, g1s + (long)i * 64 + 32);
+            p.inf = 0;
+            g2aff q;
+            fp2_from_bytes(&q.x, g2s + (long)i * 128);
+            fp2_from_bytes(&q.y, g2s + (long)i * 128 + 64);
+            q.inf = 0;
+            miller_accum(&f, &p, &q);
+        }
+        partial[c] = f;
+    }
     fp12 f;
     fp12_one(&f);
-    for (int i = 0; i < n; i++) {
-        if (mask && !mask[i]) continue;
-        g1aff p;
-        fp_from_bytes(&p.x, g1s + i * 64);
-        fp_from_bytes(&p.y, g1s + i * 64 + 32);
-        p.inf = 0;
-        g2aff q;
-        fp2_from_bytes(&q.x, g2s + i * 128);
-        fp2_from_bytes(&q.y, g2s + i * 128 + 64);
-        q.inf = 0;
-        miller_accum(&f, &p, &q);
+    for (int c = 0; c < nchunks; c++) {
+        fp12 t;
+        fp12_mul(&t, &f, &partial[c]);
+        f = t;
     }
+    free(partial);
     fp12 r;
     final_exp(&r, &f);
     fp12_to_bytes_(&r, out);
+}
+
+/* ---- batch group folds: out[i] = s·x[i] + y[i] (shared scalar) ----
+ * The Dory reduce-and-fold rounds apply one challenge scalar across a whole
+ * vector of points; batching gives a single call per round, OpenMP across
+ * elements, and ONE Montgomery batch inversion for the affine outputs.
+ * Point buffers: n*64 (G1) / n*128 (G2) canonical affine, all-zero = inf.
+ * out: n*65 / n*129 flagged affine. */
+
+void bn254_g1_fold(const uint8_t *xs, const uint8_t *ys, const uint8_t *scalar,
+                   long n, uint8_t *out) {
+    g1jac *acc = malloc((size_t)n * sizeof(g1jac));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const uint8_t *xb = xs + i * 64;
+        const uint8_t *yb = ys + i * 64;
+        int xz = 1, yz = 1;
+        for (int k = 0; k < 64; k++) if (xb[k]) { xz = 0; break; }
+        for (int k = 0; k < 64; k++) if (yb[k]) { yz = 0; break; }
+        g1jac t;
+        memset(&t, 0, sizeof t);
+        if (!xz) {
+            fp px, py;
+            fp_from_bytes(&px, xb);
+            fp_from_bytes(&py, xb + 32);
+            g1_scalar_mul(&t, &px, &py, scalar);
+        }
+        if (!yz) {
+            fp yx, yy;
+            fp_from_bytes(&yx, yb);
+            fp_from_bytes(&yy, yb + 32);
+            g1jac t2;
+            g1_add_affine(&t2, &t, &yx, &yy);
+            t = t2;
+        }
+        acc[i] = t;
+    }
+    /* batch affine normalization: one inversion for all nonzero z */
+    fp *zs = malloc((size_t)n * sizeof(fp));
+    fp *pref = malloc((size_t)(n + 1) * sizeof(fp));
+    pref[0] = FP_ONE_;
+    for (long i = 0; i < n; i++) {
+        zs[i] = fp_is_zero(&acc[i].z) ? FP_ONE_ : acc[i].z;
+        fp_mul(&pref[i + 1], &pref[i], &zs[i]);
+    }
+    fp inv_all;
+    fp_inv(&inv_all, &pref[n]);
+    for (long i = n - 1; i >= 0; i--) {
+        fp zinv, t;
+        fp_mul(&zinv, &inv_all, &pref[i]);     /* 1/z_i */
+        fp_mul(&t, &inv_all, &zs[i]);
+        inv_all = t;
+        uint8_t *o = out + i * 65;
+        if (fp_is_zero(&acc[i].z)) { memset(o, 0, 65); continue; }
+        fp zi2, zi3, ax, ay;
+        fp_sqr(&zi2, &zinv);
+        fp_mul(&zi3, &zi2, &zinv);
+        fp_mul(&ax, &acc[i].x, &zi2);
+        fp_mul(&ay, &acc[i].y, &zi3);
+        o[0] = 1;
+        fp_to_bytes(&ax, o + 1);
+        fp_to_bytes(&ay, o + 33);
+    }
+    free(acc); free(zs); free(pref);
+}
+
+void bn254_g2_fold(const uint8_t *xs, const uint8_t *ys, const uint8_t *scalar,
+                   long n, uint8_t *out) {
+    g2jac *acc = malloc((size_t)n * sizeof(g2jac));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const uint8_t *xb = xs + i * 128;
+        const uint8_t *yb = ys + i * 128;
+        int xz = 1, yz = 1;
+        for (int k = 0; k < 128; k++) if (xb[k]) { xz = 0; break; }
+        for (int k = 0; k < 128; k++) if (yb[k]) { yz = 0; break; }
+        g2jac t;
+        memset(&t, 0, sizeof t);
+        if (!xz) {
+            fp2 px, py;
+            fp2_from_bytes(&px, xb);
+            fp2_from_bytes(&py, xb + 64);
+            g2_scalar_mul(&t, &px, &py, scalar);
+        }
+        if (!yz) {
+            fp2 yx, yy;
+            fp2_from_bytes(&yx, yb);
+            fp2_from_bytes(&yy, yb + 64);
+            g2jac t2;
+            g2_add_affine(&t2, &t, &yx, &yy);
+            t = t2;
+        }
+        acc[i] = t;
+    }
+    fp2 *zs = malloc((size_t)n * sizeof(fp2));
+    fp2 *pref = malloc((size_t)(n + 1) * sizeof(fp2));
+    memset(&pref[0], 0, sizeof(fp2));
+    pref[0].c0 = FP_ONE_;
+    for (long i = 0; i < n; i++) {
+        if (fp2_is_zero(&acc[i].z)) {
+            memset(&zs[i], 0, sizeof(fp2));
+            zs[i].c0 = FP_ONE_;
+        } else {
+            zs[i] = acc[i].z;
+        }
+        fp2_mul(&pref[i + 1], &pref[i], &zs[i]);
+    }
+    fp2 inv_all;
+    fp2_inv(&inv_all, &pref[n]);
+    for (long i = n - 1; i >= 0; i--) {
+        fp2 zinv, t;
+        fp2_mul(&zinv, &inv_all, &pref[i]);
+        fp2_mul(&t, &inv_all, &zs[i]);
+        inv_all = t;
+        uint8_t *o = out + i * 129;
+        if (fp2_is_zero(&acc[i].z)) { memset(o, 0, 129); continue; }
+        fp2 zi2, zi3, ax, ay;
+        fp2_sqr(&zi2, &zinv);
+        fp2_mul(&zi3, &zi2, &zinv);
+        fp2_mul(&ax, &acc[i].x, &zi2);
+        fp2_mul(&ay, &acc[i].y, &zi3);
+        o[0] = 1;
+        fp2_to_bytes(&ax, o + 1);
+        fp2_to_bytes(&ay, o + 65);
+    }
+    free(acc); free(zs); free(pref);
 }
 
 /* out = f^e where e is 32 bytes LE. 384-byte GT in/out. */

@@ -400,10 +400,20 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
         beta = transcript.challenge_scalar()
         beta_inv = pow(beta, -1, P) if beta else 1
 
-        for i in range(cur_col):
-            v1[i] = _g1_scale_add(v1[i], srs.g1_vec[i], beta)
-        for i in range(cur_row):
-            v2[i] = G2.add(v2[i], G2.scalar_mul(srs.g2_vec[i], beta_inv))
+        from ..native import g1_fold_native, g2_fold_native
+
+        _f1 = g1_fold_native(srs.g1_vec[:cur_col], v1[:cur_col], beta)
+        if _f1 is not None:
+            v1[:cur_col] = _f1
+        else:
+            for i in range(cur_col):
+                v1[i] = _g1_scale_add(v1[i], srs.g1_vec[i], beta)
+        _f2 = g2_fold_native(srs.g2_vec[:cur_row], v2[:cur_row], beta_inv)
+        if _f2 is not None:
+            v2[:cur_row] = _f2
+        else:
+            for i in range(cur_row):
+                v2[i] = G2.add(v2[i], G2.scalar_mul(srs.g2_vec[i], beta_inv))
 
         v1h = min(n2, cur_col)
         v2h = min(n2, cur_row)
@@ -425,10 +435,18 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
         alpha = transcript.challenge_scalar()
         alpha_inv = pow(alpha, -1, P) if alpha else 1
 
-        for i in range(v1h):
-            v1[i] = G1.add(G1.scalar_mul(v1[i], alpha), v1[i + n2])
-        for i in range(v2h):
-            v2[i] = G2.add(G2.scalar_mul(v2[i], alpha_inv), v2[i + n2])
+        _f1 = g1_fold_native(v1[:v1h], v1[n2:n2 + v1h], alpha)
+        if _f1 is not None:
+            v1[:v1h] = _f1
+        else:
+            for i in range(v1h):
+                v1[i] = G1.add(G1.scalar_mul(v1[i], alpha), v1[i + n2])
+        _f2 = g2_fold_native(v2[:v2h], v2[n2:n2 + v2h], alpha_inv)
+        if _f2 is not None:
+            v2[:v2h] = _f2
+        else:
+            for i in range(v2h):
+                v2[i] = G2.add(G2.scalar_mul(v2[i], alpha_inv), v2[i + n2])
         for i in range(v2h):
             s1[i] = (alpha * s1[i] + s1[i + n2]) % P
         for i in range(v1h):
@@ -773,12 +791,22 @@ def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
 
         beta = (rnd + 1) % P
         beta_inv = pow(beta, -1, P)
-        for i in range(col_len):
-            v1[i] = G1.add(v1[i], G1.scalar_mul(srs.g1_vec[i], beta)) if v1[i] is not None \
-                else G1.scalar_mul(srs.g1_vec[i], beta)
-        for i in range(row_len):
-            t = G2.scalar_mul(srs.g2_vec[i], beta_inv)
-            v2[i] = G2.add(v2[i], t) if v2[i] is not None else t
+        from ..native import g1_fold_native, g2_fold_native
+
+        _f1 = g1_fold_native(srs.g1_vec[:col_len], v1[:col_len], beta)
+        if _f1 is not None:
+            v1[:col_len] = _f1
+        else:
+            for i in range(col_len):
+                v1[i] = G1.add(v1[i], G1.scalar_mul(srs.g1_vec[i], beta)) if v1[i] is not None \
+                    else G1.scalar_mul(srs.g1_vec[i], beta)
+        _f2 = g2_fold_native(srs.g2_vec[:row_len], v2[:row_len], beta_inv)
+        if _f2 is not None:
+            v2[:row_len] = _f2
+        else:
+            for i in range(row_len):
+                t = G2.scalar_mul(srs.g2_vec[i], beta_inv)
+                v2[i] = G2.add(v2[i], t) if v2[i] is not None else t
 
         v1_half = min(n2, col_len)
         v2_half = min(n2, row_len)
@@ -792,16 +820,24 @@ def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
 
         alpha = (rnd + 100) % P
         alpha_inv = pow(alpha, -1, P)
-        for i in range(v1_half):
-            left = G1.scalar_mul(v1[i], alpha) if v1[i] is not None else None
-            right = v1[i + n2]
-            v1[i] = G1.add(left, right) if left is not None and right is not None \
-                else (left if left is not None else right)
-        for i in range(v2_half):
-            left = G2.scalar_mul(v2[i], alpha_inv) if v2[i] is not None else None
-            right = v2[i + n2]
-            v2[i] = G2.add(left, right) if left is not None and right is not None \
-                else (left if left is not None else right)
+        _f1 = g1_fold_native(v1[:v1_half], v1[n2:n2 + v1_half], alpha)
+        if _f1 is not None:
+            v1[:v1_half] = _f1
+        else:
+            for i in range(v1_half):
+                left = G1.scalar_mul(v1[i], alpha) if v1[i] is not None else None
+                right = v1[i + n2]
+                v1[i] = G1.add(left, right) if left is not None and right is not None \
+                    else (left if left is not None else right)
+        _f2 = g2_fold_native(v2[:v2_half], v2[n2:n2 + v2_half], alpha_inv)
+        if _f2 is not None:
+            v2[:v2_half] = _f2
+        else:
+            for i in range(v2_half):
+                left = G2.scalar_mul(v2[i], alpha_inv) if v2[i] is not None else None
+                right = v2[i + n2]
+                v2[i] = G2.add(left, right) if left is not None and right is not None \
+                    else (left if left is not None else right)
         for i in range(v2_half):
             s1[i] = (alpha * s1[i] + s1[i + n2]) % P
         for i in range(v1_half):

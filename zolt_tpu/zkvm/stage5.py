@@ -22,7 +22,7 @@ from dataclasses import dataclass, field as dfield
 from ..field.params import FR
 from ..poly import unipoly
 from .stage2_batch import _lagrange_eval_0123, eval_from_hint
-from .stage4 import LOG_K, _eq_le, _lt_le
+from .stage4 import LOG_K, _eq_le, _lt_le, _lt_table_le
 
 P = FR.p
 
@@ -85,21 +85,16 @@ def prove_stage5(transcript, padded_steps, s4_res,
             wa[j] = _eq_le(r_k_le, rd)
             inc[j] = (step.rd_value - regs[rd]) % P
             regs[rd] = step.rd_value
-    lt = [_lt_le(r_cycle_le, j) for j in range(T)]
+    from ..native.frvec import FrVec
+
+    wa = FrVec.from_ints(wa)
+    inc = FrVec.from_ints(inc)
+    lt = FrVec.from_ints(_lt_table_le(r_cycle_le, n_cycle_vars)[:T])
 
     claim = s4_res.regs_claims["val"] % P
     for rnd in range(n_cycle_vars):
-        half = (T >> rnd) // 2
-        ev = [0, 0, 0, 0]
-        for i in range(half):
-            w0, w1 = wa[2 * i], wa[2 * i + 1]
-            i0, i1 = inc[2 * i], inc[2 * i + 1]
-            l0, l1 = lt[2 * i], lt[2 * i + 1]
-            ev[0] = (ev[0] + w0 * i0 % P * l0) % P
-            dw, di, dl = w1 - w0, i1 - i0, l1 - l0
-            ev[2] = (ev[2] + (w0 + 2 * dw) * (i0 + 2 * di) % P * (l0 + 2 * dl)) % P
-            ev[3] = (ev[3] + (w0 + 3 * dw) * (i0 + 3 * di) % P * (l0 + 3 * dl)) % P
-        ev[1] = (claim - ev[0]) % P
+        p = FrVec.prod_evals_adj([wa, inc, lt], 3)
+        ev = [p[0], (claim - p[0]) % P, p[2], p[3]]
 
         compressed = unipoly.evals_to_compressed(ev)
         res.compressed_polys.append(compressed)
@@ -110,12 +105,13 @@ def prove_stage5(transcript, padded_steps, s4_res,
         r = transcript.challenge_scalar()
         res.challenges.append(r)
         claim = eval_from_hint(compressed, claim, r)
-        for arr in (wa, inc, lt):
-            for i in range(half):
-                arr[i] = (arr[2 * i] + r * (arr[2 * i + 1] - arr[2 * i])) % P
+        wa = wa.fold_adj(r)
+        inc = inc.fold_adj(r)
+        lt = lt.fold_adj(r)
 
     res.final_claim = claim
-    res.wa_claim, res.inc_claim, res.lt_claim = wa[0], inc[0], lt[0]
+    res.wa_claim, res.inc_claim = wa.first(), inc.first()
+    res.lt_claim = lt.first()
     transcript.append_scalar(res.wa_claim)
     transcript.append_scalar(res.inc_claim)
     return res

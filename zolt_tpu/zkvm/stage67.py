@@ -135,45 +135,44 @@ def prove_stage6(transcript, padded_steps, s2_challenges, tau,
     res.alphas = [transcript.challenge_scalar_full() for _ in range(3)]
     a0, a1, a2 = res.alphas
 
-    eq_rwc = [_eq_le_bits(rc_rwc, j) for j in range(T)]
-    eq_raf = [_eq_le_bits(rc_raf, j) for j in range(T)]
-    eq_hb = [_eq_le_bits(res.r_hb, j) for j in range(T)]
-    oh_rwc = [[0] * T for _ in range(ram_d)]
-    oh_raf = [[0] * T for _ in range(ram_d)]
-    hw = [0] * T
+    from ..native.frvec import FrVec
+
+    # 4-bit chunk one-hots take only 2^LOG_K_CHUNK distinct eq values each
+    lut_rwc = [[_eq_le_bits(chunk_rwc[d], v) for v in range(1 << LOG_K_CHUNK)]
+               for d in range(ram_d)]
+    lut_raf = [[_eq_le_bits(chunk_raf[d], v) for v in range(1 << LOG_K_CHUNK)]
+               for d in range(ram_d)]
+    oh_rwc_l = [[0] * T for _ in range(ram_d)]
+    oh_raf_l = [[0] * T for _ in range(ram_d)]
+    hw_pos = []
     mask = (1 << LOG_K_CHUNK) - 1
     for j, k in enumerate(slots):
         if k is None:
             continue
-        hw[j] = 1
+        hw_pos.append(j)
         for d, sh in enumerate(shifts):
             kd = (k >> sh) & mask
-            oh_rwc[d][j] = _eq_le_bits(chunk_rwc[d], kd)
-            oh_raf[d][j] = _eq_le_bits(chunk_raf[d], kd)
+            oh_rwc_l[d][j] = lut_rwc[d][kd]
+            oh_raf_l[d][j] = lut_raf[d][kd]
+
+    eq_rwc = FrVec.eq_table_be(list(reversed([c % P for c in rc_rwc])))
+    eq_raf = FrVec.eq_table_be(list(reversed([c % P for c in rc_raf])))
+    eq_hb = FrVec.eq_table_be(list(reversed([c % P for c in res.r_hb])))
+    oh_rwc = [FrVec.from_ints(t) for t in oh_rwc_l]
+    oh_raf = [FrVec.from_ints(t) for t in oh_raf_l]
+    hw = FrVec.indicator(T, hw_pos)
 
     deg = ram_d + 1          # eq · Π_d oh
     claim = (a0 * rwc_ra_claim + a1 * raf_ra_claim) % P
-    tables = [eq_rwc, eq_raf, eq_hb, hw] + oh_rwc + oh_raf
 
     for _ in range(n_cycle_vars):
-        half = len(eq_rwc) // 2
-        evs = [0] * (deg + 1)
-        for i in range(half):
-            lo = [t[2 * i] for t in tables]
-            dl = [t[2 * i + 1] - t[2 * i] for t in tables]
-            for t in range(deg + 1):
-                v = [(l + t * d) % P for l, d in zip(lo, dl)]
-                e_rwc, e_raf, e_hb, v_hw = v[0], v[1], v[2], v[3]
-                v_rwc = v[4:4 + ram_d]
-                v_raf = v[4 + ram_d:]
-                p_rwc = e_rwc
-                for x in v_rwc:
-                    p_rwc = p_rwc * x % P
-                p_raf = e_raf
-                for x in v_raf:
-                    p_raf = p_raf * x % P
-                p_hb = e_hb * v_hw % P * ((1 - v_hw) % P) % P
-                evs[t] = (evs[t] + a0 * p_rwc + a1 * p_raf + a2 * p_hb) % P
+        n = eq_rwc.n
+        p_rwc = FrVec.prod_evals_adj([eq_rwc] + oh_rwc, deg)
+        p_raf = FrVec.prod_evals_adj([eq_raf] + oh_raf, deg)
+        omh = FrVec.filled(n, 1).sub(hw)
+        p_hb = FrVec.prod_evals_adj([eq_hb, hw, omh], deg)
+        evs = [(a0 * p_rwc[t] + a1 * p_raf[t] + a2 * p_hb[t]) % P
+               for t in range(deg + 1)]
 
         compressed = unipoly.compress(unipoly.interpolate(evs))
         res.compressed_polys.append(compressed)
@@ -184,15 +183,17 @@ def prove_stage6(transcript, padded_steps, s2_challenges, tau,
         r = transcript.challenge_scalar()
         res.challenges.append(r)
         claim = eval_from_hint_any(compressed, claim, r)
-        for t in tables:
-            for i in range(half):
-                t[i] = (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % P
-            del t[half:]
+        eq_rwc = eq_rwc.fold_adj(r)
+        eq_raf = eq_raf.fold_adj(r)
+        eq_hb = eq_hb.fold_adj(r)
+        hw = hw.fold_adj(r)
+        oh_rwc = [t.fold_adj(r) for t in oh_rwc]
+        oh_raf = [t.fold_adj(r) for t in oh_raf]
 
     res.final_claim = claim
-    res.oh_rwc_claims = [oh_rwc[d][0] for d in range(ram_d)]
-    res.oh_raf_claims = [oh_raf[d][0] for d in range(ram_d)]
-    res.hw_claim = hw[0]
+    res.oh_rwc_claims = [oh_rwc[d].first() for d in range(ram_d)]
+    res.oh_raf_claims = [oh_raf[d].first() for d in range(ram_d)]
+    res.hw_claim = hw.first()
     for v in res.oh_rwc_claims + res.oh_raf_claims + [res.hw_claim]:
         transcript.append_scalar(v)
     return res
