@@ -127,3 +127,33 @@ def test_dory_algebraic_verify_rejects_tampered_message():
     proof.second[0].c_plus = tw.fp12_mul(proof.second[0].c_plus, proof.second[0].c_minus)
     tv = Blake2bTranscript(b"dory")
     assert not dory.verify_with_transcript(srs, c, point, y, proof, tv)
+
+
+def test_rectangular_claim_via_square_embedding():
+    """Odd num_vars (rectangular σ=ν+1 layout): zero row-padding preserves
+    the GT commitment, and the embedded square claim verifies ALGEBRAICALLY
+    (dory.square_embedding_point)."""
+    n = 5
+    evals = rand_ints(1 << n)
+    point = rand_ints(n)
+    srs_rect = dory.setup(n)
+    srs_sq = dory.setup(n + 1)
+    assert srs_rect.sigma == 3 and srs_rect.nu == 2
+    c_rect = dory.commit(srs_rect, evals)
+    padded = evals + [0] * ((1 << (n + 1)) - len(evals))
+    c_sq = dory.commit(srs_sq, padded)
+    assert c_rect == c_sq, "zero row-padding must preserve the commitment"
+
+    point6 = dory.square_embedding_point(point)
+    v = _mle_eval_via_matrix(padded, point6, srs_sq)
+    # the embedded value equals the rectangular one (extra row MSBs = 0)
+    assert v == _mle_eval_via_matrix(evals, point, srs_rect)
+
+    tp = Blake2bTranscript(b"dory")
+    proof = dory.open_with_transcript(srs_sq, padded, point6, tp)
+    tv = Blake2bTranscript(b"dory")
+    assert dory.verify_with_transcript(srs_sq, c_sq, point6, v, proof, tv)
+    # tampering still rejected
+    tv2 = Blake2bTranscript(b"dory")
+    assert not dory.verify_with_transcript(srs_sq, c_sq, point6,
+                                           (v + 1) % P, proof, tv2)

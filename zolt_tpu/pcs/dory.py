@@ -253,6 +253,29 @@ def commitment_bytes(gt) -> bytes:
     return tw.fp12_to_bytes(gt)
 
 
+def square_embedding_point(point: list[int]) -> list[int]:
+    """Canonical square embedding of an odd-num_vars (rectangular, σ = ν+1)
+    Dory claim: padding the 2^σ × 2^ν matrix with zero ROWS to 2^σ × 2^σ
+    leaves the GT commitment unchanged (zero rows contribute identity
+    pairing factors) and the padded polynomial evaluates to the original
+    value when the new row variables are fixed to 0 — `_split_point` binds
+    rows with point[σ:], so the extra zeros are appended there. Opening and
+    REAL algebraic verification (`verify_with_transcript`) then run on the
+    square layout.
+
+    The reference's own rectangular joint-opening artifacts remain outside
+    algebraic verification for a different reason: `open_fixed` (which they
+    use, dory.zig:1404 non-transcript path) derives its challenges
+    deterministically rather than by Fiat-Shamir, so no verifier could
+    soundly accept them; they are checked structurally (`verify_structure`,
+    matching the reference's own placeholder verify, dory.zig:1381-1396)."""
+    n = len(point)
+    if n % 2 == 0:
+        return list(point)
+    sigma = (n + 1) // 2
+    return list(point[:sigma]) + [0] * (sigma - (n - sigma)) + list(point[sigma:])
+
+
 # ---------------------------------------------------------------------------
 # Open (reduce-and-fold with transcript)
 # ---------------------------------------------------------------------------
