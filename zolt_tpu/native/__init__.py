@@ -107,6 +107,7 @@ def _build_and_load():
     lib.frv_vec_sub.argtypes = [C, C, L, C]
     lib.frv_vec_mul.argtypes = [C, C, L, C]
     lib.frv_axpy.argtypes = [C, C, C, L]
+    lib.frv_lincomb.argtypes = [PP, C, I, L, C]
     lib.frv_scale.argtypes = [C, C, L, C]
     lib.frv_inner.argtypes = [C, C, L, C]
     lib.frv_sum.argtypes = [C, L, C]

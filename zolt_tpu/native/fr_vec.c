@@ -17,6 +17,10 @@
 #include <stdint.h>
 #include <string.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 typedef uint64_t u64;
 typedef unsigned __int128 u128;
 
@@ -187,6 +191,9 @@ void frv_fold_adj(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *out
     fr_load(&r, r_mont);
     const fr *a = (const fr *)in;
     fr *o = (fr *)out;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 4096)
+#endif
     for (long i = 0; i < n / 2; i++) {
         fr d, m;
         fr_sub(&d, &a[2 * i + 1], &a[2 * i]);
@@ -202,6 +209,9 @@ void frv_fold_half(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *ou
     const fr *a = (const fr *)in;
     fr *o = (fr *)out;
     long h = n / 2;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (h > 2048)
+#endif
     for (long i = 0; i < h; i++) {
         fr d, m;
         fr_sub(&d, &a[i + h], &a[i]);
@@ -223,6 +233,29 @@ void frv_quad_sums_half(const uint8_t *fbuf, const uint8_t *ebuf, long n,
     const fr *e = (const fr *)ebuf;
     long h = n / 2;
     fr a0 = {{0, 0, 0, 0}}, a2 = {{0, 0, 0, 0}};
+#ifdef _OPENMP
+#pragma omp parallel if (h > 2048)
+    {
+        fr l0 = {{0}}, l2 = {{0}};
+#pragma omp for schedule(static) nowait
+        for (long j = 0; j < h; j++) {
+            fr t, f2, e2;
+            fr_mul(&t, &e[j], &f[j]);
+            fr_add(&l0, &l0, &t);
+            fr_add(&f2, &f[j + h], &f[j + h]);
+            fr_sub(&f2, &f2, &f[j]);
+            fr_add(&e2, &e[j + h], &e[j + h]);
+            fr_sub(&e2, &e2, &e[j]);
+            fr_mul(&t, &f2, &e2);
+            fr_add(&l2, &l2, &t);
+        }
+#pragma omp critical
+        {
+            fr_add(&a0, &a0, &l0);
+            fr_add(&a2, &a2, &l2);
+        }
+    }
+#else
     for (long j = 0; j < h; j++) {
         fr t, f2, e2;
         fr_mul(&t, &e[j], &f[j]);
@@ -234,6 +267,7 @@ void frv_quad_sums_half(const uint8_t *fbuf, const uint8_t *ebuf, long n,
         fr_mul(&t, &f2, &e2);
         fr_add(&a2, &a2, &t);
     }
+#endif
     fr_store(&a0, out);
     fr_store(&a2, out + 32);
 }
@@ -248,6 +282,29 @@ void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
     for (int c = 0; c < k; c++) tp[c] = (const fr *)tabs[c];
     fr acc[9];
     for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
+#ifdef _OPENMP
+#pragma omp parallel if (n > 4096)
+    {
+        fr lacc[9];
+        for (int t = 0; t <= degree; t++) memset(&lacc[t], 0, sizeof(fr));
+#pragma omp for schedule(static) nowait
+        for (long i = 0; i < n / 2; i++) {
+            fr val[8], d[8];
+            for (int c = 0; c < k; c++) {
+                val[c] = tp[c][2 * i];
+                fr_sub(&d[c], &tp[c][2 * i + 1], &val[c]);
+            }
+            for (int t = 0; t <= degree; t++) {
+                fr prod = val[0];
+                for (int c = 1; c < k; c++) fr_mul(&prod, &prod, &val[c]);
+                fr_add(&lacc[t], &lacc[t], &prod);
+                for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
+            }
+        }
+#pragma omp critical
+        for (int t = 0; t <= degree; t++) fr_add(&acc[t], &acc[t], &lacc[t]);
+    }
+#else
     for (long i = 0; i < n / 2; i++) {
         fr val[8], d[8];
         for (int c = 0; c < k; c++) {
@@ -261,6 +318,7 @@ void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
             for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
         }
     }
+#endif
     for (int t = 0; t <= degree; t++) fr_store(&acc[t], out + (long)t * 32);
 }
 
@@ -272,6 +330,29 @@ void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
     long h = n / 2;
     fr acc[9];
     for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
+#ifdef _OPENMP
+#pragma omp parallel if (h > 2048)
+    {
+        fr lacc[9];
+        for (int t = 0; t <= degree; t++) memset(&lacc[t], 0, sizeof(fr));
+#pragma omp for schedule(static) nowait
+        for (long i = 0; i < h; i++) {
+            fr val[8], d[8];
+            for (int c = 0; c < k; c++) {
+                val[c] = tp[c][i];
+                fr_sub(&d[c], &tp[c][i + h], &val[c]);
+            }
+            for (int t = 0; t <= degree; t++) {
+                fr prod = val[0];
+                for (int c = 1; c < k; c++) fr_mul(&prod, &prod, &val[c]);
+                fr_add(&lacc[t], &lacc[t], &prod);
+                for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
+            }
+        }
+#pragma omp critical
+        for (int t = 0; t <= degree; t++) fr_add(&acc[t], &acc[t], &lacc[t]);
+    }
+#else
     for (long i = 0; i < h; i++) {
         fr val[8], d[8];
         for (int c = 0; c < k; c++) {
@@ -285,6 +366,7 @@ void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
             for (int c = 0; c < k; c++) fr_add(&val[c], &val[c], &d[c]);
         }
     }
+#endif
     for (int t = 0; t <= degree; t++) fr_store(&acc[t], out + (long)t * 32);
 }
 
@@ -328,6 +410,42 @@ void frv_gruen_quad(const uint8_t *e_out, long n_out, const uint8_t *e_in,
     const fr *l = (const fr *)left;
     const fr *r = (const fr *)right;
     fr t0 = {{0}}, tinf = {{0}};
+#ifdef _OPENMP
+#pragma omp parallel if (n_out * n_in > 4096)
+    {
+        fr l0 = {{0}}, lI = {{0}};
+#pragma omp for schedule(static) nowait
+        for (long xo = 0; xo < n_out; xo++) {
+            fr inner0 = {{0}}, innerI = {{0}};
+            for (long xi = 0; xi < n_in; xi++) {
+                long g = (xo << head_in) | xi;
+                if (g >= num_groups) continue;
+                fr p0, dl, dr, pI;
+                fr_mul(&p0, &l[2 * g], &r[2 * g]);
+                fr_mul(&p0, &p0, &ei[xi]);
+                fr_add(&inner0, &inner0, &p0);
+                fr_sub(&dl, &l[2 * g + 1], &l[2 * g]);
+                fr_sub(&dr, &r[2 * g + 1], &r[2 * g]);
+                fr_mul(&pI, &dl, &dr);
+                fr_mul(&pI, &pI, &ei[xi]);
+                fr_add(&innerI, &innerI, &pI);
+            }
+            fr t;
+            fr_mul(&t, &inner0, &eo[xo]);
+            fr_add(&l0, &l0, &t);
+            fr_mul(&t, &innerI, &eo[xo]);
+            fr_add(&lI, &lI, &t);
+        }
+#pragma omp critical
+        {
+            fr_add(&t0, &t0, &l0);
+            fr_add(&tinf, &tinf, &lI);
+        }
+    }
+    fr_store(&t0, out);
+    fr_store(&tinf, out + 32);
+    return;
+#endif
     for (long xo = 0; xo < n_out; xo++) {
         fr inner0 = {{0}}, innerI = {{0}};
         for (long xi = 0; xi < n_in; xi++) {
@@ -365,6 +483,46 @@ void frv_bool_round(const uint8_t *eq_b, const uint8_t *eq_hw,
     fr A[4], B[4];
     memset(A, 0, sizeof A);
     memset(B, 0, sizeof B);
+#ifdef _OPENMP
+#pragma omp parallel if (n > 4096)
+    {
+        fr LA[4], LB[4];
+        memset(LA, 0, sizeof LA);
+        memset(LB, 0, sizeof LB);
+#pragma omp for schedule(static) nowait
+        for (long i = 0; i < n / 2; i++) {
+            fr ebv = eb[2 * i], ehv = eh[2 * i], xv = x[2 * i];
+            fr ebd, ehd, xd;
+            fr_sub(&ebd, &eb[2 * i + 1], &ebv);
+            fr_sub(&ehd, &eh[2 * i + 1], &ehv);
+            fr_sub(&xd, &x[2 * i + 1], &xv);
+            for (int t = 0; t < 4; t++) {
+                fr omx, tacc, tacc2;
+                fr_sub(&omx, &FR_ONE_M, &xv);
+                fr_mul(&tacc, &ebv, &xv);
+                fr_mul(&tacc, &tacc, &omx);
+                fr_add(&LA[t], &LA[t], &tacc);
+                fr_mul(&tacc2, &ehv, &xv);
+                fr_add(&LB[t], &LB[t], &tacc2);
+                if (t < 3) {
+                    fr_add(&ebv, &ebv, &ebd);
+                    fr_add(&ehv, &ehv, &ehd);
+                    fr_add(&xv, &xv, &xd);
+                }
+            }
+        }
+#pragma omp critical
+        for (int t = 0; t < 4; t++) {
+            fr_add(&A[t], &A[t], &LA[t]);
+            fr_add(&B[t], &B[t], &LB[t]);
+        }
+    }
+    for (int t = 0; t < 4; t++) {
+        fr_store(&A[t], out + t * 32);
+        fr_store(&B[t], out + (4 + t) * 32);
+    }
+    return;
+#endif
     for (long i = 0; i < n / 2; i++) {
         fr ebv = eb[2 * i], ehv = eh[2 * i], xv = x[2 * i];
         fr ebd, ehd, xd;
@@ -410,6 +568,53 @@ void frv_s4_phase1(const uint8_t *e_out, const uint8_t *e_in, int head_in,
     const fr *incv = (const fr *)inc;
     long mask = (1L << head_in) - 1;
     fr q0 = {{0}}, qX2 = {{0}};
+#ifdef _OPENMP
+#pragma omp parallel if (T > 2048)
+    {
+        fr lq0 = {{0}}, lqX2 = {{0}};
+#pragma omp for schedule(static) nowait
+        for (long i = 0; i < T / 2; i++) {
+            fr E;
+            fr_mul(&E, &eo[i >> head_in], &ei[i & mask]);
+            fr inc0 = incv[2 * i], incs;
+            fr_sub(&incs, &incv[2 * i + 1], &inc0);
+            fr c0 = {{0}}, cX2 = {{0}};
+            for (int k = 0; k < K; k++) {
+                const fr *ra = (const fr *)ra_rows[k];
+                const fr *wa = (const fr *)wa_rows[k];
+                const fr *v = (const fr *)val_rows[k];
+                fr ra_e = ra[2 * i], wa_e = wa[2 * i], v_e = v[2 * i];
+                fr ra_s, wa_s, v_s, t, t2;
+                fr_sub(&ra_s, &ra[2 * i + 1], &ra_e);
+                fr_sub(&wa_s, &wa[2 * i + 1], &wa_e);
+                fr_sub(&v_s, &v[2 * i + 1], &v_e);
+                fr_mul(&t, &ra_e, &v_e);
+                fr_add(&c0, &c0, &t);
+                fr_add(&t2, &v_e, &inc0);
+                fr_mul(&t, &wa_e, &t2);
+                fr_add(&c0, &c0, &t);
+                fr_mul(&t, &ra_s, &v_s);
+                fr_add(&cX2, &cX2, &t);
+                fr_add(&t2, &v_s, &incs);
+                fr_mul(&t, &wa_s, &t2);
+                fr_add(&cX2, &cX2, &t);
+            }
+            fr t;
+            fr_mul(&t, &E, &c0);
+            fr_add(&lq0, &lq0, &t);
+            fr_mul(&t, &E, &cX2);
+            fr_add(&lqX2, &lqX2, &t);
+        }
+#pragma omp critical
+        {
+            fr_add(&q0, &q0, &lq0);
+            fr_add(&qX2, &qX2, &lqX2);
+        }
+    }
+    fr_store(&q0, out2);
+    fr_store(&qX2, out2 + 32);
+    return;
+#endif
     for (long i = 0; i < T / 2; i++) {
         fr E;
         fr_mul(&E, &eo[i >> head_in], &ei[i & mask]);
@@ -575,12 +780,28 @@ void frv_triple_inner(const uint8_t *e, const uint8_t *a, const uint8_t *b,
     const fr *av = (const fr *)a;
     const fr *bv = (const fr *)b;
     fr acc = {{0, 0, 0, 0}};
+#ifdef _OPENMP
+#pragma omp parallel if (n > 4096)
+    {
+        fr l = {{0}};
+#pragma omp for schedule(static) nowait
+        for (long i = 0; i < n; i++) {
+            fr t;
+            fr_mul(&t, &av[i], &bv[i]);
+            fr_mul(&t, &t, &ev[i]);
+            fr_add(&l, &l, &t);
+        }
+#pragma omp critical
+        fr_add(&acc, &acc, &l);
+    }
+#else
     for (long i = 0; i < n; i++) {
         fr t;
         fr_mul(&t, &av[i], &bv[i]);
         fr_mul(&t, &t, &ev[i]);
         fr_add(&acc, &acc, &t);
     }
+#endif
     fr_store(&acc, out);
 }
 
@@ -599,10 +820,33 @@ void frv_vec_mul(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
         fr_mul((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
 }
 
+/* out[j] = Σ_i coeffs[i]·cols[i][j] — fused linear combination (one pass
+ * over memory instead of k axpys; the stage-1 Lagrange/UniSkip combos). */
+void frv_lincomb(const uint8_t *const *cols, const uint8_t *coeffs, int k,
+                 long n, uint8_t *out) {
+    const fr *cf = (const fr *)coeffs;
+    const fr **cp = (const fr **)cols;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 2048)
+#endif
+    for (long j = 0; j < n; j++) {
+        fr acc = {{0, 0, 0, 0}};
+        for (int i = 0; i < k; i++) {
+            fr t;
+            fr_mul(&t, &cp[i][j], &cf[i]);
+            fr_add(&acc, &acc, &t);
+        }
+        fr_store(&acc, out + j * 32);
+    }
+}
+
 /* acc += c * x (elementwise) */
 void frv_axpy(uint8_t *acc, const uint8_t *x, const uint8_t *c_mont, long n) {
     fr c;
     fr_load(&c, c_mont);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 4096)
+#endif
     for (long i = 0; i < n; i++) {
         fr m;
         fr_mul(&m, (const fr *)(x + i * 32), &c);

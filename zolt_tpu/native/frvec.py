@@ -207,18 +207,23 @@ class FrVec:
         lib.frv_from_mont(_buf(self._mont), 1, _buf(out))
         return int.from_bytes(out, "little")
 
-    # -- folds (consume self: the backing buffer is reused) -------------
+    # -- folds (consume self: the backing buffer may be reused) ---------
     def fold_adj(self, r: int) -> "FrVec":
-        """new[i] = a[2i] + r·(a[2i+1] − a[2i]); halves the length."""
+        """new[i] = a[2i] + r·(a[2i+1] − a[2i]); halves the length.
+
+        Output goes to a fresh buffer: the adjacent-pair access pattern makes
+        an in-place parallel fold race across OpenMP chunks (chunk k's writes
+        at i overlap chunk k−1's reads at 2i). fold_half IS alias-safe."""
         if self._mont is None:
             a = self._ints
             return FrVec(self.n // 2,
                          ints=[(a[2 * i] + r * (a[2 * i + 1] - a[2 * i])) % P
                                for i in range(self.n // 2)])
         lib = _get_lib()
-        p = _buf(self._mont)
-        lib.frv_fold_adj(p, self.n, _buf(_mont_scalars([r])), p)
-        return FrVec(self.n // 2, mont=self._mont)
+        out = bytearray(32 * (self.n // 2))
+        lib.frv_fold_adj(_buf(self._mont), self.n, _buf(_mont_scalars([r])),
+                         _buf(out))
+        return FrVec(self.n // 2, mont=out)
 
     def fold_half(self, r: int) -> "FrVec":
         """new[i] = a[i] + r·(a[i+h] − a[i]), h = n/2; halves the length."""
@@ -316,6 +321,25 @@ class FrVec:
 
     def mul(self, other: "FrVec") -> "FrVec":
         return self._bin(other, "frv_vec_mul", lambda x, y: x * y % P)
+
+    @staticmethod
+    def lincomb(cols: list["FrVec"], coeffs: list[int]) -> "FrVec":
+        """Σ_i coeffs[i]·cols[i] in one fused pass."""
+        lib = _get_lib()
+        k = len(cols)
+        assert len(coeffs) == k and k > 0
+        n = cols[0].n
+        if lib is None or any(c._mont is None for c in cols):
+            out = FrVec.zeros(n)
+            for c, col in zip(coeffs, cols):
+                if c % P:
+                    out.axpy_(col, c)
+            return out
+        ptrs = (ctypes.c_char_p * k)(*[_buf(c._mont) for c in cols])
+        cm = _mont_scalars(coeffs)
+        out = bytearray(32 * n)
+        lib.frv_lincomb(ptrs, _buf(cm), k, n, _buf(out))
+        return FrVec(n, mont=out)
 
     def axpy_(self, x: "FrVec", c: int) -> "FrVec":
         """self += c·x, in place."""

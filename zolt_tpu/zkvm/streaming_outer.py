@@ -105,14 +105,10 @@ def window_round_evals_multiquadratic(az: list[int], bz: list[int],
 
 
 def _combine_cols(cols, coeffs):
-    """Σ_i coeffs[i]·cols[i] as an FrVec."""
+    """Σ_i coeffs[i]·cols[i] as an FrVec (one fused native pass)."""
     from ..native.frvec import FrVec
 
-    v = FrVec.zeros(cols[0].n)
-    for c, col in zip(coeffs, cols):
-        if c % P:
-            v.axpy_(col, c)
-    return v
+    return FrVec.lincomb(cols, list(coeffs[:len(cols)]))
 
 
 def _eq_table_be(taus: list[int]) -> list[int]:
