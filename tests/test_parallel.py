@@ -93,3 +93,25 @@ def test_sharded_full_sumcheck_prove_verifies():
     for v in finals:
         prod = prod * v % P
     assert cur == prod, "final claim != product of bound factors"
+
+
+def test_mesh_sharded_msm_matches_host():
+    """SURVEY §1 L1: points sharded over the mesh, per-window bucket totals
+    all-gathered + ladder-added over ICI — bit-identical to the host MSM."""
+    import jax
+    import numpy as np
+
+    from zolt_tpu.curve import host as chost
+    from zolt_tpu.field.params import FR
+    from zolt_tpu.msm import pippenger
+    from zolt_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(55)
+    mesh = make_mesh(jax.devices())
+    pts = [chost.scalar_mul(chost.G1_GEN, int(rng.integers(1, 1 << 30)))
+           for _ in range(64)]
+    scalars = [int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(64)]
+    pts[5] = None
+    scalars[9] = 0
+    got = pippenger.msm_mesh(mesh, pts, scalars, windows_per_pass=16)
+    assert got == chost.msm(pts, scalars)

@@ -164,3 +164,85 @@ def msm(points: list, scalars: list[int], windows_per_pass: int = 8):
 
 def msm_oracle(points, scalars):
     return chost.msm(points, scalars)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded MSM (SURVEY §1 L1: points sharded over chips, per-window
+# bucket totals reduced over ICI, window combine on host)
+# ---------------------------------------------------------------------------
+
+def msm_mesh(mesh, points: list, scalars: list[int],
+             windows_per_pass: int = 8):
+    """Σ s_i·P_i with the point set sharded across a 1-D device mesh.
+
+    Each shard sorts its own (point, window) entries and produces per-window
+    bucket totals locally (the `_bucket_totals` kernel under `shard_map`);
+    the (windows·256)-point bucket arrays are then `all_gather`ed over the
+    mesh axis and tree-added in place — the EC analog of a psum (Jacobian
+    addition is not an elementwise integer sum, so the reduction is a gather
+    + batched point-add ladder riding the same ICI links). The suffix-sum
+    window combine and the final ~32-point host combine are unchanged from
+    the single-chip path. Bit-identical to `msm`.
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as PS
+
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    n = len(points)
+    assert n == len(scalars) and n > 0
+    pad = (-n) % n_dev
+    pts = list(points) + [None] * pad
+    scs = list(scalars) + [0] * pad
+
+    digs = _digits(scs)
+    X, Y, Z = dev.from_affine_host(pts)
+
+    window_totals: list = []
+    for w0 in range(0, N_WINDOWS, windows_per_pass):
+        wn = min(windows_per_pass, N_WINDOWS - w0)
+        d = digs[:, w0:w0 + wn]
+        local_w = np.broadcast_to(np.arange(wn, dtype=np.uint32)[None, :], d.shape)
+        keys = (local_w * BUCKETS + d).astype(np.int32).T.reshape(-1)
+        Xr = jnp.tile(X, (wn, 1))
+        Yr = jnp.tile(Y, (wn, 1))
+        Zr = jnp.tile(Z, (wn, 1))
+        zero_digit = jnp.asarray((d.T.reshape(-1) == 0))
+        Zr = limb.select(zero_digit, jnp.zeros_like(Zr), Zr)
+        # interleave so each contiguous shard holds a slice of EVERY window:
+        # entry order (window-major) -> (point-major) so shard s gets points
+        # [s·n/n_dev, (s+1)·n/n_dev) for all wn windows
+        npts = len(pts)
+        perm = (np.arange(wn * npts).reshape(wn, npts).T).reshape(-1)
+        keys = jnp.asarray(np.asarray(keys)[perm])
+        Xr, Yr, Zr = Xr[perm], Yr[perm], Zr[perm]
+
+        @_partial(jax.shard_map, mesh=mesh,
+                  in_specs=(PS(axis), PS(axis, None), PS(axis, None), PS(axis, None)),
+                  out_specs=(PS(None, None), PS(None, None), PS(None, None)),
+                  check_vma=False)
+        def pass_fn(k, xs, ys, zs):
+            bx, by, bz = _bucket_totals(k, xs, ys, zs, wn)
+            # ICI reduction: gather every shard's bucket array, ladder-add
+            gx = jax.lax.all_gather(bx, axis)   # (n_dev, wn*256, 16)
+            gy = jax.lax.all_gather(by, axis)
+            gz = jax.lax.all_gather(bz, axis)
+
+            def body(i, acc):
+                return dev.pt_add(acc, (gx[i], gy[i], gz[i]))
+
+            acc0 = (gx[0], gy[0], gz[0])
+            ax, ay, az = jax.lax.fori_loop(1, gx.shape[0], body, acc0)
+            return ax, ay, az
+
+        BX, BY, BZ = pass_fn(keys, Xr, Yr, Zr)
+        W = _window_sums(BX, BY, BZ)
+        window_totals.extend(dev.to_affine_host(W))
+
+    total = None
+    for w, pt in enumerate(window_totals):
+        if pt is None:
+            continue
+        total = chost.add(total, chost.scalar_mul(pt, 1 << (WINDOW_BITS * w)))
+    return total
