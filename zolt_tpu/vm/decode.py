@@ -54,7 +54,17 @@ class DecodedInstruction:
     format: str  # R I S B U J
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 16)
 def decode(instr: int) -> DecodedInstruction:
+    """Memoized: traces revisit the same few instruction words millions of
+    times; the decoded record is immutable shared state."""
+    return _decode_uncached(instr)
+
+
+def _decode_uncached(instr: int) -> DecodedInstruction:
     opcode = Opcode.from_instruction(instr)
     rd = (instr >> 7) & 0x1F
     funct3 = (instr >> 12) & 0x7

@@ -90,6 +90,7 @@ class Emulator:
     def __post_init__(self):
         self.device = JoltDevice(MemoryLayout.create(self.config))
         self.lookup_entries: list = []  # filled by the lookup-trace collector
+        self._fetch_cache: dict = {}
 
     # -- setup ------------------------------------------------------------
     def load_program_at(self, bytecode: bytes, base: int) -> None:
@@ -116,13 +117,22 @@ class Emulator:
 
     # -- fetch/decode ------------------------------------------------------
     def _fetch(self) -> int:
+        # program memory is static during execution (no self-modifying code
+        # in the RV64IMC guest model), so fetches memoize per PC
+        cached = self._fetch_cache.get(self.pc)
+        if cached is not None:
+            self.is_compressed = cached[1]
+            return cached[0]
         hw = self.ram.read_byte_untraced(self.pc) | (self.ram.read_byte_untraced(self.pc + 1) << 8)
         if dec.is_compressed(hw):
             self.is_compressed = True
-            return dec.expand_compressed(hw)
-        self.is_compressed = False
-        return (hw | (self.ram.read_byte_untraced(self.pc + 2) << 16)
-                | (self.ram.read_byte_untraced(self.pc + 3) << 24))
+            instr = dec.expand_compressed(hw)
+        else:
+            self.is_compressed = False
+            instr = (hw | (self.ram.read_byte_untraced(self.pc + 2) << 16)
+                     | (self.ram.read_byte_untraced(self.pc + 3) << 24))
+        self._fetch_cache[self.pc] = (instr, self.is_compressed)
+        return instr
 
     # -- single step -------------------------------------------------------
     def step(self) -> bool:

@@ -82,16 +82,18 @@ class RegisterFile:
     trace: list[RegisterAccess] = field(default_factory=list)
     timestamp: int = 0
 
+    # Per-access RegisterAccess recording was dropped from the hot path: the
+    # proof pipeline derives register reads/writes from the TraceSteps
+    # themselves (stage-4/5 builders decode rd/rs1/rs2 per cycle) and nothing
+    # consumes this trace; `trace` stays for API compatibility (empty).
+
     def read(self, reg: int) -> int:
-        v = 0 if reg == 0 else self.registers[reg]
-        self.trace.append(RegisterAccess(reg, v, "read", self.timestamp))
-        return v
+        return 0 if reg == 0 else self.registers[reg]
 
     def write(self, reg: int, value: int) -> None:
         if reg == 0:
             return
         self.registers[reg] = value & M64
-        self.trace.append(RegisterAccess(reg, value & M64, "write", self.timestamp))
 
     def tick(self) -> None:
         self.timestamp += 1
