@@ -300,3 +300,52 @@ def test_multi_pairing_fixed():
     # prefix reuse through the line cache
     exp2 = multi_pairing([(p, q) for p, q in zip(g1s[:3], g2s[:3]) if p is not None])
     assert multi_pairing_fixed_native(g1s[:3], g2s, 3) == exp2
+
+
+def test_no_native_fallbacks_match(tmp_path):
+    """Every FrVec op must produce identical values with ZOLT_TPU_NO_NATIVE=1
+    (the pure-Python tier is the correctness floor for toolchain-less
+    environments)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = r"""
+import json, sys
+from zolt_tpu.native.frvec import FrVec, P
+from zolt_tpu.native import get_lib
+mode = sys.argv[1]
+assert (get_lib() is None) == (mode == "fallback"), mode
+vals = [(i * 0x9E3779B97F4A7C15 + 12345) % P for i in range(32)]
+vals2 = [(i * 0xDEADBEEF + 7) % P for i in range(32)]
+a, b = FrVec.from_ints(vals), FrVec.from_ints(vals2)
+eq = FrVec.eq_table_be([v % P for v in vals[:5]])
+out = {
+    "fold": a.copy().fold_adj(98765).to_ints(),
+    "foldh": b.copy().fold_half(4321).to_ints(),
+    "eq": eq.to_ints(),
+    "prod": FrVec.prod_evals_adj([a, b], 3),
+    "quad": list(FrVec.quad_sums_half(a, b)),
+    "raf": list(FrVec.raf_sums(a)),
+    "gruen": list(FrVec.gruen_quad(FrVec.from_ints(vals[:4]),
+                                   FrVec.from_ints(vals2[:4]), 2, a, b, 13)),
+    "bool": [x for pair in FrVec.bool_round(a, b, a) for x in pair],
+    "lincomb": FrVec.lincomb([a, b], [3, 5]).to_ints(),
+    "s4p1": list(FrVec.s4_phase1(FrVec.from_ints(vals[:4]),
+                                 FrVec.from_ints(vals2[:4]), 2,
+                                 [a, b], [b, a], [a, a], b, 32)),
+    "s4p2": list(FrVec.s4_phase2(a, b, [a, b], [b, a], [a, a], 1, 32)),
+    "s4p3": list(FrVec.s4_phase3(a, b, [a, b], [b, a], [a, a], 32)),
+    "mle": a.mle_eval_be([v % P for v in vals2[:5]]),
+}
+print(json.dumps(out))
+"""
+    outs = {}
+    for mode, env_extra in (("native", {}), ("fallback", {"ZOLT_TPU_NO_NATIVE": "1"})):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+        r = subprocess.run([sys.executable, "-c", prog, mode], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        outs[mode] = json.loads(r.stdout.strip().splitlines()[-1])
+    assert outs["native"] == outs["fallback"]

@@ -407,11 +407,32 @@ class FrVec:
 
     @staticmethod
     def s4_phase1(e_out: "FrVec", e_in: "FrVec", head_in: int, ra_rows, wa_rows,
-                  val_rows, inc: "FrVec", T: int) -> tuple[int, int] | None:
-        """Stage-4 registers phase-1 (q0, qX2); None → caller falls back."""
+                  val_rows, inc: "FrVec", T: int) -> tuple[int, int]:
+        """Stage-4 registers phase-1 (q0, qX2)."""
         lib = _get_lib()
         if lib is None:
-            return None
+            eo, ei = e_out.to_ints(), e_in.to_ints()
+            incl = inc.to_ints()
+            rai = [r.to_ints() for r in ra_rows]
+            wai = [w.to_ints() for w in wa_rows]
+            vali = [v.to_ints() for v in val_rows]
+            mask = (1 << head_in) - 1
+            q0 = qX2 = 0
+            for i in range(T // 2):
+                E = eo[i >> head_in] * ei[i & mask] % P
+                inc0 = incl[2 * i]
+                incs = incl[2 * i + 1] - inc0
+                c0 = cX = 0
+                for k in range(len(ra_rows)):
+                    ra_e, ra_o = rai[k][2 * i], rai[k][2 * i + 1]
+                    wa_e, wa_o = wai[k][2 * i], wai[k][2 * i + 1]
+                    v_e, v_o = vali[k][2 * i], vali[k][2 * i + 1]
+                    c0 += ra_e * v_e + wa_e * (v_e + inc0)
+                    cX += ((ra_o - ra_e) * (v_o - v_e)
+                           + (wa_o - wa_e) * (v_o - v_e + incs))
+                q0 = (q0 + E * c0) % P
+                qX2 = (qX2 + E * cX) % P
+            return q0, qX2
         ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
         out = bytearray(64)
         lib.frv_s4_phase1(_buf(e_out._mont), _buf(e_in._mont), head_in,
@@ -422,10 +443,24 @@ class FrVec:
 
     @staticmethod
     def s4_phase2(eq: "FrVec", inc: "FrVec", ra_rows, wa_rows, val_rows,
-                  pairs: int, T: int) -> tuple[int, int] | None:
+                  pairs: int, T: int) -> tuple[int, int]:
         lib = _get_lib()
         if lib is None:
-            return None
+            eqi, incl = eq.to_ints(), inc.to_ints()
+            rai = [r.to_ints() for r in ra_rows]
+            wai = [w.to_ints() for w in wa_rows]
+            vali = [v.to_ints() for v in val_rows]
+            e0 = e2 = 0
+            for i in range(pairs):
+                ke, ko = 2 * i, 2 * i + 1
+                for j in range(T):
+                    c0 = rai[ke][j] * vali[ke][j] + wai[ke][j] * (vali[ke][j] + incl[j])
+                    e0 = (e0 + eqi[j] * c0) % P
+                    ra2 = 2 * rai[ko][j] - rai[ke][j]
+                    wa2 = 2 * wai[ko][j] - wai[ke][j]
+                    v2 = 2 * vali[ko][j] - vali[ke][j]
+                    e2 = (e2 + eqi[j] * (ra2 * v2 + wa2 * (v2 + incl[j]))) % P
+            return e0, e2
         ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
         out = bytearray(64)
         lib.frv_s4_phase2(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
@@ -435,10 +470,28 @@ class FrVec:
 
     @staticmethod
     def s4_phase3(eq: "FrVec", inc: "FrVec", ra_rows, wa_rows, val_rows,
-                  T: int) -> tuple[int, int, int] | None:
+                  T: int) -> tuple[int, int, int]:
         lib = _get_lib()
         if lib is None:
-            return None
+            eqi, incl = eq.to_ints(), inc.to_ints()
+            rai = [r.to_ints() for r in ra_rows]
+            wai = [w.to_ints() for w in wa_rows]
+            vali = [v.to_ints() for v in val_rows]
+            out3 = [0, 0, 0]
+            for j in range(T // 2):
+                inc0 = incl[2 * j]
+                incs = incl[2 * j + 1] - inc0
+                eq0 = eqi[2 * j]
+                eqs = eqi[2 * j + 1] - eq0
+                for ti, t in enumerate((0, 2, 3)):
+                    s = 0
+                    for k in range(len(ra_rows)):
+                        ra_t = rai[k][2 * j] + t * (rai[k][2 * j + 1] - rai[k][2 * j])
+                        wa_t = wai[k][2 * j] + t * (wai[k][2 * j + 1] - wai[k][2 * j])
+                        v_t = vali[k][2 * j] + t * (vali[k][2 * j + 1] - vali[k][2 * j])
+                        s += ra_t * v_t + wa_t * (v_t + inc0 + t * incs)
+                    out3[ti] = (out3[ti] + (eq0 + t * eqs) * s) % P
+            return out3[0], out3[1], out3[2]
         ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
         out = bytearray(96)
         lib.frv_s4_phase3(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
