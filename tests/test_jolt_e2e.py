@@ -305,3 +305,66 @@ def test_golden_requires_compat_downgrade():
     _, proof2 = _load()
     with pytest.raises(VerifyError):
         verify_jolt(proof2, ELF, allow_reference_compat=False)
+
+
+def _array_sum_elf(n: int) -> bytes:
+    """RAM-heavy guest: arr[i] = i writes then a read-back sum (exercises the
+    RWC/RAF/ValEval paths the register-only golden loops barely touch)."""
+    from zolt_tpu.vm import elf as elf_mod
+    from zolt_tpu.vm.guest import Asm
+    from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=8192))
+    a = Asm()
+    a.li_addr(5, 0x80002000)
+    a.addi(1, 0, 0)
+    a.addi(2, 0, n)
+    a.label("w")
+    a.slli(3, 1, 3)
+    a.add(3, 3, 5)
+    a.sd(3, 1, 0)
+    a.addi(1, 1, 1)
+    a.blt(1, 2, "w")
+    a.addi(1, 0, 0)
+    a.addi(10, 0, 0)
+    a.label("r")
+    a.slli(3, 1, 3)
+    a.add(3, 3, 5)
+    a.ld(4, 3, 0)
+    a.add(10, 10, 4)
+    a.addi(1, 1, 1)
+    a.blt(1, 2, "r")
+    a.halt(lay, provable=True)
+    return elf_mod.write_minimal_elf(a.bytes())
+
+
+def test_ram_heavy_sound_roundtrip(tmp_path):
+    """A guest with dense RAM writes+reads proves and verifies in sound mode
+    (regression: the committed RamInc and the stage inc tables must agree on
+    every write — they silently diverged for out-of-window addresses)."""
+    from zolt_tpu.zkvm.jolt_verifier import verify_jolt
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    path = str(tmp_path / "arr.elf")
+    with open(path, "wb") as f:
+        f.write(_array_sum_elf(40))
+    res = prove_jolt(path, sound=True)
+    assert verify_jolt(res.conv.proof, path)
+
+
+def test_out_of_window_access_faults():
+    """Sign-extended lui-materialized RAM pointers land outside the provable
+    window and must fault at trace time instead of producing a proof that is
+    inconsistent with the committed polynomials."""
+    from zolt_tpu.vm import elf as elf_mod, run_elf
+    from zolt_tpu.vm.emulator import MemoryFault
+    from zolt_tpu.vm.guest import Asm
+    from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=4096))
+    a = Asm()
+    a.lui(5, 0x80002)     # sign-extends: 0xFFFFFFFF80002000
+    a.sd(5, 5, 0)
+    a.halt(lay, provable=True)
+    with pytest.raises(MemoryFault):
+        run_elf(elf_mod.write_minimal_elf(a.bytes()))

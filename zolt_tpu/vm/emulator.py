@@ -72,6 +72,10 @@ def pad_with_noop(steps: list[TraceStep], min_pad: int = 256) -> list[TraceStep]
     return steps + [NOOP_STEP] * (padded - n)
 
 
+class MemoryFault(Exception):
+    """Guest data access outside the provable RAM window."""
+
+
 class Ecall(Exception):
     pass
 
@@ -91,6 +95,9 @@ class Emulator:
         self.device = JoltDevice(MemoryLayout.create(self.config))
         self.lookup_entries: list = []  # filled by the lookup-trace collector
         self._fetch_cache: dict = {}
+        # provable RAM window in words (pipeline LOG_RAM_K; reference
+        # common/constants RAM defaults) — accesses beyond it fault
+        self.ram_k_words = 1 << 16
 
     # -- setup ------------------------------------------------------------
     def load_program_at(self, bytecode: bytes, base: int) -> None:
@@ -104,15 +111,33 @@ class Emulator:
         self.device.inputs.extend(inputs)
 
     # -- memory with I/O dispatch -----------------------------------------
+    def _check_ram_bounds(self, a: int) -> None:
+        # The provable RAM window is the ram_k_words word slots from the
+        # layout's lowest address (reference jolt_device.zig remapAddress +
+        # the RAM K bound). Accesses outside it would silently diverge from
+        # the committed RamInc/RamRa polynomials (the reference pipeline has
+        # the same latent inconsistency and never checks); fault instead so
+        # invalid guests — e.g. sign-extended lui-materialized pointers —
+        # surface as a clear error at trace time.
+        lowest = self.device.layout.lowest_address()
+        if not (lowest <= a < lowest + 8 * self.ram_k_words):
+            raise MemoryFault(
+                f"guest memory access at {a:#x} is outside the provable RAM "
+                f"window [{lowest:#x}, {lowest + 8 * self.ram_k_words:#x}) "
+                f"(sign-extended address? materialize RAM pointers "
+                f"PC-relatively or with Asm.li_addr)")
+
     def _read_byte_io(self, a: int) -> int:
         if self.device.is_io(a):
             return self.device.load(a)
+        self._check_ram_bounds(a)
         return self.ram.read_byte(a, self.cycle)
 
     def _write_byte_io(self, a: int, v: int) -> None:
         if self.device.is_io(a):
             self.device.store(a, v)
         else:
+            self._check_ram_bounds(a)
             self.ram.write_byte(a, v, self.cycle)
 
     # -- fetch/decode ------------------------------------------------------

@@ -72,6 +72,24 @@ class Asm:
         self.fixups: list[tuple[int, str, str]] = []  # (index, label, kind)
 
     # -- label handling -----------------------------------------------------
+    def li_addr(self, rd: int, addr: int) -> None:
+        """Materialize a 32-bit ABSOLUTE address zero-extended to 64 bits.
+
+        `lui` sign-extends on RV64, so addresses with bit 31 set (the RAM
+        region at 0x80000000+) come out as 0xFFFFFFFF8xxxxxxx and fault the
+        provable-window check; real guests use PC-relative auipc. For
+        assembler-authored guests: lui+addi then slli/srli 32 to clear the
+        sign extension."""
+        hi = (addr + 0x800) >> 12
+        lo = addr & 0xFFF
+        if lo >= 0x800:
+            lo -= 0x1000
+        self.lui(rd, hi & 0xFFFFF)
+        if lo:
+            self.addi(rd, rd, lo)
+        self.slli(rd, rd, 32)
+        self.srli(rd, rd, 32)
+
     def label(self, name: str) -> None:
         self.labels[name] = len(self.words) * 4
 
