@@ -584,7 +584,7 @@ class SoundRamReadWriteCheckingProver:
         self.current_claim = initial_claim % P
         K, T = 1 << log_k, 1 << log_t
 
-        self.eqv = [_eq_be(r_cycle, j, log_t) for j in range(T)]
+        self.eqv = _eq_table_be([c % P for c in r_cycle])
         self.incv = [0] * T
         self.bg = [0] * K            # val_init fold (dense over addresses)
         init_word: dict[int, int] = {}
@@ -595,16 +595,18 @@ class SoundRamReadWriteCheckingProver:
                     self.bg[k] = val % P
                     init_word[k] = val % P
 
-        # replay: per-cycle access (k, val_before) + per-touched timelines
+        # Replay: per-cycle access + per-touched-word WRITE EVENTS. The
+        # bound val sum Σ_{k in block} lag[k]·(val_k(j)−init_k) is piecewise
+        # constant in j with one step per write, so each block keeps a
+        # sorted (cycle, prefix) event list; binding merges the two child
+        # lists with the (1−r)/r factors applied uniformly per child (every
+        # member of a child shares the same new lag factor). Memory and
+        # per-round work are O(#writes), never O(touched·T).
         self.acc_k = [None] * T      # accessed word index per cycle
         cur: dict[int, int] = dict(init_word)
-        touched = sorted({(a.address - start_address) // 8 for a in accesses
-                          if a.address >= start_address
-                          and (a.address - start_address) // 8 < K})
-        self.touched = touched
-        self.init_word = {k: init_word.get(k, 0) for k in touched}
-        # val_k(j): value of word k before cycle j, for touched k only
-        self.val_tl = {k: [0] * T for k in touched}
+        # ev[c] = (cycles list asc, prefix sums list): Σ deltas with cycle<=j
+        self.ev: dict[int, tuple[list[int], list[int]]] = {}
+        raw_events: dict[int, list[tuple[int, int]]] = {}
         acc_by_cycle = {}
         for a in accesses:
             if a.address < start_address:
@@ -614,38 +616,48 @@ class SoundRamReadWriteCheckingProver:
                 continue
             acc_by_cycle[a.timestamp] = (k, a)
         for j in range(T):
-            for k in touched:
-                self.val_tl[k][j] = cur.get(k, 0) % P
             if j in acc_by_cycle:
                 k, a = acc_by_cycle[j]
                 self.acc_k[j] = k
                 if a.op == "write":
-                    self.incv[j] = (a.post_value - cur.get(k, 0)) % P
+                    old = cur.get(k, 0)
+                    self.incv[j] = (a.post_value - old) % P
+                    # val_k changes from cycle j+1 onward
+                    raw_events.setdefault(k, []).append(
+                        (j + 1, (a.post_value - old) % P))
                     cur[k] = a.post_value
+        for k, evs in raw_events.items():
+            cycles, prefix = [], []
+            run = 0
+            for c, d in evs:           # already in ascending cycle order
+                run = (run + d) % P
+                cycles.append(c)
+                prefix.append(run)
+            self.ev[k] = (cycles, prefix)
 
         self.rav = [1 if self.acc_k[j] is not None else 0 for j in range(T)]
-        self.lag = {k: 1 for k in touched}   # Π of bound-bit factors per touched k
         self.valv: list[int] | None = None   # dense Val fold, built after phase A
 
     # -- phase A helpers ---------------------------------------------------
 
-    def _blocks(self) -> dict[int, list[int]]:
-        b = self.round
-        out: dict[int, list[int]] = {}
-        for k in self.touched:
-            out.setdefault(k >> b, []).append(k)
-        return out
+    def _block_sum(self, c: int, j: int) -> int:
+        """Σ_{k touched, k>>round == c} lag[k]·(val_k(j) − init_k)."""
+        ent = self.ev.get(c)
+        if ent is None:
+            return 0
+        import bisect
 
-    def _val_bound(self, c: int, j: int, blocks) -> int:
-        v = self.bg[c]
-        for k in blocks.get(c, ()):  # touched words inside block c
-            v = (v + self.lag[k] * ((self.val_tl[k][j] - self.init_word[k]) % P)) % P
-        return v
+        cycles, prefix = ent
+        i = bisect.bisect_right(cycles, j)
+        return prefix[i - 1] if i else 0
+
+    def _val_bound(self, c: int, j: int, blocks=None) -> int:
+        return (self.bg[c] + self._block_sum(c, j)) % P
 
     def round_evals(self) -> list[int]:
         g = self.gamma
         if self.round < self.log_k:
-            blocks = self._blocks()
+            blocks = None
             b = self.round
             s = [0, 0, 0, 0]
             for j in range(1 << self.log_t):
@@ -668,9 +680,21 @@ class SoundRamReadWriteCheckingProver:
             return s
         # phase B: dense cycle rounds over eq · ra · ((1+γ)·val + γ·inc)
         if self.valv is None:
-            blocks = self._blocks()
-            self.valv = [self._val_bound(0, j, blocks)
-                         for j in range(1 << self.log_t)]
+            # sweep block 0's events across all cycles (O(T + #writes))
+            bg0 = self.bg[0]
+            ent = self.ev.get(0)
+            T = 1 << self.log_t
+            vals = [bg0] * T
+            if ent is not None:
+                cycles, prefix = ent
+                pos = 0
+                run = 0
+                for j in range(T):
+                    while pos < len(cycles) and cycles[pos] <= j:
+                        run = prefix[pos]
+                        pos += 1
+                    vals[j] = (bg0 + run) % P
+            self.valv = vals
         n = len(self.eqv)
         half = n // 2
         s = [0, 0, 0, 0]
@@ -699,9 +723,37 @@ class SoundRamReadWriteCheckingProver:
                 if k is not None:
                     parity = (k >> b) & 1
                     self.rav[j] = self.rav[j] * ((r if parity else (1 - r)) % P) % P
-            for k in self.touched:
-                parity = (k >> b) & 1
-                self.lag[k] = self.lag[k] * ((r if parity else (1 - r)) % P) % P
+            # merge child event lists into parents with the child's lag factor
+            omr = (1 - r) % P
+            new_ev: dict[int, tuple[list[int], list[int]]] = {}
+            parents = {c >> 1 for c in self.ev}
+            for p in parents:
+                lo = self.ev.get(2 * p)
+                hi = self.ev.get(2 * p + 1)
+                # reconstruct per-event deltas from prefixes, scale, merge
+                def _deltas(ent, scale):
+                    if ent is None:
+                        return []
+                    cs, pref = ent
+                    out = []
+                    prev = 0
+                    for c, pv in zip(cs, pref):
+                        out.append((c, (pv - prev) * scale % P))
+                        prev = pv
+                    return out
+                merged = sorted(_deltas(lo, omr) + _deltas(hi, r % P))
+                run = 0
+                cyc_out: list[int] = []
+                pref_out: list[int] = []
+                for c, d in merged:
+                    run = (run + d) % P
+                    if cyc_out and cyc_out[-1] == c:
+                        pref_out[-1] = run
+                    else:
+                        cyc_out.append(c)
+                        pref_out.append(run)
+                new_ev[p] = (cyc_out, pref_out)
+            self.ev = new_ev
         else:
             half = len(self.eqv) // 2
             for arr in (self.eqv, self.rav, self.valv, self.incv):
