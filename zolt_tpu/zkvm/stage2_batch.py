@@ -231,7 +231,7 @@ class RafEvaluationProver:
 # Instance 2: RamReadWriteChecking
 # ---------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class RWCEntry:
     cycle: int
     address: int
@@ -367,13 +367,20 @@ class RamReadWriteCheckingProver:
                 odd_start += 1
             ei, oi = i, odd_start
 
+            _eq_addr_memo: dict[int, int] = {}
+
             def eq_addr(entry):
-                acc = 1
-                for b in range(addr_round):
-                    bit = (entry.address >> b) & 1
-                    rb = self.challenges[self.phase1 + b]
-                    acc = acc * ((rb if bit else (1 - rb)) % P) % P
-                return eq_cycle * acc % P
+                key = entry.address & ((1 << addr_round) - 1)
+                v = _eq_addr_memo.get(key)
+                if v is None:
+                    acc = 1
+                    for b in range(addr_round):
+                        bit = (key >> b) & 1
+                        rb = self.challenges[self.phase1 + b]
+                        acc = acc * ((rb if bit else (1 - rb)) % P) % P
+                    v = eq_cycle * acc % P
+                    _eq_addr_memo[key] = v
+                return v
 
             def contrib(ra0, ra2v, val0, val2v, eqp):
                 nonlocal s0, s2
@@ -1118,18 +1125,30 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
         if phase2_end + i < len(r_sc):
             r_cyc[phase3_len - 1 - i] = r_sc[phase2_end + i]
 
+    # eq factors per entry via memo (entries revisit few distinct points)
+    _ea_memo: dict[int, int] = {}
+    _ec_memo: dict[int, int] = {}
+
+    def _ea(a):
+        v = _ea_memo.get(a)
+        if v is None:
+            v = _ea_memo[a] = _eq_be(r_addr, a, log_ram_k)
+        return v
+
+    def _ec(c):
+        v = _ec_memo.get(c)
+        if v is None:
+            v = _ec_memo[c] = _eq_be(r_cyc, c, n_cycle_vars)
+        return v
+
     ra_claim = 0
     for e in rwc.entries:
-        ea = _eq_be(r_addr, e.address, log_ram_k)
-        ec = _eq_be(r_cyc, e.cycle, n_cycle_vars)
-        ra_claim = (ra_claim + ea * ec % P * e.ra) % P
+        ra_claim = (ra_claim + _ea(e.address) * _ec(e.cycle) % P * e.ra) % P
     res.rwc_ra_claim = ra_claim
     val_claim = rwc.val_init[0]
     for e in rwc.entries:
-        ea = _eq_be(r_addr, e.address, log_ram_k)
-        ec = _eq_be(r_cyc, e.cycle, n_cycle_vars)
         delta = (e.val - rwc.val_init[e.address]) % P
-        val_claim = (val_claim + ea * ec % P * delta) % P
+        val_claim = (val_claim + _ea(e.address) * _ec(e.cycle) % P * delta) % P
     res.rwc_val_claim = val_claim
     res.rwc_inc_claim = rwc.inc[0]
 
