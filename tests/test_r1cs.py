@@ -46,9 +46,13 @@ def test_arith_program_witness():
 
 def test_memory_program_witness():
     lui_x2 = (0x80001 << 12) | (2 << 7) | 0x37
+    slli_x2 = (32 << 20) | (2 << 15) | (1 << 12) | (2 << 7) | 0x13
+    srli_x2 = (32 << 20) | (2 << 15) | (5 << 12) | (2 << 7) | 0x13
     assert_all_satisfied(run_program([
         0x12300093,  # addi x1, x0, 0x123
-        lui_x2,      # lui x2, 0x80001
+        lui_x2,      # x2 = 0x80001000 zero-extended (lui; slli 32; srli 32)
+        slli_x2,
+        srli_x2,
         0x00113023,  # sd x1, 0(x2)
         0x00013183,  # ld x3, 0(x2)
         0x40208233,  # sub x4, x1, x2
