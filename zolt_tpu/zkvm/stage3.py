@@ -42,18 +42,6 @@ def _eq_plus_one_table(r: list[int], size: int) -> list[int]:
     return EqPlusOnePrefixSuffix(r).dense_table(size)
 
 
-def _fold(arr: list[int], r: int) -> list[int]:
-    half = len(arr) // 2
-    return [(arr[2 * i] + r * (arr[2 * i + 1] - arr[2 * i])) % P for i in range(half)]
-
-
-def _lerp3(lo: int, hi: int) -> tuple[int, int, int]:
-    """values at t = 0, 2, 3."""
-    v2 = (2 * hi - lo) % P
-    v3 = (v2 + hi - lo) % P
-    return lo, v2, v3
-
-
 @dataclass
 class Stage3Result:
     compressed_polys: list[list[int]] = dfield(default_factory=list)
