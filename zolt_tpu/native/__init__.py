@@ -90,6 +90,9 @@ def _build_and_load():
                                             ctypes.c_char_p]
     lib.bn254_g1_msm_rows.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                       ctypes.c_int, ctypes.c_int, ctypes.c_char_p]
+    lib.bn254_g1_msm_rows_u64.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_char_p]
     lib.bn254_init(_constants_blob())
     C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
     lib.frv_init.argtypes = [C]
@@ -373,10 +376,16 @@ def g2_batch_mul_native(point, scalars):
 def g1_msm_rows_native(points, scalar_rows):
     """[MSM(points, row) for row in scalar_rows] with bases parsed once.
     scalar_rows: list of equal-length lists of canonical ints (len(points)).
-    None entries in points are skipped. Returns None on fallback."""
+    None entries in points are skipped. Returns None on fallback.
+
+    Fast path: rows whose values all fit u64 (one-hot indicators, machine
+    words — most committed polys) pack with one struct.pack per row instead
+    of a Python loop of int.to_bytes."""
     lib = get_lib()
     if lib is None:
         return None
+    import struct
+
     from ..field.params import FR
 
     n = len(points)
@@ -388,6 +397,26 @@ def g1_msm_rows_native(points, scalar_rows):
         pmv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
         pmv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
     rows = len(scalar_rows)
+    pbuf = ctypes.cast((ctypes.c_char * len(pb)).from_buffer(pb), ctypes.c_char_p)
+
+    try:
+        fmt = "<%dQ" % n
+        sb64 = bytearray(8 * n * rows)
+        off = 0
+        for row in scalar_rows:
+            assert len(row) == n
+            sb64[off:off + 8 * n] = struct.pack(fmt, *row)
+            off += 8 * n
+        out = bytearray(65 * rows)
+        lib.bn254_g1_msm_rows_u64(
+            pbuf,
+            ctypes.cast((ctypes.c_char * len(sb64)).from_buffer(sb64), ctypes.c_char_p),
+            n, rows,
+            ctypes.cast((ctypes.c_char * len(out)).from_buffer(out), ctypes.c_char_p))
+        return [_g1_from_out(bytes(out[r * 65:(r + 1) * 65])) for r in range(rows)]
+    except struct.error:
+        pass
+
     sb = bytearray(32 * n * rows)
     smv = memoryview(sb)
     off = 0
@@ -400,7 +429,7 @@ def g1_msm_rows_native(points, scalar_rows):
             off += 32
     out = bytearray(65 * rows)
     lib.bn254_g1_msm_rows(
-        ctypes.cast((ctypes.c_char * len(pb)).from_buffer(pb), ctypes.c_char_p),
+        pbuf,
         ctypes.cast((ctypes.c_char * len(sb)).from_buffer(sb), ctypes.c_char_p),
         n, rows,
         ctypes.cast((ctypes.c_char * len(out)).from_buffer(out), ctypes.c_char_p))

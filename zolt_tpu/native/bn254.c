@@ -1603,6 +1603,58 @@ void bn254_g2_batch_mul(const uint8_t *point, const uint8_t *scalars, int n,
     free(table);
 }
 
+/* Shared-base row MSMs with u64 scalars (the common committed-poly case:
+ * one-hot chunk indicators and machine-word values). scalars: rows*n*8 LE. */
+void bn254_g1_msm_rows_u64(const uint8_t *pts, const uint8_t *scalars, int n,
+                           int rows, uint8_t *out) {
+    fp *px = malloc((size_t)n * sizeof(fp));
+    fp *py = malloc((size_t)n * sizeof(fp));
+    uint8_t *inf = malloc((size_t)n);
+    for (int i = 0; i < n; i++) {
+        const uint8_t *pb = pts + (long)i * 64;
+        int allz = 1;
+        for (int k = 0; k < 64; k++) if (pb[k]) { allz = 0; break; }
+        inf[i] = (uint8_t)allz;
+        if (!allz) {
+            fp_from_bytes(&px[i], pb);
+            fp_from_bytes(&py[i], pb + 32);
+        }
+    }
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+#endif
+        fp *cpx = malloc((size_t)n * sizeof(fp));
+        fp *cpy = malloc((size_t)n * sizeof(fp));
+        uint8_t *csc = malloc((size_t)n * 32);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int r = 0; r < rows; r++) {
+            const uint8_t *sc = scalars + (long)r * n * 8;
+            int m = 0;
+            for (int i = 0; i < n; i++) {
+                if (inf[i]) continue;
+                int sz = 1;
+                for (int k = 0; k < 8; k++) if (sc[i * 8 + k]) { sz = 0; break; }
+                if (sz) continue;
+                cpx[m] = px[i];
+                cpy[m] = py[i];
+                memcpy(csc + (long)m * 32, sc + (long)i * 8, 8);
+                memset(csc + (long)m * 32 + 8, 0, 24);
+                m++;
+            }
+            g1jac acc;
+            g1_msm_core(&acc, cpx, cpy, csc, m);
+            g1_jac_out(&acc, out + (long)r * 65);
+        }
+        free(cpx); free(cpy); free(csc);
+#ifdef _OPENMP
+    }
+#endif
+    free(px); free(py); free(inf);
+}
+
 /* Shared-base row MSMs (Dory row commitments): bases parsed once, `rows`
  * scalar rows of length n each; out: rows*65. */
 void bn254_g1_msm_rows(const uint8_t *pts, const uint8_t *scalars, int n,
