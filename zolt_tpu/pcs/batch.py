@@ -229,13 +229,13 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
         transcript.append_scalar(v)
 
     gamma = transcript.challenge_scalar()
-    joint = [0] * n_tab
+    jv = FrVec.zeros(n_tab)
     g_pow = 1
-    for cl in claims:
-        f = [v % P for v in cl.evals]
-        for j, v in enumerate(f):
-            joint[j] = (joint[j] + g_pow * v) % P
+    for i in range(n_claims):
+        fv = FrVec.from_ints(fs[i] + [0] * (n_tab - len(fs[i])))
+        jv.axpy_(fv, g_pow)
         g_pow = g_pow * gamma % P
+    joint = jv.to_ints()
 
     pt = to_dory_point(r_star)
     proof.dory_proof = dory.open_with_transcript(srs, joint, pt, transcript)

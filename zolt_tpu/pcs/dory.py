@@ -362,12 +362,18 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
     left_vec = (left_vec + [0] * (1 << nu))[: 1 << nu]
     right_vec = (right_vec + [0] * num_cols)[:num_cols]
 
-    # v = L^T · M
-    v_vec = [0] * num_cols
+    # v = L^T · M (row-axpy accumulation on the native Fr tier)
+    from ..native.frvec import FrVec
+
+    _acc = FrVec.zeros(num_cols)
     for r in range(1 << nu):
         seg = evals[r * num_cols : (r + 1) * num_cols]
-        for c, val in enumerate(seg):
-            v_vec[c] = (v_vec[c] + left_vec[r] * val) % P
+        if not seg:
+            break
+        if len(seg) < num_cols:
+            seg = list(seg) + [0] * (num_cols - len(seg))
+        _acc.axpy_(FrVec.from_ints(seg), left_vec[r])
+    v_vec = _acc.to_ints()
 
     padded_rows = (rows + [None] * num_cols)[:num_cols]
 
