@@ -349,3 +349,44 @@ print(json.dumps(out))
         assert r.returncode == 0, r.stderr[-800:]
         outs[mode] = json.loads(r.stdout.strip().splitlines()[-1])
     assert outs["native"] == outs["fallback"]
+
+
+@pytest.mark.skipif("ZOLT_TPU_PALLAS_TEST" not in __import__("os").environ,
+                    reason="pallas interpret mode walks the ~10k-op unrolled "
+                           "kernel jaxpr op-by-op (minutes); the kernel is "
+                           "validated bit-exact on the real chip — set "
+                           "ZOLT_TPU_PALLAS_TEST=1 to run here")
+def test_pallas_product_round_matches_oracle():
+    """The Pallas fused sumcheck round (interpret mode on CPU; the same
+    kernel is bit-exact on the real chip — see field/pallas_kernels.py
+    status note) matches the big-int oracle for t0/tinf and the fold."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from zolt_tpu.field import limb
+    from zolt_tpu.field.limb import FR_C
+    from zolt_tpu.field import pallas_kernels as pk
+
+    n = 128
+    az_i = rvals(2 * n)
+    bz_i = rvals(2 * n)
+    eq_i = rvals(n)
+    r_i = rng.randrange(P)
+    az = jnp.asarray(np.asarray(limb.encode(az_i, FR_C)))
+    bz = jnp.asarray(np.asarray(limb.encode(bz_i, FR_C)))
+    eq = jnp.asarray(np.asarray(limb.encode(eq_i, FR_C)))
+    r = jnp.asarray(np.asarray(limb.encode([r_i], FR_C)[0]))
+    az_f, bz_f, t0, tinf = pk.product_round(az, bz, eq, r, interpret=True)
+    t0_i = int(limb.decode(np.asarray(t0)[None], FR_C)[0])
+    tinf_i = int(limb.decode(np.asarray(tinf)[None], FR_C)[0])
+    assert t0_i == sum(eq_i[i] * az_i[2 * i] % P * bz_i[2 * i]
+                       for i in range(n)) % P
+    assert tinf_i == sum(eq_i[i] * ((az_i[2 * i + 1] - az_i[2 * i])
+                                    * (bz_i[2 * i + 1] - bz_i[2 * i]) % P)
+                         for i in range(n)) % P
+    azf = [int(v) for v in limb.decode(np.asarray(az_f), FR_C)]
+    assert azf == [(az_i[2 * i] + r_i * (az_i[2 * i + 1] - az_i[2 * i])) % P
+                   for i in range(n)]
+    bzf = [int(v) for v in limb.decode(np.asarray(bz_f), FR_C)]
+    assert bzf == [(bz_i[2 * i] + r_i * (bz_i[2 * i + 1] - bz_i[2 * i])) % P
+                   for i in range(n)]
