@@ -198,6 +198,16 @@ class FrVec:
     def __len__(self) -> int:
         return self.n
 
+    def get(self, i: int) -> int:
+        """Canonical value of element i (sparse random access; ~1 µs/read —
+        fine for entry-sparse provers, not for dense scans)."""
+        if self._mont is None:
+            return self._ints[i]
+        lib = _get_lib()
+        out = bytearray(32)
+        lib.frv_from_mont(_buf(self._mont[i * 32:(i + 1) * 32]), 1, _buf(out))
+        return int.from_bytes(out, "little")
+
     def first(self) -> int:
         """Canonical value of element 0 (sumcheck finals)."""
         if self._mont is None:
