@@ -15,6 +15,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #ifdef _OPENMP
@@ -200,6 +201,19 @@ void frv_fold_adj(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *out
         fr_mul(&m, &d, &r);
         fr_add(&o[i], &a[2 * i], &m);
     }
+}
+
+/* In-place prefix fold: buf[i] = buf[2i] + r*(buf[2i+1] - buf[2i]) for
+ * i < active_n/2, leaving buf[active_n/2:] untouched (some byte-exact
+ * provers read the stale tail of their in-place-folded tables). A scratch
+ * copy keeps the parallel fold race-free. */
+void frv_fold_adj_prefix(uint8_t *buf, long active_n, const uint8_t *r_mont) {
+    long h = active_n / 2;
+    if (h <= 0) return;
+    uint8_t *tmp = malloc((size_t)h * 32);
+    frv_fold_adj(buf, active_n, r_mont, tmp);
+    memcpy(buf, tmp, (size_t)h * 32);
+    free(tmp);
 }
 
 /* out[i] = a[i] + r*(a[i+h] - a[i]), h = n/2; out may alias a. */

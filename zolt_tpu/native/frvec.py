@@ -235,6 +235,21 @@ class FrVec:
                          _buf(out))
         return FrVec(self.n // 2, mont=out)
 
+    def fold_adj_prefix_(self, r: int, active_n: int) -> None:
+        """In-place: fold the first active_n elements' adjacent pairs into
+        the prefix, leaving the tail STALE and the length unchanged (the
+        byte-exact RWC prover's in-place fold semantics read past the fold
+        frontier)."""
+        if self._mont is None:
+            a = self._ints
+            half = active_n // 2
+            for i in range(half):
+                a[i] = (a[2 * i] + r * (a[2 * i + 1] - a[2 * i])) % P
+            return
+        lib = _get_lib()
+        lib.frv_fold_adj_prefix(_buf(self._mont), active_n,
+                                _buf(_mont_scalars([r])))
+
     def fold_half(self, r: int) -> "FrVec":
         """new[i] = a[i] + r·(a[i+h] − a[i]), h = n/2; halves the length."""
         if self._mont is None:

@@ -286,7 +286,14 @@ class RamReadWriteCheckingProver:
         entries.sort(key=lambda e: (e.cycle, e.address))
         self.entries = entries
 
-        self.eq_evals = _eq_table_be([c % P for c in r_cycle])
+        from ..native.frvec import FrVec
+
+        # FrVec with IN-PLACE PREFIX folds: this prover's byte-exact schedule
+        # keeps full-length tables and reads beyond the fold frontier
+        # (stale tails), matching the original in-place list folds
+        self.inc = FrVec.from_ints(self.inc)
+        self.val_init = FrVec.from_ints(self.val_init)
+        self.eq_evals = FrVec.from_ints(_eq_table_be([c % P for c in r_cycle]))
         self.eq_size = T
         self.gruen = GruenSplitEq(list(r_cycle))
 
@@ -312,8 +319,8 @@ class RamReadWriteCheckingProver:
             e_in = E_in[x_in] if x_in < len(E_in) else 1
             E_pref = e_out * e_in % P
             jp = pair * 2
-            inc0 = self.inc[jp] if jp < len(self.inc) else 0
-            inc1 = self.inc[jp + 1] if jp + 1 < len(self.inc) else 0
+            inc0 = self.inc.get(jp) if jp < len(self.inc) else 0
+            inc1 = self.inc.get(jp + 1) if jp + 1 < len(self.inc) else 0
             incI = (inc1 - inc0) % P
 
             if e.cycle % 2 == 0:
@@ -346,8 +353,8 @@ class RamReadWriteCheckingProver:
         if addr_round == 0:
             self.entries.sort(key=lambda e: (e.address, e.cycle))
         g = self.gamma
-        eq_cycle = self.eq_evals[0]
-        inc_s = self.inc[0]
+        eq_cycle = self.eq_evals.first()
+        inc_s = self.inc.first()
         K = 1 << self.log_k
         vsize = K >> addr_round
         one_plus_g = (1 + g) % P
@@ -357,8 +364,8 @@ class RamReadWriteCheckingProver:
         while i < len(items):
             col = items[i].address >> addr_round
             col_pair = col // 2
-            even_cp = (self.val_init[col_pair * 2] if col_pair * 2 < vsize else 0)
-            odd_cp = (self.val_init[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
+            even_cp = (self.val_init.get(col_pair * 2) if col_pair * 2 < vsize else 0)
+            odd_cp = (self.val_init.get(col_pair * 2 + 1) if col_pair * 2 + 1 < vsize else 0)
             pair_end = i
             while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
                 pair_end += 1
@@ -429,12 +436,8 @@ class RamReadWriteCheckingProver:
         in_cycle = self.round < self.phase1 or self.round >= phase2_end
         if in_cycle and self.eq_size > 1:
             half = self.eq_size // 2
-            for i in range(half):
-                lo, hi = self.eq_evals[2 * i], self.eq_evals[2 * i + 1]
-                self.eq_evals[i] = (lo + r * (hi - lo)) % P
-            for i in range(half):
-                lo, hi = self.inc[2 * i], self.inc[2 * i + 1]
-                self.inc[i] = (lo + r * (hi - lo)) % P
+            self.eq_evals.fold_adj_prefix_(r, self.eq_size)
+            self.inc.fold_adj_prefix_(r, self.eq_size)
             self.eq_size = half
             self.gruen.bind(r)
             self._bind_entries_cycle(r)
@@ -443,10 +446,7 @@ class RamReadWriteCheckingProver:
             K = 1 << self.log_k
             size = K >> addr_round
             if size > 1:
-                half = size // 2
-                for i in range(half):
-                    lo, hi = self.val_init[2 * i], self.val_init[2 * i + 1]
-                    self.val_init[i] = (lo + r * (hi - lo)) % P
+                self.val_init.fold_adj_prefix_(r, size)
             self._bind_entries_address(r, addr_round)
         self.round += 1
 
@@ -496,8 +496,8 @@ class RamReadWriteCheckingProver:
         while i < len(items):
             col = items[i].address >> addr_round
             col_pair = col // 2
-            even_cp = (self.val_init[col_pair * 2] if col_pair * 2 < vsize else 0)
-            odd_cp = (self.val_init[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
+            even_cp = (self.val_init.get(col_pair * 2) if col_pair * 2 < vsize else 0)
+            odd_cp = (self.val_init.get(col_pair * 2 + 1) if col_pair * 2 + 1 < vsize else 0)
             pair_end = i
             while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
                 pair_end += 1
@@ -1145,12 +1145,12 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     for e in rwc.entries:
         ra_claim = (ra_claim + _ea(e.address) * _ec(e.cycle) % P * e.ra) % P
     res.rwc_ra_claim = ra_claim
-    val_claim = rwc.val_init[0]
+    val_claim = rwc.val_init.first()
     for e in rwc.entries:
-        delta = (e.val - rwc.val_init[e.address]) % P
+        delta = (e.val - rwc.val_init.get(e.address)) % P
         val_claim = (val_claim + _ea(e.address) * _ec(e.cycle) % P * delta) % P
     res.rwc_val_claim = val_claim
-    res.rwc_inc_claim = rwc.inc[0]
+    res.rwc_inc_claim = rwc.inc.first()
 
     res.output_val_final_claim = output.val_final.first()
     res.output_val_init_claim = output.val_init.first()
