@@ -49,8 +49,9 @@ def bind_first(evals, r, f: FieldConst = FR_C):
 def sum_mod(evals, f: FieldConst = FR_C):
     """Modular sum over axis 0 via a binary reduction tree of field adds.
 
-    Shapes must be a power of two on axis 0. TODO(perf): replace with a Pallas
-    kernel that accumulates raw u32 limbs in chunks and renormalizes once.
+    Shapes must be a power of two on axis 0. (A Pallas accumulate-then-
+    renormalize variant lives conceptually in field/pallas_kernels.py — see
+    its status note for why the XLA tree remains the production path.)
     """
     x = evals
     while x.shape[0] > 1:
