@@ -152,12 +152,14 @@ class FrVec:
             for p in positions:
                 out[p] = 1
             return cls(n, ints=out)
+        import numpy as np
+
         one = _mont_scalars([1])
         buf = bytearray(32 * n)
-        mv = memoryview(buf)
-        ob = bytes(one)
-        for p in positions:
-            mv[p * 32:(p + 1) * 32] = ob
+        pos = np.fromiter(positions, dtype=np.int64)
+        if pos.size:
+            view = np.frombuffer(buf, dtype=np.uint8).reshape(n, 32)
+            view[pos] = np.frombuffer(bytes(one), dtype=np.uint8)
         return cls(n, mont=buf)
 
     @classmethod
@@ -600,11 +602,24 @@ class FrVec:
         return _from_mont_list(out, 1)[0]
 
 
+_SCALAR_MEMO: dict[int, bytearray] = {}
+
+
 def _mont_scalars(vals: list[int]) -> bytearray:
     lib = _get_lib()
+    if len(vals) == 1:
+        # per-round fold challenges convert once, not once per table
+        v = vals[0] % P
+        hit = _SCALAR_MEMO.get(v)
+        if hit is not None:
+            return hit
     out = _pack(vals)
     p = _buf(out)
     lib.frv_to_mont(p, len(vals), p)
+    if len(vals) == 1:
+        if len(_SCALAR_MEMO) > 64:
+            _SCALAR_MEMO.clear()
+        _SCALAR_MEMO[vals[0] % P] = out
     return out
 
 
