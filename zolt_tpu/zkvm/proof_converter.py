@@ -49,8 +49,16 @@ def eq_evals_be(r: list[int], size: int) -> list[int]:
     return out[:size]
 
 
-def compute_claimed_inputs(witness_rows: list[list[int]], r_cycle_be: list[int]) -> list[int]:
-    """MLE evals of all 43 witness columns at r_cycle (big-endian)."""
+def compute_claimed_inputs(witness_rows: list[list[int]], r_cycle_be: list[int],
+                           wcols=None) -> list[int]:
+    """MLE evals of all 43 witness columns at r_cycle (big-endian). With the
+    stage-1 prover's cached FrVec columns, each eval is one native inner
+    product against the eq table instead of an O(T·43) Python sweep."""
+    if wcols is not None and len(witness_rows) == (1 << len(r_cycle_be)):
+        from ..native.frvec import FrVec
+
+        eqv = FrVec.eq_table_be([c % P for c in r_cycle_be])
+        return [wcols[i].inner(eqv) for i in range(ri.NUM_INPUTS)]
     eq = eq_evals_be(r_cycle_be, len(witness_rows))
     out = [0] * ri.NUM_INPUTS
     for t, w in enumerate(witness_rows):
@@ -64,9 +72,10 @@ def compute_claimed_inputs(witness_rows: list[list[int]], r_cycle_be: list[int])
 
 
 def add_spartan_outer_claims(claims: OpeningClaims, witness_rows, r_cycle_be,
-                             uni_skip_claim: int, transcript) -> list[int]:
+                             uni_skip_claim: int, transcript,
+                             wcols=None) -> list[int]:
     """Insert + absorb the 36 input claims (Jolt order) and the UniSkip claim."""
-    input_evals = compute_claimed_inputs(witness_rows, r_cycle_be)
+    input_evals = compute_claimed_inputs(witness_rows, r_cycle_be, wcols=wcols)
     for jolt_idx, poly in enumerate(R1CS_VIRTUAL_POLYS):
         claim = input_evals[jolt_idx]  # our layout matches Jolt's first 36
         claims.insert(OpeningId.virtual(poly, SumcheckId.SpartanOuter), claim)
@@ -221,7 +230,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
     r_cycle_be = list(reversed(conv.stage1.challenges[1:]))
     conv.input_evals = add_spartan_outer_claims(
         conv.proof.opening_claims, witness_rows, r_cycle_be,
-        conv.stage1.uni_skip_claim, transcript)
+        conv.stage1.uni_skip_claim, transcript, wcols=conv.stage1.wcols)
 
     conv.stage2_uniskip = prove_stage2_uniskip(
         witness_rows, conv.stage1, conv.input_evals, transcript)
@@ -300,7 +309,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
         with metrics.stage("stage3"):
             conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
-                                       r_spartan, r_product, oc)
+                                       r_spartan, r_product, oc,
+                                       wcols=conv.stage1.wcols)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
         _insert_stage3_claims(conv.proof.opening_claims, conv.stage3)
 

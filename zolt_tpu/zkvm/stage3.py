@@ -59,7 +59,7 @@ class Stage3Result:
 
 def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
                  r_outer: list[int], r_product: list[int],
-                 opening_claims) -> Stage3Result:
+                 opening_claims, wcols=None) -> Stage3Result:
     """opening_claims: callable (poly_name, sumcheck_name, index) -> int."""
     res = Stage3Result()
     T = 1 << n_cycle_vars
@@ -106,6 +106,8 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
     eq_prod = FrVec.from_ints(_eq_table_be(r_product)[:T])
 
     def col(idx):
+        if wcols is not None and len(witness_rows) == T:
+            return wcols[idx].copy()  # stage-1's cached column (consumed by folds)
         return FrVec.from_ints(
             [w[idx] % P for w in witness_rows[:T]] + [0] * (T - len(witness_rows)))
 

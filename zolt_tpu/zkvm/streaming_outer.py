@@ -74,7 +74,7 @@ def _constraint_columns(witnesses):
             cond, left, right = rc.CONSTRAINTS[ci]
             az_cols[g].append(lc_col(cond))
             bz_cols[g].append(lc_col(left).sub(lc_col(right)))
-    return az_cols, bz_cols
+    return az_cols, bz_cols, wcols
 
 
 def window_round_evals_multiquadratic(az: list[int], bz: list[int],
@@ -150,7 +150,8 @@ class StreamingOuterProver:
 
     def _cols(self):
         if getattr(self, "_az_cols", None) is None:
-            self._az_cols, self._bz_cols = _constraint_columns(self.witnesses)
+            self._az_cols, self._bz_cols, self._wcols = \
+                _constraint_columns(self.witnesses)
         return self._az_cols, self._bz_cols
 
     # -- round 0: UniSkip ---------------------------------------------------
@@ -293,6 +294,7 @@ class Stage1Proof:
     challenges: list[int] = dfield(default_factory=list)
     r0: int = 0
     uni_skip_claim: int = 0
+    wcols: list | None = None  # FrVec witness columns (stage-3/claims reuse)
 
 
 def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
@@ -321,9 +323,12 @@ def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
 
     lagrange_tau_r0 = us.lagrange_kernel(us.OUTER_DOMAIN, r0, tau[-1])
     cols = prover._cols()
+    wcols = prover._wcols
     prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0,
                                   backend=backend, mesh=mesh)
     prover._az_cols, prover._bz_cols = cols
+    prover._wcols = wcols
+    proof.wcols = wcols  # witness columns, reused by later stages
     uni_skip_claim = unipoly.horner_eval(s1, r0)
     proof.uni_skip_claim = uni_skip_claim
     prover.bind_first_round(r0, uni_skip_claim)
