@@ -394,9 +394,19 @@ def _build_inc_wa(accesses, initial_ram, trace_len: int, start_address: int,
         inc[ts] = (a.post_value - old) % P
         last[a.address] = a.post_value
         write_addr[ts] = idx
-    for j, idx in enumerate(write_addr):
-        if idx is not None:
-            wa[j] = _eq_le(r_address, idx)
+    n_writes = sum(1 for i in write_addr if i is not None)
+    if n_writes * len(r_address) > (1 << len(r_address)):
+        # dense writes: one LE eq table beats per-write pointwise products
+        from .stage2_batch import _eq_table_le
+
+        table = _eq_table_le(list(r_address), len(r_address))
+        for j, idx in enumerate(write_addr):
+            if idx is not None:
+                wa[j] = table[idx]
+    else:
+        for j, idx in enumerate(write_addr):
+            if idx is not None:
+                wa[j] = _eq_le(r_address, idx)
     return inc, wa
 
 
