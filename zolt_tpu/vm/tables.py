@@ -22,8 +22,22 @@ from ..field.params import FR
 P = FR.p
 
 
+def _spread64(x: int) -> int:
+    """Spread a 64-bit value's bits to the even positions of a 128-bit value
+    (Morton encoding; 6 shift-mask steps instead of a 64-iteration loop)."""
+    x = (x | (x << 32)) & 0x00000000FFFFFFFF00000000FFFFFFFF
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333333333333333333333333333
+    x = (x | (x << 1)) & 0x55555555555555555555555555555555
+    return x
+
+
 def interleave_bits(x: int, y: int, xlen: int = 64) -> int:
     """x bits to odd positions (higher), y to even: index bit 2i = y_i, 2i+1 = x_i."""
+    if xlen == 64:
+        return (_spread64(x) << 1) | _spread64(y)
     out = 0
     for i in range(xlen):
         out |= ((y >> i) & 1) << (2 * i)
