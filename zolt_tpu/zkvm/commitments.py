@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
 
+import numpy as np
+
 from ..field.params import FR
 from ..pcs import dory
 from ..vm.tables import interleave_bits
@@ -255,6 +257,26 @@ def build_instruction_ra(indices: list[int], size: int, shift: int) -> list[int]
     return poly
 
 
+def build_instruction_ra_all(indices: list[int], size: int, d: int) -> list[list[int]]:
+    """All d chunk polys in one pass: split each 128-bit index into two u64
+    numpy lanes once, then every chunk extraction is a vector shift+mask.
+    Chunk shifts are multiples of LOG_K_CHUNK and 64 % LOG_K_CHUNK == 0, so
+    no chunk straddles the u64 boundary. Matches build_instruction_ra."""
+    n = min(len(indices), size)
+    m64 = (1 << 64) - 1
+    lo = np.fromiter((idx & m64 for idx in indices[:n]), dtype=np.uint64, count=n)
+    hi = np.fromiter((idx >> 64 for idx in indices[:n]), dtype=np.uint64, count=n)
+    mask = np.uint64((1 << LOG_K_CHUNK) - 1)
+    pad = [0] * (size - n)
+    out = []
+    for j in range(d):
+        shift = LOG_K_CHUNK * (d - 1 - j)
+        src = hi if shift >= 64 else lo
+        s = np.uint64(shift - 64 if shift >= 64 else shift)
+        out.append(((src >> s) & mask).tolist() + pad)
+    return out
+
+
 def build_ram_ra(steps, size: int, shift: int) -> list[int]:
     mask = (1 << LOG_K_CHUNK) - 1
     poly = [0] * size
@@ -372,9 +394,8 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
     polys = [build_rd_inc(steps, res.reg_poly_size),
              build_ram_inc(steps, res.memory_poly_size)]
     indices = jolt_lookup_indices(steps)
-    for d in range(res.instruction_d):
-        shift = LOG_K_CHUNK * (res.instruction_d - 1 - d)
-        polys.append(build_instruction_ra(indices, res.reg_poly_size, shift))
+    polys.extend(build_instruction_ra_all(indices, res.reg_poly_size,
+                                          res.instruction_d))
     for d in range(res.ram_d):
         shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
         if sound:
