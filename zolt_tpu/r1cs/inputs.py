@@ -204,6 +204,21 @@ def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     left_is_pc = 1 if opcode in (0x17, 0x6F) else 0
     right_is_rs2 = 1 if opcode in (0x33, 0x63, 0x3B) else 0
     right_is_imm = 1 if opcode in (0x13, 0x03, 0x67, 0x23, 0x37, 0x17, 0x6F, 0x1B) else 0
+    zero_output = False
+    if sound:
+        # Sound-mode RAF binding (zkvm/raf_gadgets.py): operands that are
+        # not derivable from the committed lookup index (MULH*, the W
+        # family, the div/rem dividend) have their source flags zeroed, so
+        # the operand columns are provably zero and every remaining lookup
+        # claim is index-bound. LookupOutput is zeroed where the class has
+        # no output gadget (loads/stores/system/W) — unconstrained slots.
+        from ..zkvm.raf_gadgets import needs_witness_adjust
+
+        zl, zr, zero_output = needs_witness_adjust(instr)
+        if zl:
+            left_is_rs1 = left_is_pc = 0
+        if zr:
+            right_is_rs2 = right_is_imm = 0
     w[Inp.FlagLeftOperandIsRs1] = left_is_rs1
     w[Inp.FlagLeftOperandIsPC] = left_is_pc
     w[Inp.FlagRightOperandIsRs2] = right_is_rs2
@@ -216,7 +231,7 @@ def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     w[Inp.RightInstructionInput] = right
     w[Inp.Product] = left * right % P
 
-    w[Inp.LookupOutput] = compute_lookup_output(step) % P
+    w[Inp.LookupOutput] = 0 if zero_output else compute_lookup_output(step) % P
     w[Inp.PC] = step.pc % P
     w[Inp.UnexpandedPC] = step.unexpanded_pc % P
 

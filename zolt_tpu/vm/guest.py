@@ -148,6 +148,9 @@ class Asm:
     def remu(self, rd, rs1, rs2):  self._r(0x33, rd, 7, rs1, rs2, 1)
 
     def lui(self, rd, imm20):      self.words.append(0x37 | rd << 7 | (imm20 & 0xFFFFF) << 12)
+    def auipc(self, rd, imm20):    self.words.append(0x17 | rd << 7 | (imm20 & 0xFFFFF) << 12)
+    def sltiu(self, rd, rs1, imm): self._i(0x13, rd, 3, rs1, imm)
+    def jalr(self, rd, rs1, imm):  self._i(0x67, rd, 0, rs1, imm)
 
     def lb(self, rd, rs1, imm):    self._i(0x03, rd, 0, rs1, imm)
     def lw(self, rd, rs1, imm):    self._i(0x03, rd, 2, rs1, imm)
