@@ -292,18 +292,18 @@ void frv_quad_sums_half(const uint8_t *fbuf, const uint8_t *ebuf, long n,
  * k <= 8, degree <= 8. */
 void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
                         uint8_t *out) {
-    const fr *tp[8];
+    const fr *tp[40];
     for (int c = 0; c < k; c++) tp[c] = (const fr *)tabs[c];
-    fr acc[9];
+    fr acc[41];
     for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
 #ifdef _OPENMP
 #pragma omp parallel if (n > 4096)
     {
-        fr lacc[9];
+        fr lacc[41];
         for (int t = 0; t <= degree; t++) memset(&lacc[t], 0, sizeof(fr));
 #pragma omp for schedule(static) nowait
         for (long i = 0; i < n / 2; i++) {
-            fr val[8], d[8];
+            fr val[40], d[40];
             for (int c = 0; c < k; c++) {
                 val[c] = tp[c][2 * i];
                 fr_sub(&d[c], &tp[c][2 * i + 1], &val[c]);
@@ -320,7 +320,7 @@ void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
     }
 #else
     for (long i = 0; i < n / 2; i++) {
-        fr val[8], d[8];
+        fr val[40], d[40];
         for (int c = 0; c < k; c++) {
             val[c] = tp[c][2 * i];
             fr_sub(&d[c], &tp[c][2 * i + 1], &val[c]);
@@ -339,19 +339,19 @@ void frv_prod_evals_adj(const uint8_t *const *tabs, int k, long n, int degree,
 /* Stride-h pairing variant of the product-eval kernel. */
 void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
                          uint8_t *out) {
-    const fr *tp[8];
+    const fr *tp[40];
     for (int c = 0; c < k; c++) tp[c] = (const fr *)tabs[c];
     long h = n / 2;
-    fr acc[9];
+    fr acc[41];
     for (int t = 0; t <= degree; t++) memset(&acc[t], 0, sizeof(fr));
 #ifdef _OPENMP
 #pragma omp parallel if (h > 2048)
     {
-        fr lacc[9];
+        fr lacc[41];
         for (int t = 0; t <= degree; t++) memset(&lacc[t], 0, sizeof(fr));
 #pragma omp for schedule(static) nowait
         for (long i = 0; i < h; i++) {
-            fr val[8], d[8];
+            fr val[40], d[40];
             for (int c = 0; c < k; c++) {
                 val[c] = tp[c][i];
                 fr_sub(&d[c], &tp[c][i + h], &val[c]);
@@ -368,7 +368,7 @@ void frv_prod_evals_half(const uint8_t *const *tabs, int k, long n, int degree,
     }
 #else
     for (long i = 0; i < h; i++) {
-        fr val[8], d[8];
+        fr val[40], d[40];
         for (int c = 0; c < k; c++) {
             val[c] = tp[c][i];
             fr_sub(&d[c], &tp[c][i + h], &val[c]);

@@ -270,7 +270,8 @@ class FrVec:
         pairs. All vecs must share a length."""
         k, n = len(vecs), vecs[0].n
         lib = _get_lib()
-        if lib is None or any(v._mont is None for v in vecs):
+        if lib is None or k > 40 or degree > 40 \
+                or any(v._mont is None for v in vecs):
             tabs = [v._ints if v._ints is not None else v.to_ints() for v in vecs]
             out = []
             for t in range(degree + 1):
