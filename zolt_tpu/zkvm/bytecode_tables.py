@@ -133,13 +133,14 @@ class BytecodeIndex:
         self._cols = cols
         return cols
 
-    def gamma_rlc_table(self, gamma: int) -> list[int]:
-        """sum_i gamma^i * col_i[slot] over STATIC_COLS — the public table
-        the batched claimed-input read-check consumes."""
+    def gamma_rlc_table(self, gamma: int, cols_subset=None) -> list[int]:
+        """sum_i gamma^i * col_i[slot] over STATIC_COLS (or `cols_subset`,
+        in its order) — the public table the batched claimed-input
+        read-check consumes."""
         cols = self.static_cols()
         out = [0] * self.size
         g = 1
-        for c in STATIC_COLS:
+        for c in (cols_subset if cols_subset is not None else STATIC_COLS):
             col = cols[c]
             for k in range(self.size):
                 if col[k]:

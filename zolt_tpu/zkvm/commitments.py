@@ -356,7 +356,7 @@ def sound_layout_num_vars(trace_length: int, bytecode_len: int) -> int:
 def commit_and_absorb(transcript, steps, bytecode_len: int,
                       memory_trace_len: int, srs=None,
                       sound: bool = False, log_ram_k: int = 0,
-                      start_address: int = 0) -> CommitmentPhase:
+                      start_address: int = 0, bc_index=None) -> CommitmentPhase:
     """Build + commit + absorb all committed polys; mirrors
     src/zkvm/mod.zig:817-1010. `steps` is the (padded) execution trace.
 
@@ -377,7 +377,17 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
         # compat: RamRa chunks the raw address over the memory-trace cube
         log_ram_k = res.memory_poly_size.bit_length() - 1
     res.instruction_d = (LOG_K_INSTRUCTION + LOG_K_CHUNK - 1) // LOG_K_CHUNK
-    res.bytecode_d = max(1, (log_bytecode_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
+    if sound:
+        # sound: BytecodeRa chunks the bytecode SLOT index (stage 10-12
+        # layout, zkvm/bytecode_raf.py); requires the public slot index
+        if bc_index is None:
+            raise ValueError("sound commitments need bc_index "
+                             "(zkvm.bytecode_tables.BytecodeIndex)")
+        from .bytecode_raf import bc_chunk_count
+
+        res.bytecode_d = bc_chunk_count(bc_index.log_k)
+    else:
+        res.bytecode_d = max(1, (log_bytecode_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
     res.ram_d = max(1, (log_ram_k + LOG_K_CHUNK - 1) // LOG_K_CHUNK)
 
     if sound:
@@ -393,9 +403,18 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
 
     polys = [build_rd_inc(steps, res.reg_poly_size),
              build_ram_inc(steps, res.memory_poly_size)]
-    indices = jolt_lookup_indices(steps)
-    polys.extend(build_instruction_ra_all(indices, res.reg_poly_size,
-                                          res.instruction_d))
+    n_cycle_vars = res.reg_poly_size.bit_length() - 1
+    if sound:
+        # one-hot (chunk-value × cycle) cubes over the SOUND lookup index —
+        # the committed polys the stage-8/9/10 lookups argument opens
+        # (zkvm/lookups_raf.py); layout identical to build_io_oh_cubes.
+        from .bytecode_raf import build_io_oh_cubes
+
+        polys.extend(c.to_ints() for c in build_io_oh_cubes(steps, n_cycle_vars))
+    else:
+        indices = jolt_lookup_indices(steps)
+        polys.extend(build_instruction_ra_all(indices, res.reg_poly_size,
+                                              res.instruction_d))
     for d in range(res.ram_d):
         shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
         if sound:
@@ -405,9 +424,17 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
                                              start_address, log_ram_k))
         else:
             polys.append(build_ram_ra(steps, res.memory_poly_size, shift))
-    for d in range(res.bytecode_d):
-        shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
-        polys.append(build_bytecode_ra(steps, res.bytecode_poly_size, shift))
+    if sound:
+        # one-hot bytecode-slot chunk cubes (stage 10-12 layout)
+        from .bytecode_raf import build_bc_oh_cubes
+
+        slots = bc_index.slots_per_cycle(steps)
+        polys.extend(c.to_ints() for c in
+                     build_bc_oh_cubes(slots, n_cycle_vars, bc_index.log_k))
+    else:
+        for d in range(res.bytecode_d):
+            shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
+            polys.append(build_bytecode_ra(steps, res.bytecode_poly_size, shift))
 
     if sound:
         res.polys = polys

@@ -146,9 +146,13 @@ def deserialize_jolt_proof(data: bytes, *, variant: str = "canonical") -> JoltPr
         proof.rw_config = ReadWriteConfig(r.u8(), r.u8(), r.u8(), r.u8())
         proof.one_hot_config = OneHotConfig(r.u8(), r.u8())
         proof.dory_layout = r.u8()
-    # optional sound-mode PCS-binding section (absent in reference proofs)
+    # optional sound-mode trailing sections (absent in reference proofs):
+    # first the PCS batch opening, then the stage-8-12 lookups extension
     if r.pos < len(data) and r.u8() == 1:
         n = r.u64()
-        proof.batch_opening = bytes(r.take(n))
+        proof.batch_opening = bytes(r.take(n)) or None
+    if r.pos < len(data) and r.u8() == 1:
+        n = r.u64()
+        proof.lookups_ext = bytes(r.take(n))
     assert r.pos == len(data), f"trailing bytes: {len(data) - r.pos}"
     return proof

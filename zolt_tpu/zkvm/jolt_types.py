@@ -262,6 +262,9 @@ class JoltProof:
     # trailing section in both container layouts (absent in
     # reference-compat proofs, preserving golden byte-exactness).
     batch_opening: bytes | None = None
+    # Sound-mode lookups argument (stages 8-12, zkvm/sound_lookups.py):
+    # optional trailing section after batch_opening in both layouts.
+    lookups_ext: bytes | None = None
     trace_length: int = 0
     ram_k: int = 0
     bytecode_k: int = 0
@@ -293,9 +296,12 @@ class JoltProof:
         out.append(self.rw_config.serialize())
         out.append(self.one_hot_config.serialize())
         out.append(bytes([self.dory_layout]))
-        if self.batch_opening is not None:
-            out.append(b"\x01" + struct.pack("<Q", len(self.batch_opening))
-                       + self.batch_opening)
+        if self.batch_opening is not None or self.lookups_ext is not None:
+            bo = self.batch_opening or b""
+            out.append(b"\x01" + struct.pack("<Q", len(bo)) + bo)
+        if self.lookups_ext is not None:
+            out.append(b"\x01" + struct.pack("<Q", len(self.lookups_ext))
+                       + self.lookups_ext)
         return b"".join(out)
 
     def serialize_with_dory(self) -> bytes:
@@ -322,7 +328,10 @@ class JoltProof:
         out.append(struct.pack("<QQQQQ", self.trace_length, self.ram_k,
                                self.bytecode_k, self.one_hot_config.log_k_chunk,
                                self.one_hot_config.lookups_ra_virtual_log_k_chunk))
-        if self.batch_opening is not None:
-            out.append(b"\x01" + struct.pack("<Q", len(self.batch_opening))
-                       + self.batch_opening)
+        if self.batch_opening is not None or self.lookups_ext is not None:
+            bo = self.batch_opening or b""
+            out.append(b"\x01" + struct.pack("<Q", len(bo)) + bo)
+        if self.lookups_ext is not None:
+            out.append(b"\x01" + struct.pack("<Q", len(self.lookups_ext))
+                       + self.lookups_ext)
         return b"".join(out)

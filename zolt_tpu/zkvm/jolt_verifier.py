@@ -973,6 +973,36 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
         s6 = _verify_stage6(ctx, s2)
         s7 = _verify_stage7(ctx, s6)
 
+        # Stages 8-12: the sound lookups + bytecode read arguments
+        # (zkvm/sound_lookups.py). Binds the stage-1 LookupOutput/operand
+        # claims to the public per-instruction gadgets through the
+        # committed one-hot InstructionRa chunks, proves booleanity +
+        # Hamming linkage of every instruction/bytecode chunk, and proves
+        # all bytecode-static claimed input columns by a batched read-check
+        # the verifier evaluates itself (public bytecode tables).
+        from .bytecode_tables import BytecodeIndex
+        from .proof_converter import R1CS_VIRTUAL_POLYS
+        from .sound_lookups import (deserialize_sound_lookups,
+                                    verify_sound_lookups)
+
+        _check(proof.lookups_ext is not None,
+               "sound-mode proof is missing the stage-8-12 lookups "
+               "extension (use --reference-compat for reference artifacts)")
+        bc_index = BytecodeIndex.from_elf(elf_path)
+        slp = deserialize_sound_lookups(proof.lookups_ext)
+
+        def input_eval(inp):
+            v = ctx.claims.get(OpeningId.virtual(
+                R1CS_VIRTUAL_POLYS[int(inp)], SumcheckId.SpartanOuter))
+            _check(v is not None, f"missing SpartanOuter claim for {inp!r}")
+            return v
+
+        ok_lk, slk_info = verify_sound_lookups(
+            tp, slp, bc_index, input_eval, list(stage1_challenges[1:]),
+            n_cycle_vars)
+        _check(ok_lk, "sound lookups verification failed at stage "
+                      f"{slk_info.get('stage')}")
+
     if not allow_reference_compat:
         # PCS binding: every committed-poly evaluation consumed above must
         # be proven against the absorbed GT commitments via the batch
@@ -1016,6 +1046,22 @@ def verify_jolt(proof: JoltProof, elf_path: str, *,
             _check(val is not None, f"missing opening claim {name}")
             _check(ci < len(proof.commitments), "missing commitment")
             bclaims.append(pcs_batch.BatchClaim(proof.commitments[ci], pt, val))
+        # stage-8-12 one-hot chunk openings (values transcript-checked by
+        # verify_sound_lookups; points from our own challenge bookkeeping)
+        from .opening_binding import lookups_oh_specs
+
+        s9_pts, s9_ch, s9_vals = slk_info["s9_oh"]
+        s10_ch, s10_io, s10_bc = slk_info["s10"]
+        s12_pts, s12_ch, s12_vals = slk_info["s12_oh"]
+        lk_specs = lookups_oh_specs(s9_pts, s9_ch, s10_ch, s12_pts, s12_ch,
+                                    instruction_d, ram_d)
+        lk_values = (list(s9_vals) + list(s10_io) + list(s10_bc)
+                     + list(s12_vals))
+        _check(len(lk_specs) == len(lk_values), "lookups spec/value mismatch")
+        for (name, ci, pt), val in zip(lk_specs, lk_values):
+            _check(ci < len(proof.commitments), f"missing commitment {name}")
+            bclaims.append(pcs_batch.BatchClaim(proof.commitments[ci], pt,
+                                                val % FR.p))
         n_global = sound_layout_num_vars(trace_length, len(image))
         srs = pcs_dory.setup(n_global)
         bproof, _ = pcs_batch.deserialize_batch_opening(proof.batch_opening)

@@ -76,3 +76,33 @@ def sound_claim_specs(s2_challenges: list[int], s4_challenges: list[int],
     for d in range(len(chunk_rwc)):
         specs.append((f"RamRaOH{d}@Booleanity", base + d, r7_be))
     return specs
+
+
+def lookups_oh_specs(s9_chunk_pts, s9_challenges, s10_challenges,
+                     s12_chunk_pts, s12_challenges,
+                     instruction_d: int, ram_d: int):
+    """Stage-8-12 one-hot opening specs (zkvm/sound_lookups.py).
+
+    Commitment layout: [RdInc, RamInc, InstrRaOH x instruction_d,
+    RamRaOH x ram_d, BytecodeRaOH x bc_d]. Every one-hot cube has flat
+    index k_chunk·2^n_cycle + j and is folded low-bit-first, so:
+      stage 9/12 (cycle-only folds, chunk vars pre-evaluated at the 4-bit
+        LE chunk points) -> BE point = [reversed chunk pt, reversed cycles];
+      stage 10 booleanity (whole-cube fold) -> BE point = reversed rounds.
+    Value order matches: s9 oh, s10 io oh, s10 bc oh, s12 oh."""
+    specs = []
+    r9_be = list(reversed(s9_challenges))
+    for d, pt in enumerate(s9_chunk_pts):
+        specs.append((f"InstrRaOH{d}@InstructionRaVirtualization", 2 + d,
+                      list(reversed(pt)) + r9_be))
+    r10_be = list(reversed(s10_challenges))
+    for d in range(instruction_d):
+        specs.append((f"InstrRaOH{d}@Booleanity", 2 + d, r10_be))
+    bc_base = 2 + instruction_d + ram_d
+    for d in range(len(s12_chunk_pts)):
+        specs.append((f"BytecodeRaOH{d}@Booleanity", bc_base + d, r10_be))
+    r12_be = list(reversed(s12_challenges))
+    for d, pt in enumerate(s12_chunk_pts):
+        specs.append((f"BytecodeRaOH{d}@BytecodeReadRaf", bc_base + d,
+                      list(reversed(pt)) + r12_be))
+    return specs

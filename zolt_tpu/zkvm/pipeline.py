@@ -80,6 +80,11 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     from ..utils.log import metrics
 
     bytecode_len = len(getattr(emu, "program_bytecode", b"")) or _bytecode_len(elf_path)
+    bc_index = None
+    if sound:
+        from .bytecode_tables import BytecodeIndex
+
+        bc_index = BytecodeIndex.from_elf(elf_path)
     phase = None
     if golden_commitments is not None:
         for c in golden_commitments:
@@ -90,13 +95,15 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
             phase = commit_and_absorb(transcript, padded, bytecode_len,
                                       len(emu.ram.trace), srs=srs, sound=sound,
                                       log_ram_k=LOG_RAM_K,
-                                      start_address=emu.device.layout.lowest_address())
+                                      start_address=emu.device.layout.lowest_address(),
+                                      bc_index=bc_index)
         commitment_bytes = list(phase.commitments)
 
     tau = derive_tau(transcript, n_cycle_vars)
     conv = convert_with_transcript(padded, tau, transcript, emulator=emu,
                                    log_ram_k=LOG_RAM_K, stages=stages, sound=sound,
-                                   stage1_backend=stage1_backend, mesh=mesh)
+                                   stage1_backend=stage1_backend, mesh=mesh,
+                                   bc_index=bc_index)
 
     proof = conv.proof
     proof.commitments = commitment_bytes
@@ -134,6 +141,21 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
             values += ([conv.stage5.inc_claim]
                        + conv.stage6.oh_rwc_claims + conv.stage6.oh_raf_claims
                        + conv.stage7.oh_claims)
+            if conv.sound_lookups is not None:
+                from .bytecode_raf import bc_chunk_count, bc_chunk_points
+                from .lookups_raf import chunk_points
+                from .opening_binding import lookups_oh_specs
+
+                slp = conv.sound_lookups
+                bc_d = bc_chunk_count(bc_index.log_k)
+                specs += lookups_oh_specs(
+                    chunk_points(slp.s8.r_addr), slp.s9.challenges,
+                    slp.s10.challenges,
+                    bc_chunk_points(slp.s11.r_addr, bc_d),
+                    slp.s12.challenges,
+                    phase.instruction_d, phase.ram_d)
+                values += (slp.s9.oh_claims + slp.s10.io_oh_claims
+                           + slp.s10.bc_oh_claims + slp.s12.oh_claims)
         else:
             specs = committed_claim_specs(conv.stage2_batch.challenges,
                                           conv.stage4.challenges,

@@ -193,6 +193,7 @@ class JoltConversion:
     stage5: object = None
     stage6: object = None
     stage7: object = None
+    sound_lookups: object = None  # SoundLookupsProof (stages 8-12)
     input_evals: list[int] = dfield(default_factory=list)
 
 
@@ -200,7 +201,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                             emulator=None, log_ram_k: int = 16,
                             stages: int = 7, sound: bool = False,
                             stage1_backend: str = "host",
-                            mesh=None) -> JoltConversion:
+                            mesh=None, bc_index=None) -> JoltConversion:
     """Drive the Jolt proof stages implemented so far. Pass the finished
     emulator to enable the stage-2 batched sumcheck (needs RAM traces).
 
@@ -360,6 +361,20 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                     start_address)
             conv.proof.stage7_sumcheck = SIP(conv.stage7.compressed_polys)
             _insert_sound_stage567_claims(conv.proof.opening_claims, conv)
+            if bc_index is not None:
+                # Stages 8-12: the sound lookups + bytecode read arguments
+                # (zkvm/sound_lookups.py) — real protocols behind the
+                # reference's LookupsRAF/BytecodeRAF zero placeholders.
+                from .sound_lookups import (prove_sound_lookups,
+                                            serialize_sound_lookups)
+
+                rc1_le = list(conv.stage1.challenges[1:])
+                with metrics.stage("stages8_12"):
+                    conv.sound_lookups = prove_sound_lookups(
+                        transcript, padded_steps, bc_index,
+                        conv.input_evals, rc1_le, n_cycle_vars)
+                conv.proof.lookups_ext = serialize_sound_lookups(
+                    conv.sound_lookups)
         else:
             # Compat: the reference emits zero sumcheck proofs + zero claims
             # (proof_converter.zig:2628-2683); no transcript absorption.
