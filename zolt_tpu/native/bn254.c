@@ -1401,6 +1401,29 @@ static int pip_window_size(int n) {
     return 12;
 }
 
+/* highest set bit position (+1) across m 32-byte LE scalars; 0 if all zero.
+ * One-hot indicators and u64 machine words dominate the committed-poly
+ * workload, so capping the Pippenger window walk at the real top bit skips
+ * the ~3/4 of window iterations whose buckets would all be empty. */
+static int scalars_top_bits(const uint8_t *sc, int m) {
+    int top_byte = -1;
+    for (int i = 0; i < m; i++) {
+        const uint8_t *s = sc + (long)i * 32;
+        for (int k = 31; k > top_byte; k--)
+            if (s[k]) { top_byte = k; break; }
+    }
+    if (top_byte < 0) return 0;
+    uint8_t hi = 0;
+    for (int i = 0; i < m; i++) {
+        uint8_t v = sc[(long)i * 32 + top_byte];
+        if (v > hi) hi = v;
+    }
+    int b = 0;
+    while (hi) { hi >>= 1; b++; }
+    int bits = top_byte * 8 + b;
+    return bits > 254 ? 254 : bits;
+}
+
 /* bits [pos, pos+c) of a 256-bit little-endian scalar, c <= 12 */
 static inline int scalar_digit(const uint8_t *s, int pos, int c) {
     int byte = pos >> 3, sh = pos & 7;
@@ -1424,9 +1447,11 @@ static void g1_msm_core(g1jac *acc, const fp *px, const fp *py,
         }
         return;
     }
+    int top_bits = scalars_top_bits(sc, m);
+    if (top_bits == 0) return;
     int nbuckets = (1 << c) - 1;
     g1jac *buckets = malloc((size_t)nbuckets * sizeof(g1jac));
-    int nwin = (254 + c - 1) / c;
+    int nwin = (top_bits + c - 1) / c;
     for (int w = nwin - 1; w >= 0; w--) {
         if (w != nwin - 1)
             for (int k = 0; k < c; k++) g1_dbl(acc, acc);
@@ -1464,9 +1489,11 @@ static void g2_msm_core(g2jac *acc, const fp2 *px, const fp2 *py,
         }
         return;
     }
+    int top_bits = scalars_top_bits(sc, m);
+    if (top_bits == 0) return;
     int nbuckets = (1 << c) - 1;
     g2jac *buckets = malloc((size_t)nbuckets * sizeof(g2jac));
-    int nwin = (254 + c - 1) / c;
+    int nwin = (top_bits + c - 1) / c;
     for (int w = nwin - 1; w >= 0; w--) {
         if (w != nwin - 1)
             for (int k = 0; k < c; k++) g2_dbl(acc, acc);

@@ -829,7 +829,22 @@ def open_fixed(srs: DorySRS, evals: list[int], point: list[int]) -> DoryProof:
             for i in range(col_len):
                 v1[i] = G1.add(v1[i], G1.scalar_mul(srs.g1_vec[i], beta)) if v1[i] is not None \
                     else G1.scalar_mul(srs.g1_vec[i], beta)
-        _f2 = g2_fold_native(srs.g2_vec[:row_len], v2[:row_len], beta_inv)
+        # beta_inv is a full-width scalar but g2_vec is the fixed SRS vector
+        # and beta is deterministic (rnd+1), so beta_inv·g2_vec[:row_len] is
+        # reusable across every opening with this SRS: cache it per (rnd,
+        # row_len) and reduce the fold to row_len point additions (scalar=1).
+        cache = getattr(srs, "_beta_g2_cache", None)
+        if cache is None:
+            cache = {}
+            srs._beta_g2_cache = cache
+        pre = cache.get((rnd, row_len))
+        if pre is None and (rnd, row_len) not in cache:
+            pre = g2_fold_native(srs.g2_vec[:row_len], [None] * row_len, beta_inv)
+            cache[(rnd, row_len)] = pre
+        if pre is not None:
+            _f2 = g2_fold_native(pre, v2[:row_len], 1)
+        else:
+            _f2 = g2_fold_native(srs.g2_vec[:row_len], v2[:row_len], beta_inv)
         if _f2 is not None:
             v2[:row_len] = _f2
         else:
