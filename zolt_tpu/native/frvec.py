@@ -33,9 +33,25 @@ def _get_lib():
     return lib if lib is not None and getattr(lib, "_frv_ready", False) else None
 
 
-def _buf(b: bytearray) -> ctypes.c_char_p:
-    """Zero-copy pointer to a bytearray's storage."""
-    return ctypes.cast((ctypes.c_char * len(b)).from_buffer(b), ctypes.c_char_p)
+_ARRT: dict[int, type] = {}
+
+
+def _buf(b: bytearray):
+    """Zero-copy pointer to a bytearray's storage. c_char_p.from_param
+    accepts a c_char array directly, so with a cached array type per length
+    this skips both the per-call type creation and the ctypes.cast (~5x
+    cheaper; _buf runs thousands of times per prove)."""
+    n = len(b)
+    t = _ARRT.get(n)
+    if t is None:
+        t = _ARRT[n] = ctypes.c_char * n
+    return t.from_buffer(b)
+
+
+def _bufp(b: bytearray) -> ctypes.c_char_p:
+    """As _buf but a real c_char_p, for (c_char_p * k) pointer arrays whose
+    element assignment bypasses from_param."""
+    return ctypes.cast(_buf(b), ctypes.c_char_p)
 
 
 def _pack(vals: list[int]) -> bytearray:
@@ -284,7 +300,7 @@ class FrVec:
                     s = (s + prod) % P
                 out.append(s)
             return out
-        ptrs = (ctypes.c_char_p * k)(*[_buf(v._mont) for v in vecs])
+        ptrs = (ctypes.c_char_p * k)(*[_bufp(v._mont) for v in vecs])
         outb = bytearray(32 * (degree + 1))
         lib.frv_prod_evals_adj(ptrs, k, n, degree, _buf(outb))
         return _from_mont_list(outb, degree + 1)
@@ -307,7 +323,7 @@ class FrVec:
                     s = (s + prod) % P
                 out.append(s)
             return out
-        ptrs = (ctypes.c_char_p * k)(*[_buf(v._mont) for v in vecs])
+        ptrs = (ctypes.c_char_p * k)(*[_bufp(v._mont) for v in vecs])
         outb = bytearray(32 * (degree + 1))
         lib.frv_prod_evals_half(ptrs, k, n, degree, _buf(outb))
         return _from_mont_list(outb, degree + 1)
@@ -363,7 +379,7 @@ class FrVec:
                 if c % P:
                     out.axpy_(col, c)
             return out
-        ptrs = (ctypes.c_char_p * k)(*[_buf(c._mont) for c in cols])
+        ptrs = (ctypes.c_char_p * k)(*[_bufp(c._mont) for c in cols])
         cm = _mont_scalars(coeffs)
         out = bytearray(32 * n)
         lib.frv_lincomb(ptrs, _buf(cm), k, n, _buf(out))
@@ -461,7 +477,7 @@ class FrVec:
                 q0 = (q0 + E * c0) % P
                 qX2 = (qX2 + E * cX) % P
             return q0, qX2
-        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_bufp(r._mont) for r in rows])
         out = bytearray(64)
         lib.frv_s4_phase1(_buf(e_out._mont), _buf(e_in._mont), head_in,
                           ptr(ra_rows), ptr(wa_rows), ptr(val_rows),
@@ -489,7 +505,7 @@ class FrVec:
                     v2 = 2 * vali[ko][j] - vali[ke][j]
                     e2 = (e2 + eqi[j] * (ra2 * v2 + wa2 * (v2 + incl[j]))) % P
             return e0, e2
-        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_bufp(r._mont) for r in rows])
         out = bytearray(64)
         lib.frv_s4_phase2(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
                           ptr(wa_rows), ptr(val_rows), pairs, T, _buf(out))
@@ -520,7 +536,7 @@ class FrVec:
                         s += ra_t * v_t + wa_t * (v_t + inc0 + t * incs)
                     out3[ti] = (out3[ti] + (eq0 + t * eqs) * s) % P
             return out3[0], out3[1], out3[2]
-        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_buf(r._mont) for r in rows])
+        ptr = lambda rows: (ctypes.c_char_p * len(rows))(*[_bufp(r._mont) for r in rows])
         out = bytearray(96)
         lib.frv_s4_phase3(_buf(eq._mont), _buf(inc._mont), ptr(ra_rows),
                           ptr(wa_rows), ptr(val_rows), len(ra_rows), T, _buf(out))
