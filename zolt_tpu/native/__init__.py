@@ -374,6 +374,33 @@ def g2_batch_mul_native(point, scalars):
     return [_g2_from_out(bytes(out[i * 129:(i + 1) * 129])) for i in range(n)]
 
 
+def g1_msm_rows_canon_native(points, scalar_bytes, rows):
+    """[MSM(points, scalar_bytes[r*n*32:(r+1)*n*32]) for r in range(rows)]:
+    shared bases, canonical 32-byte LE scalars already packed (e.g. straight
+    out of FrVec.to_canonical_bytes) — zero per-element Python work.
+    Returns None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(points)
+    assert len(scalar_bytes) >= 32 * n * rows
+    pb = bytearray(64 * n)
+    pmv = memoryview(pb)
+    for i, p in enumerate(points):
+        if p is None:
+            continue
+        pmv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
+        pmv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
+    out = bytearray(65 * rows)
+    lib.bn254_g1_msm_rows(
+        ctypes.cast((ctypes.c_char * len(pb)).from_buffer(pb), ctypes.c_char_p),
+        ctypes.cast((ctypes.c_char * len(scalar_bytes)).from_buffer(scalar_bytes),
+                    ctypes.c_char_p),
+        n, rows,
+        ctypes.cast((ctypes.c_char * len(out)).from_buffer(out), ctypes.c_char_p))
+    return [_g1_from_out(bytes(out[r * 65:(r + 1) * 65])) for r in range(rows)]
+
+
 def g1_msm_rows_native(points, scalar_rows):
     """[MSM(points, row) for row in scalar_rows] with bases parsed once.
     scalar_rows: list of equal-length lists of canonical ints (len(points)).

@@ -213,6 +213,29 @@ class FrVec:
         lib.frv_from_mont(_buf(self._mont), self.n, _buf(out))
         return _unpack(out, self.n)
 
+    def to_canonical_bytes(self) -> bytearray:
+        """Canonical 32-byte LE scalars, one native from_mont pass (no
+        per-element Python int round-trip — the commit/open fast path)."""
+        out = bytearray(32 * self.n)
+        if self._mont is None:
+            mv = memoryview(out)
+            for i, v in enumerate(self._ints):
+                mv[i * 32:(i + 1) * 32] = (v % P).to_bytes(32, "little")
+            return out
+        lib = _get_lib()
+        lib.frv_from_mont(_buf(self._mont), self.n, _buf(out))
+        return out
+
+    def zero_padded_copy(self, n: int) -> "FrVec":
+        """Fresh length-n copy with a zero tail (Montgomery zero is the zero
+        byte string, so padding is a prefix memcpy)."""
+        assert n >= self.n
+        if self._mont is not None:
+            buf = bytearray(32 * n)
+            buf[: 32 * self.n] = self._mont[: 32 * self.n]
+            return FrVec(n, mont=buf)
+        return FrVec(n, ints=self._ints + [0] * (n - self.n))
+
     def __len__(self) -> int:
         return self.n
 
@@ -278,6 +301,19 @@ class FrVec:
         p = _buf(self._mont)
         lib.frv_fold_half(p, self.n, _buf(_mont_scalars([r])), p)
         return FrVec(self.n // 2, mont=self._mont)
+
+    def fold_half_fresh(self, r: int) -> "FrVec":
+        """fold_half into a NEW half-size buffer, leaving self untouched
+        (copy-on-write first fold for tables shared between claims)."""
+        if self._mont is None:
+            a, h = self._ints, self.n // 2
+            return FrVec(h, ints=[(a[i] + r * (a[i + h] - a[i])) % P
+                                  for i in range(h)])
+        lib = _get_lib()
+        out = bytearray(32 * (self.n // 2))
+        lib.frv_fold_half(_buf(self._mont), self.n, _buf(_mont_scalars([r])),
+                          _buf(out))
+        return FrVec(self.n // 2, mont=out)
 
     # -- round sums -----------------------------------------------------
     @staticmethod

@@ -29,13 +29,19 @@ Dory point is q[ν:] + q[:ν].
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field as dfield
 
 from ..field import tower as tw
 from ..field.params import FR
+from ..native.frvec import FrVec
 from . import dory
 
 P = FR.p
+
+# opt-in prover-side bookkeeping asserts (one full MLE eval per claim)
+_SELF_CHECK = bool(os.environ.get("ZOLT_TPU_CHECK"))
 
 
 # ---------------------------------------------------------------------------
@@ -159,16 +165,13 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     fs = []              # raw (unpadded) eval tables, reduced mod P
     vals = []            # claimed values mod P
     coeffs = []
-    s_f = [1] * n_claims  # Π(1−r) accumulated while dormant (f-table scalar)
-    s_e = [1] * n_claims  # same for the eq table
-    ftabs: list[FrVec | None] = [None] * n_claims
-    etabs: list[FrVec | None] = [None] * n_claims
     c_pow = 1
     claim_sum = 0
     for cl in claims:
         n_i = len(cl.point_be)
         assert n_i <= num_vars
-        f = [v % P for v in cl.evals]
+        f = cl.evals if isinstance(cl.evals, FrVec) \
+            else [v % P for v in cl.evals]
         assert len(f) <= (1 << n_i)
         n_is.append(n_i)
         fs.append(f)
@@ -177,32 +180,77 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
         claim_sum = (claim_sum + c_pow * cl.value) % P
         c_pow = c_pow * rho % P
 
-    def _activate(i: int) -> None:
-        f = fs[i] + [0] * ((1 << n_is[i]) - len(fs[i]))
-        fv = FrVec.from_ints(f)
-        q = [c % P for c in claims[i].point_be]
-        assert fv.mle_eval_be(q) == vals[i], "claim value != f(q)"
-        ftabs[i] = fv
-        etabs[i] = FrVec.eq_table_be(q)
+    # Dedupe: claims over the SAME eval table with the same point length
+    # share one f-table (the fold challenges are shared, so their folded
+    # tables stay identical forever), and their eq tables merge by linearity
+    # into Σ_i c_i·eq(q_i,·) — the round polys are byte-identical to the
+    # per-claim schedule, with ~half the table memory and fold work.
+    gkey: dict = {}
+    group_of: list[int] = []
+    g_members: list[list[int]] = []
+    for i, cl in enumerate(claims):
+        key = (id(cl.evals), n_is[i])
+        g = gkey.get(key)
+        if g is None:
+            g = gkey[key] = len(g_members)
+            g_members.append([])
+        group_of.append(g)
+        g_members[g].append(i)
+    n_groups = len(g_members)
+    g_n = [n_is[m[0]] for m in g_members]
+    g_sf = [1] * n_groups   # Π(1−r) accumulated while dormant (f scalar)
+    g_se = [1] * n_groups   # same for the merged eq table
+    g_f: list[FrVec | None] = [None] * n_groups
+    g_e: list[FrVec | None] = [None] * n_groups
+    g_cow = [False] * n_groups  # f-table shared with the caller: first fold
+                                #   must write a fresh buffer
 
-    for i in range(n_claims):
-        if n_is[i] == num_vars:
-            _activate(i)
+    def _activate(g: int) -> None:
+        members = g_members[g]
+        f = fs[members[0]]
+        n_i = g_n[g]
+        if isinstance(f, FrVec):
+            if f.n == (1 << n_i):
+                fv = f               # copy-on-write (see g_cow)
+                g_cow[g] = True
+            else:
+                fv = f.zero_padded_copy(1 << n_i)
+        else:
+            fv = FrVec.from_ints(f + [0] * ((1 << n_i) - len(f)))
+        et = None
+        for i in members:
+            q = [c % P for c in claims[i].point_be]
+            if _SELF_CHECK:
+                # prover-side bookkeeping check only (the verifier enforces
+                # the real binding); a full MLE eval per claim → opt-in
+                assert fv.mle_eval_be(q) == vals[i], "claim value != f(q)"
+            if et is None:
+                et = FrVec.eq_table_be(q).scale(coeffs[i])
+            else:
+                et.axpy_(FrVec.eq_table_be(q), coeffs[i])
+        g_f[g] = fv
+        g_e[g] = et
+
+    for g in range(n_groups):
+        if g_n[g] == num_vars:
+            _activate(g)
 
     # sumcheck: N rounds, degree 2, bind MSB first
     r_star: list[int] = []
     cur = claim_sum
     for k in range(num_vars):
         e0 = e2 = 0
-        for i in range(n_claims):
-            f, e = ftabs[i], etabs[i]
-            if f is None:  # dormant: closed-form contribution
-                a = s_f[i] * s_e[i] % P * vals[i] % P
-                e0 = (e0 + coeffs[i] * a) % P
-                e2 = (e2 + coeffs[i] * a) % P
+        for g in range(n_groups):
+            f, e = g_f[g], g_e[g]
+            if f is None:  # dormant: closed-form contribution per claim
+                s = g_sf[g] * g_se[g] % P
+                for i in g_members[g]:
+                    a = s * vals[i] % P * coeffs[i] % P
+                    e0 = (e0 + a) % P
+                    e2 = (e2 + a) % P
                 continue
             a0, a2 = FrVec.quad_sums_half(f, e)
-            scale = coeffs[i] * s_f[i] % P * s_e[i] % P
+            scale = g_sf[g] * g_se[g] % P
             e0 = (e0 + scale * a0) % P
             e2 = (e2 + scale * a2) % P
         e1 = (cur - e0) % P
@@ -212,33 +260,51 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
         # p(r) via degree-2 Lagrange on {0,1,2}
         cur = _deg2_eval([e0, e1, e2], r)
         one_minus_r = (1 - r) % P
-        for i in range(n_claims):
-            f = ftabs[i]
+        for g in range(n_groups):
+            f = g_f[g]
             if f is None:
-                s_f[i] = s_f[i] * one_minus_r % P
-                s_e[i] = s_e[i] * one_minus_r % P
-                if num_vars - (k + 1) == n_is[i]:
-                    _activate(i)
+                g_sf[g] = g_sf[g] * one_minus_r % P
+                g_se[g] = g_se[g] * one_minus_r % P
+                if num_vars - (k + 1) == g_n[g]:
+                    _activate(g)
                 continue
-            ftabs[i] = f.fold_half(r)
-            etabs[i] = etabs[i].fold_half(r)
+            if g_cow[g]:
+                g_f[g] = f.fold_half_fresh(r)
+                g_cow[g] = False
+            else:
+                g_f[g] = f.fold_half(r)
+            g_e[g] = g_e[g].fold_half(r)
 
-    # per-claim finals (fold scalars back in)
-    proof.finals = [ftabs[i].first() * s_f[i] % P for i in range(n_claims)]
+    # per-claim finals (fold scalars back in; claims sharing a table share
+    # the fully-bound value f(r*))
+    proof.finals = [g_f[group_of[i]].first() * g_sf[group_of[i]] % P
+                    for i in range(n_claims)]
     for v in proof.finals:
         transcript.append_scalar(v)
 
     gamma = transcript.challenge_scalar()
+    # joint F = Σ γ^i·f_i; claims sharing an eval table merge their γ powers
     jv = FrVec.zeros(n_tab)
+    jcoef: dict[int, int] = {}
+    jorder: list[int] = []
     g_pow = 1
     for i in range(n_claims):
-        fv = FrVec.from_ints(fs[i] + [0] * (n_tab - len(fs[i])))
-        jv.axpy_(fv, g_pow)
+        key = id(fs[i])
+        if key not in jcoef:
+            jcoef[key] = 0
+            jorder.append(i)
+        jcoef[key] = (jcoef[key] + g_pow) % P
         g_pow = g_pow * gamma % P
-    joint = jv.to_ints()
+    for i in jorder:
+        f = fs[i]
+        if isinstance(f, FrVec):
+            fv = f if f.n == n_tab else f.zero_padded_copy(n_tab)
+        else:
+            fv = FrVec.from_ints(f + [0] * (n_tab - len(f)))
+        jv.axpy_(fv, jcoef[id(f)])
 
     pt = to_dory_point(r_star)
-    proof.dory_proof = dory.open_with_transcript(srs, joint, pt, transcript)
+    proof.dory_proof = dory.open_with_transcript(srs, jv, pt, transcript)
     return proof
 
 

@@ -210,37 +210,59 @@ def _matrix_dims(n_evals: int) -> tuple[int, int]:
     return sigma, nu
 
 
-def row_commitments(srs: DorySRS, evals: list[int]) -> list:
-    sigma, nu = _matrix_dims(len(evals))
-    num_cols = 1 << sigma
-    from ..native import g1_msm_rows_native
-
-    full_rows = len(evals) // num_cols
-    if full_rows:
-        scalar_rows = [evals[r * num_cols:(r + 1) * num_cols]
-                       for r in range(full_rows)]
-        native = g1_msm_rows_native(srs.g1_vec[:num_cols], scalar_rows)
+def row_commitments(srs: DorySRS, evals, num_vars: int | None = None) -> list:
+    """Per-row G1 MSMs of the 2^σ × 2^ν matrix. `evals` is a list of ints or
+    an FrVec; with `num_vars` the matrix dims come from the target cube (the
+    eval vector may be SHORTER — missing rows are the identity, exactly as if
+    zero-padded, so short polys commit without materializing the padding)."""
+    n_evals = len(evals)
+    if num_vars is None:
+        sigma, nu = _matrix_dims(n_evals)
     else:
-        native = [] if g1_msm_rows_native(srs.g1_vec[:1], []) is not None else None
+        assert n_evals <= 1 << num_vars
+        sigma = (num_vars + 1) // 2
+        nu = num_vars - sigma
+    num_cols = 1 << sigma
+    from ..native import g1_msm_rows_canon_native, g1_msm_rows_native
+    from ..native.frvec import FrVec
+
+    used_rows = -(-n_evals // num_cols)
+    native = None
+    if isinstance(evals, FrVec):
+        canon = evals.to_canonical_bytes()
+        if len(canon) < 32 * used_rows * num_cols:  # partial last row
+            canon += bytearray(32 * used_rows * num_cols - len(canon))
+        native = g1_msm_rows_canon_native(srs.g1_vec[:num_cols], canon,
+                                          used_rows)
+        if native is None:
+            evals = evals.to_ints()
+    if native is None:
+        full_rows = n_evals // num_cols
+        if full_rows:
+            scalar_rows = [evals[r * num_cols:(r + 1) * num_cols]
+                           for r in range(full_rows)]
+            native = g1_msm_rows_native(srs.g1_vec[:num_cols], scalar_rows)
+        else:
+            native = [] if g1_msm_rows_native(srs.g1_vec[:1], []) is not None else None
     rows = []
     for r in range(1 << nu):
-        seg = evals[r * num_cols : (r + 1) * num_cols]
-        if not seg:
+        if r * num_cols >= n_evals:
             rows.append(None)
-        elif native is not None and r < full_rows:
+        elif native is not None and r < len(native):
             rows.append(native[r])
         else:
+            seg = evals[r * num_cols : (r + 1) * num_cols]
             rows.append(g1_msm(srs.g1_vec[: len(seg)], [v % P for v in seg]))
     return rows
 
 
-def commit(srs: DorySRS, evals: list[int]):
+def commit(srs: DorySRS, evals, num_vars: int | None = None):
     """GT commitment: Π_row e(rowMSM, g2_vec[row]). The G2 side is the fixed
     SRS vector, so the multi-pairing runs on cached precomputed Miller lines
     with a shared accumulator (one fp12 squaring chain for all rows)."""
     from ..native import multi_pairing_fixed_native
 
-    rows = row_commitments(srs, evals)
+    rows = row_commitments(srs, evals, num_vars)
     out = multi_pairing_fixed_native(rows, srs.g2_vec, len(rows))
     if out is not None:
         return out
@@ -366,13 +388,29 @@ def open_with_transcript(srs: DorySRS, evals: list[int], point: list[int],
     from ..native.frvec import FrVec
 
     _acc = FrVec.zeros(num_cols)
-    for r in range(1 << nu):
-        seg = evals[r * num_cols : (r + 1) * num_cols]
-        if not seg:
-            break
-        if len(seg) < num_cols:
-            seg = list(seg) + [0] * (num_cols - len(seg))
-        _acc.axpy_(FrVec.from_ints(seg), left_vec[r])
+    if isinstance(evals, FrVec) and evals._mont is not None:
+        mont = evals._mont
+        for r in range(1 << nu):
+            off = r * num_cols * 32
+            if off >= 32 * evals.n:
+                break
+            # cap at 32·n: the backing buffer may be longer than the live
+            # vector (in-place shrinking folds leave a stale tail)
+            seg_b = bytearray(mont[off : min(off + num_cols * 32,
+                                             32 * evals.n)])
+            if len(seg_b) < num_cols * 32:
+                seg_b += bytearray(num_cols * 32 - len(seg_b))
+            _acc.axpy_(FrVec(num_cols, mont=seg_b), left_vec[r])
+    else:
+        if isinstance(evals, FrVec):
+            evals = evals.to_ints()
+        for r in range(1 << nu):
+            seg = evals[r * num_cols : (r + 1) * num_cols]
+            if not seg:
+                break
+            if len(seg) < num_cols:
+                seg = list(seg) + [0] * (num_cols - len(seg))
+            _acc.axpy_(FrVec.from_ints(seg), left_vec[r])
     v_vec = _acc.to_ints()
 
     padded_rows = (rows + [None] * num_cols)[:num_cols]

@@ -410,7 +410,7 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
         # (zkvm/lookups_raf.py); layout identical to build_io_oh_cubes.
         from .bytecode_raf import build_io_oh_cubes
 
-        polys.extend(c.to_ints() for c in build_io_oh_cubes(steps, n_cycle_vars))
+        polys.extend(build_io_oh_cubes(steps, n_cycle_vars))
     else:
         indices = jolt_lookup_indices(steps)
         polys.extend(build_instruction_ra_all(indices, res.reg_poly_size,
@@ -429,8 +429,7 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
         from .bytecode_raf import build_bc_oh_cubes
 
         slots = bc_index.slots_per_cycle(steps)
-        polys.extend(c.to_ints() for c in
-                     build_bc_oh_cubes(slots, n_cycle_vars, bc_index.log_k))
+        polys.extend(build_bc_oh_cubes(slots, n_cycle_vars, bc_index.log_k))
     else:
         for d in range(res.bytecode_d):
             shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
@@ -438,9 +437,11 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
 
     if sound:
         res.polys = polys
-        n_tab = 1 << res.global_num_vars
+        # commit in the GLOBAL cube's matrix layout without materializing
+        # the zero padding: missing rows are identity pairing factors, and
+        # FrVec cubes stream canonical bytes straight into the row MSMs
         for poly in polys:
-            gt = dory.commit(srs, list(poly) + [0] * (n_tab - len(poly)))
+            gt = dory.commit(srs, poly, num_vars=res.global_num_vars)
             res.commitments.append(dory.commitment_bytes(gt))
     else:
         for poly in polys:
