@@ -1404,7 +1404,14 @@ static int pip_window_size(int n) {
 /* highest set bit position (+1) across m 32-byte LE scalars; 0 if all zero.
  * One-hot indicators and u64 machine words dominate the committed-poly
  * workload, so capping the Pippenger window walk at the real top bit skips
- * the ~3/4 of window iterations whose buckets would all be empty. */
+ * the ~3/4 of window iterations whose buckets would all be empty.
+ *
+ * NOT constant-time: MSM wall time is proportional to the max scalar
+ * bit-length (and zero scalars are skipped entirely), so timing leaks the
+ * magnitude of committed values. All data committed here is derived from a
+ * public execution trace, so this is fine for the zkVM workload; a
+ * privacy-sensitive deployment committing secret witnesses would need to
+ * disable this cap and the zero-skip. */
 static int scalars_top_bits(const uint8_t *sc, int m) {
     int top_byte = -1;
     for (int i = 0; i < m; i++) {

@@ -220,10 +220,15 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
         et = None
         for i in members:
             q = [c % P for c in claims[i].point_be]
-            if _SELF_CHECK:
-                # prover-side bookkeeping check only (the verifier enforces
-                # the real binding); a full MLE eval per claim → opt-in
-                assert fv.mle_eval_be(q) == vals[i], "claim value != f(q)"
+            if _SELF_CHECK or i == 0:
+                # Prover-side bookkeeping check (the verifier enforces the
+                # real binding). A full MLE eval per claim is opt-in via
+                # ZOLT_TPU_CHECK; the FIRST claim is always checked so a
+                # caller wiring inconsistent claims fails here with a
+                # pinpointed assert instead of only at verification.
+                assert fv.mle_eval_be(q) == vals[i], (
+                    f"claim {i} value != f(q) — inconsistent opening claim "
+                    "(set ZOLT_TPU_CHECK=1 to check every claim)")
             if et is None:
                 et = FrVec.eq_table_be(q).scale(coeffs[i])
             else:

@@ -157,7 +157,17 @@ def _derive_scalar(seed: bytes, index: int, tag: bytes) -> int:
     return int.from_bytes(h.digest(), "little") % P
 
 
+_SETUP_CACHE: dict[int, DorySRS] = {}
+
+
 def setup(max_num_vars: int) -> DorySRS:
+    """Deterministic SHA3-seeded SRS. Memoized per size: the derivation is a
+    pure function of `max_num_vars`, every prove of the same trace size reuses
+    the same object, and the per-SRS caches (`_beta_g2_cache`, Miller-line
+    precomputes) hit across proves instead of being rebuilt each call."""
+    cached = _SETUP_CACHE.get(max_num_vars)
+    if cached is not None:
+        return cached
     sigma = (max_num_vars + 1) // 2
     nu = max_num_vars - sigma
     seed = hashlib.sha3_256(b"Jolt Dory URS seed").digest()
@@ -168,7 +178,9 @@ def setup(max_num_vars: int) -> DorySRS:
     _g2s = [_derive_scalar(seed, (1 << sigma) + i, b"G2") for i in range(1 << nu)]
     g2_vec = g2_batch_mul_native(G2.G2_GEN, _g2s) or \
         [G2.scalar_mul(G2.G2_GEN, k) for k in _g2s]
-    return DorySRS(g1_vec=g1_vec, g2_vec=g2_vec, sigma=sigma, nu=nu)
+    srs = DorySRS(g1_vec=g1_vec, g2_vec=g2_vec, sigma=sigma, nu=nu)
+    _SETUP_CACHE[max_num_vars] = srs
+    return srs
 
 
 def load_srs_file(path: str) -> DorySRS:
@@ -223,6 +235,8 @@ def row_commitments(srs: DorySRS, evals, num_vars: int | None = None) -> list:
         sigma = (num_vars + 1) // 2
         nu = num_vars - sigma
     num_cols = 1 << sigma
+    assert len(srs.g1_vec) >= num_cols, (
+        f"SRS too small: {len(srs.g1_vec)} G1 points < {num_cols} columns")
     from ..native import g1_msm_rows_canon_native, g1_msm_rows_native
     from ..native.frvec import FrVec
 

@@ -2,7 +2,7 @@
 
 Insecure deterministic setup for tests (known τ — matches the reference's test
 path, src/poly/commitment/mod.zig:174-189, τ = 0x12345678); PTAU ceremony-file
-loading mirrors reference srs.zig and lands in a later milestone.
+loading mirrors reference srs.zig (see `load_ptau` below).
 """
 
 from __future__ import annotations
