@@ -54,7 +54,8 @@ def _fr_constants_blob() -> bytes:
 
 def _build_and_load():
     src_dir = os.path.dirname(os.path.abspath(__file__))
-    srcs = [os.path.join(src_dir, "bn254.c"), os.path.join(src_dir, "fr_vec.c")]
+    srcs = [os.path.join(src_dir, "bn254.c"), os.path.join(src_dir, "fr_vec.c"),
+            os.path.join(src_dir, "rv64.c")]
     so = os.path.join(src_dir, "libbn254.so")
     if (not os.path.exists(so)
             or any(os.path.getmtime(so) < os.path.getmtime(s) for s in srcs)):
@@ -127,6 +128,51 @@ def _build_and_load():
     lib.frv_init(_fr_constants_blob())
     lib._frv_ready = True
     return lib
+
+
+_TRACE_LIB = None
+_TRACE_TRIED = False
+
+
+def get_trace_lib():
+    """The trace-materializer extension (trace_mat.c), or None. Built
+    separately from libbn254.so because it needs the CPython headers and must
+    be loaded with PyDLL (its entry points run under the GIL)."""
+    global _TRACE_LIB, _TRACE_TRIED
+    if _TRACE_TRIED:
+        return _TRACE_LIB
+    _TRACE_TRIED = True
+    if os.environ.get("ZOLT_TPU_NO_NATIVE"):
+        return None
+    try:
+        import sysconfig
+
+        src_dir = os.path.dirname(os.path.abspath(__file__))
+        src = os.path.join(src_dir, "trace_mat.c")
+        so = os.path.join(src_dir, "libtrace_mat.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            cc = os.environ.get("CC", "cc")
+            inc = sysconfig.get_paths()["include"]
+            subprocess.run([cc, "-O2", "-shared", "-fPIC", f"-I{inc}",
+                            "-o", so + ".tmp", src],
+                           check=True, capture_output=True)
+            os.replace(so + ".tmp", so)
+        lib = ctypes.PyDLL(so)
+        lib.trace_materialize.restype = ctypes.py_object
+        lib.trace_materialize.argtypes = [ctypes.py_object, ctypes.c_void_p,
+                                          ctypes.c_ssize_t]
+        lib.mem_materialize.restype = ctypes.py_object
+        lib.mem_materialize.argtypes = [ctypes.py_object, ctypes.c_void_p,
+                                        ctypes.c_ssize_t]
+        _TRACE_LIB = lib
+    except Exception as e:
+        import sys
+
+        print(f"[zolt-tpu] trace materializer unavailable ({e!r}); using the "
+              f"Python fallback", file=sys.stderr)
+        _TRACE_LIB = None
+    return _TRACE_LIB
 
 
 def get_lib():

@@ -10,6 +10,7 @@ fetches, RVC expansion with pc+2 stepping.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from . import decode as dec
 from .layout import RAM_START_ADDRESS, JoltDevice, MemoryConfig, MemoryLayout
@@ -37,8 +38,11 @@ def _sext32(x: int) -> int:
     return _u64(_s32(x))
 
 
-@dataclass
-class TraceStep:
+class TraceStep(NamedTuple):
+    """One trace row. A NamedTuple (not a dataclass) deliberately: the native
+    emulator bridge materializes millions of these per prove and tuple
+    construction is ~4x cheaper than a dataclass __init__."""
+
     cycle: int
     pc: int
     unexpanded_pc: int
@@ -209,6 +213,22 @@ class Emulator:
         return True
 
     def run(self, max_cycles: int = 1 << 24) -> None:
+        from .native_emu import run_native
+
+        if run_native(self, max_cycles):
+            return
+        while self.cycle < max_cycles:
+            try:
+                if not self.step():
+                    self._record_termination_write()
+                    return
+            except Ecall:
+                self._record_termination_write()
+                return
+        raise RuntimeError("max cycle budget exceeded")
+
+    def run_python(self, max_cycles: int = 1 << 24) -> None:
+        """Force the Python stepper (differential-test oracle)."""
         while self.cycle < max_cycles:
             try:
                 if not self.step():

@@ -10,12 +10,15 @@ trace while instruction fetches and program loading do not.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 M64 = (1 << 64) - 1
 
 
-@dataclass
-class MemoryAccess:
+class MemoryAccess(NamedTuple):
+    """One RAM access record (NamedTuple for cheap bulk materialization in
+    the native emulator bridge)."""
+
     op: str  # "read" | "write"
     address: int
     pre_value: int
