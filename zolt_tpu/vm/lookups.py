@@ -29,14 +29,19 @@ from .tables import Table, instruction_table, materialize_entry
 M64 = (1 << 64) - 1
 
 # Reference lookup-class names by (opcode, funct3, funct7-discriminator) —
-# parity with instruction/lookups.zig's 58 types for the classes the tracer
-# records (the reference's LookupTraceCollector skips loads/stores/fences
-# in the Jolt-format path; LoadAddress/StoreAddress classes serve its
-# internal path only).
+# parity with instruction/lookups.zig's 58 types. Naming follows the
+# reference exactly: non-shift OP-IMM shares the register class (the
+# reference collector maps ADDI -> AddLookup etc., lookup_trace.zig:905-938)
+# while the shifts and the W immediates get their own classes
+# (Slli/Srli/Srai, Addiw/Slliw/Srliw/Sraiw).
 _OP_NAMES = {0: ("AddLookup", "SubLookup"), 1: ("SllLookup", None),
              2: ("SltLookup", None), 3: ("SltuLookup", None),
              4: ("XorLookup", None), 5: ("SrlLookup", "SraLookup"),
              6: ("OrLookup", None), 7: ("AndLookup", None)}
+_OPIMM_NAMES = {0: "AddLookup", 1: "SlliLookup", 2: "SltLookup",
+                3: "SltuLookup", 4: "XorLookup",
+                5: ("SrliLookup", "SraiLookup"), 6: "OrLookup",
+                7: "AndLookup"}
 _M_NAMES = {0: "MulLookup", 1: "MulhLookup", 2: "MulhsuLookup",
             3: "MulhuLookup", 4: "DivLookup", 5: "DivuLookup",
             6: "RemLookup", 7: "RemuLookup"}
@@ -44,8 +49,30 @@ _BRANCH_NAMES = {0: "BeqLookup", 1: "BneLookup", 4: "BltLookup",
                  5: "BgeLookup", 6: "BltuLookup", 7: "BgeuLookup"}
 _OP32_NAMES = {0: ("AddwLookup", "SubwLookup"), 1: ("SllwLookup", None),
                5: ("SrlwLookup", "SrawLookup")}
+_OPIMM32_NAMES = {0: "AddiwLookup", 1: "SlliwLookup",
+                  5: ("SrliwLookup", "SraiwLookup")}
 _M32_NAMES = {0: "MulwLookup", 4: "DivwLookup", 5: "DivuwLookup",
               6: "RemwLookup", 7: "RemuwLookup"}
+_LOAD_NAMES = {0: "LbLookup", 1: "LhLookup", 2: "LwLookup", 3: "LdLookup",
+               4: "LbuLookup", 5: "LhuLookup", 6: "LwuLookup"}
+_STORE_NAMES = {0: "SbLookup", 1: "ShLookup", 2: "SwLookup", 3: "SdLookup"}
+
+#: the complete reference class catalogue (instruction/lookups.zig's 58
+#: `pub fn *Lookup` types), enumerated for the parity test
+ALL_LOOKUP_CLASSES = (
+    "AddLookup", "SubLookup", "AndLookup", "OrLookup", "XorLookup",
+    "SltLookup", "SltuLookup", "BeqLookup", "BneLookup", "BltLookup",
+    "BgeLookup", "BltuLookup", "BgeuLookup", "LuiLookup", "AuipcLookup",
+    "JalLookup", "JalrLookup", "SllLookup", "SrlLookup", "SraLookup",
+    "SlliLookup", "SrliLookup", "SraiLookup", "MulLookup", "MulhLookup",
+    "MulhuLookup", "MulhsuLookup", "DivLookup", "DivuLookup", "RemLookup",
+    "RemuLookup", "AddwLookup", "SubwLookup", "SllwLookup", "SrlwLookup",
+    "SrawLookup", "AddiwLookup", "SlliwLookup", "SrliwLookup", "SraiwLookup",
+    "MulwLookup", "DivwLookup", "DivuwLookup", "RemwLookup", "RemuwLookup",
+    "LoadAddressLookup", "StoreAddressLookup", "LbLookup", "LbuLookup",
+    "LhLookup", "LhuLookup", "LwLookup", "LwuLookup", "LdLookup",
+    "SbLookup", "ShLookup", "SwLookup", "SdLookup",
+)
 
 
 @dataclass
@@ -81,9 +108,10 @@ def lookup_name(instr: int) -> str | None:
         base, alt = _OP_NAMES[f3]
         return alt if (f7 & 0x20) and alt else base
     if opcode == 0x13:
-        base, alt = _OP_NAMES[f3]
-        name = alt if f3 == 5 and (f7 & 0x20) else base
-        return name.replace("Lookup", "iLookup") if name else None
+        ent = _OPIMM_NAMES[f3]
+        if isinstance(ent, tuple):
+            return ent[1] if (f7 & 0x20) else ent[0]
+        return ent
     if opcode == 0x63:
         return _BRANCH_NAMES.get(f3)
     if opcode == 0x3B:
@@ -95,12 +123,16 @@ def lookup_name(instr: int) -> str | None:
         base, alt = pair
         return alt if (f7 & 0x20) and alt else base
     if opcode == 0x1B:
-        pair = _OP32_NAMES.get(f3)
-        if pair is None:
+        ent = _OPIMM32_NAMES.get(f3)
+        if ent is None:
             return None
-        base, alt = pair
-        name = alt if f3 == 5 and (f7 & 0x20) else base
-        return name.replace("Lookup", "iLookup")
+        if isinstance(ent, tuple):
+            return ent[1] if (f7 & 0x20) else ent[0]
+        return ent
+    if opcode == 0x03:
+        return _LOAD_NAMES.get(f3)
+    if opcode == 0x23:
+        return _STORE_NAMES.get(f3)
     return {0x37: "LuiLookup", 0x17: "AuipcLookup",
             0x6F: "JalLookup", 0x67: "JalrLookup"}.get(opcode)
 
@@ -161,18 +193,69 @@ def classify_step(step) -> LookupEntry | None:
         output=_compute_result(name, table, index, tv))
 
 
+_LOAD_BITS = {0: (8, True), 1: (16, True), 2: (32, True), 3: (64, False),
+              4: (8, False), 5: (16, False), 6: (32, False)}
+_STORE_BITS = {0: 8, 1: 16, 2: 32, 3: 64}
+_SEXT_TABLE = {8: Table.SignExtend8, 16: Table.SignExtend16,
+               32: Table.SignExtend32}
+
+
+def classify_memory_step(step) -> list[LookupEntry]:
+    """Lookup entries for a load/store step — the 13 memory classes the
+    reference defines but never wires into its collector
+    (instruction/lookups.zig:3056-3836, lookup_trace.zig:1016 "handled
+    separately"): a LoadAddress/StoreAddress range-check on the effective
+    address plus the value class (SignExtend8/16/32 for LB/LH/LW, range
+    checks for the unsigned/full-width variants). Goes beyond the reference
+    by actually exercising these classes in the internal Lasso path."""
+    instr = step.instruction
+    opcode = instr & 0x7F
+    f3 = (instr >> 12) & 0x7
+    if getattr(step, "is_noop", False) or step.memory_addr is None:
+        return []
+    out: list[LookupEntry] = []
+    addr = step.memory_addr & M64
+
+    def entry(name, table, index):
+        tv = materialize_entry(table, index, 64)
+        return LookupEntry(cycle=step.cycle, pc=step.pc, instruction=instr,
+                           name=name, table=table, index=index,
+                           table_value=tv,
+                           output=_compute_result(name, table, index, tv))
+
+    if opcode == 0x03 and f3 in _LOAD_BITS:
+        out.append(entry("LoadAddressLookup", Table.RangeCheck, addr))
+        bits, signed = _LOAD_BITS[f3]
+        raw = (step.memory_value or 0) & ((1 << bits) - 1)
+        name = _LOAD_NAMES[f3]
+        table = _SEXT_TABLE[bits] if signed and bits < 64 else Table.RangeCheck
+        out.append(entry(name, table, raw))
+    elif opcode == 0x23 and f3 in _STORE_BITS:
+        out.append(entry("StoreAddressLookup", Table.RangeCheck, addr))
+        bits = _STORE_BITS[f3]
+        raw = (step.rs2_value & M64) & ((1 << bits) - 1)
+        out.append(entry(_STORE_NAMES[f3], Table.RangeCheck, raw))
+    return out
+
+
 class LookupTraceCollector:
     """Gathers lookup entries over a trace (reference
-    lookup_trace.zig LookupTraceCollector; getStats/getEntries parity)."""
+    lookup_trace.zig LookupTraceCollector; getStats/getEntries parity).
+
+    `memory=True` additionally records the 13 load/store classes
+    (classify_memory_step) — a superset of the reference, whose collector
+    leaves memory operations unrecorded."""
 
     def __init__(self) -> None:
         self.entries: list[LookupEntry] = []
 
-    def collect(self, steps) -> "LookupTraceCollector":
+    def collect(self, steps, memory: bool = False) -> "LookupTraceCollector":
         for s in steps:
             e = classify_step(s)
             if e is not None:
                 self.entries.append(e)
+            if memory:
+                self.entries.extend(classify_memory_step(s))
         return self
 
     def get_entries(self) -> list[LookupEntry]:

@@ -78,16 +78,22 @@ class Lasso64Proof:
     out_claim: int = 0
 
 
-def collect_table_entries(steps, table: tb.Table):
+def collect_table_entries(steps, table: tb.Table, memory: bool = False):
     """(cycle, index) pairs of the trace steps consulting `table`
-    (vm/lookups classification)."""
-    from ..vm.lookups import classify_step
+    (vm/lookups classification). `memory=True` also routes the 13
+    load/store classes (LoadAddress/StoreAddress + the Lb..Sd value
+    classes, vm/lookups.classify_memory_step) through the read check —
+    a superset of the reference, which defines but never exercises them."""
+    from ..vm.lookups import classify_memory_step, classify_step
 
     out = []
     for s in steps:
         e = classify_step(s)
         if e is not None and e.table == table:
             out.append((s.cycle, e.index))
+        if memory:
+            out.extend((s.cycle, me.index) for me in classify_memory_step(s)
+                       if me.table == table)
     return out
 
 
