@@ -1,0 +1,93 @@
+"""Differential test: vectorized witness columns (r1cs.inputs.witness_columns)
+vs the per-row oracle (witness_matrix) — every column, every cycle, both
+modes, on guests that exercise all the exceptional lanes (negative
+immediates, loads/stores, branches, jumps, M-extension, LUI/AUIPC)."""
+
+import os
+import tempfile
+
+import pytest
+
+from golden_programs import _golden_array, _golden_gcd, _golden_signed
+
+from zolt_tpu.field.params import FR
+from zolt_tpu.r1cs import inputs as ri
+from zolt_tpu.vm import elf as elf_mod
+from zolt_tpu.vm import pad_with_noop
+from zolt_tpu.vm.emulator import run_elf
+from zolt_tpu.vm.guest import Asm
+from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+
+P = FR.p
+LAY = MemoryLayout.create(MemoryConfig(program_size=1024))
+FIB = "/root/reference/examples/fibonacci.elf"
+
+
+def _compare(padded, sound):
+    rows = ri.witness_matrix(padded, sound=sound)
+    cols = ri.witness_columns(padded, sound=sound)
+    assert len(cols) == ri.NUM_INPUTS
+    for i in range(ri.NUM_INPUTS):
+        got = cols[i].to_ints()
+        want = [w[i] % P for w in rows]
+        assert got == want, f"column {ri.Inp(i).name} differs ({sound=})"
+
+
+def _run(builder):
+    a = builder() if callable(builder) else builder
+    with tempfile.NamedTemporaryFile(suffix=".elf", delete=False) as f:
+        f.write(elf_mod.write_minimal_elf(a.bytes()))
+        path = f.name
+    try:
+        emu = run_elf(path)
+    finally:
+        os.unlink(path)
+    return pad_with_noop(list(emu.trace))
+
+
+def _mixed_guest():
+    a = Asm()
+    a.li_addr(5, 0x80002000)
+    a.addi(6, 0, -2)
+    a.sd(5, 6, 0)
+    a.lui(7, 0x12345)
+    a.auipc(8, 0x10)
+    a.addi(1, 0, -100)          # negative immediate lane
+    a.addi(2, 0, 7)
+    a.mul(9, 1, 2)
+    a.rem(10, 1, 2)
+    a.sub(11, 1, 2)
+    a.slli(12, 2, 40)
+    a.words.append((0x20 << 25) | (2 << 20) | (12 << 15) | (5 << 12)
+                   | (13 << 7) | 0x33)  # sra
+    for f3 in (0, 4, 1, 5, 2, 6, 3):
+        a.words.append((0 << 20) | (5 << 15) | (f3 << 12) | (14 << 7) | 0x03)
+    a.label("loop")
+    a.addi(2, 2, -1)
+    a.bne(2, 0, "loop")
+    a.jal(15, "after")
+    a.label("after")
+    a.halt(LAY, provable=True)
+    return a
+
+
+@pytest.mark.parametrize("sound", [False, True])
+def test_mixed_guest_columns(sound):
+    _compare(_run(_mixed_guest), sound)
+
+
+@pytest.mark.parametrize("builder", [_golden_gcd, _golden_signed,
+                                     lambda: _golden_array(LAY)])
+def test_golden_columns(builder):
+    a = builder()
+    a.halt(LAY, tmp=30, one=31, provable=True)
+    _compare(_run(a), False)
+
+
+def test_fibonacci_columns_both_modes():
+    if not os.path.exists(FIB):
+        pytest.skip("reference fibonacci.elf absent")
+    emu = run_elf(FIB)
+    padded = pad_with_noop(list(emu.trace))
+    _compare(padded, False)
+    _compare(padded, True)

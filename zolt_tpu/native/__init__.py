@@ -98,6 +98,7 @@ def _build_and_load():
     C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
     lib.frv_init.argtypes = [C]
     lib.frv_from_u64.argtypes = [C, L, C]
+    lib.frv_from_i128.argtypes = [ctypes.c_void_p, ctypes.c_void_p, L, C]
     lib.frv_to_mont.argtypes = [C, L, C]
     lib.frv_from_mont.argtypes = [C, L, C]
     lib.frv_eq_table_be.argtypes = [C, I, C]

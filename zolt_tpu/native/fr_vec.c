@@ -129,6 +129,7 @@ void frv_init(const uint8_t *blob) {
 
 /* u64 little-endian values -> Montgomery elements (fast ingest path) */
 void frv_from_u64(const uint8_t *in, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
     for (long i = 0; i < n; i++) {
         fr a = {{0, 0, 0, 0}}, m;
         u64 v = 0;
@@ -139,7 +140,31 @@ void frv_from_u64(const uint8_t *in, long n, uint8_t *out) {
     }
 }
 
+/* field elements from signed 128-bit values hi*2^64 + lo (hi in a small
+ * range; negatives wrap mod p). The columnar witness builder's ingest for
+ * immediate/operand columns that are not u64-safe. */
+void frv_from_i128(const uint64_t *lo, const int64_t *hi, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+    for (long i = 0; i < n; i++) {
+        __int128 s = ((__int128)hi[i] << 64) + (__int128)lo[i];
+        fr a = {{0, 0, 0, 0}}, m;
+        if (s < 0) {
+            unsigned __int128 t = (unsigned __int128)(-s);
+            a.l[0] = (u64)t; a.l[1] = (u64)(t >> 64);
+            fr m0, z = {{0, 0, 0, 0}};
+            fr_mul(&m0, &a, &FR_R2);
+            fr_sub(&m, &z, &m0);
+        } else {
+            unsigned __int128 t = (unsigned __int128)s;
+            a.l[0] = (u64)t; a.l[1] = (u64)(t >> 64);
+            fr_mul(&m, &a, &FR_R2);
+        }
+        fr_store(&m, out + i * 32);
+    }
+}
+
 void frv_to_mont(const uint8_t *in, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
     for (long i = 0; i < n; i++) {
         fr a, m;
         fr_load(&a, in + i * 32);
@@ -150,6 +175,7 @@ void frv_to_mont(const uint8_t *in, long n, uint8_t *out) {
 
 void frv_from_mont(const uint8_t *in, long n, uint8_t *out) {
     fr one = {{1, 0, 0, 0}};
+#pragma omp parallel for schedule(static) if (n > 4096)
     for (long i = 0; i < n; i++) {
         fr a, c;
         fr_load(&a, in + i * 32);
@@ -820,16 +846,19 @@ void frv_triple_inner(const uint8_t *e, const uint8_t *a, const uint8_t *b,
 }
 
 void frv_vec_add(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 16384)
     for (long i = 0; i < n; i++)
         fr_add((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
 }
 
 void frv_vec_sub(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 16384)
     for (long i = 0; i < n; i++)
         fr_sub((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
 }
 
 void frv_vec_mul(const uint8_t *a, const uint8_t *b, long n, uint8_t *out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
     for (long i = 0; i < n; i++)
         fr_mul((fr *)(out + i * 32), (const fr *)(a + i * 32), (const fr *)(b + i * 32));
 }

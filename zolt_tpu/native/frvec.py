@@ -117,6 +117,27 @@ class FrVec:
         return cls(n, mont=out)
 
     @classmethod
+    def from_i128_arrays(cls, lo, hi) -> "FrVec":
+        """From value[i] = hi[i]·2^64 + lo[i] (numpy uint64 lo, int64 hi;
+        negatives wrap mod p). The columnar witness builder's ingest for
+        columns that are not u64-safe (immediates, fused lookup operands)."""
+        import ctypes
+
+        import numpy as np
+
+        lib = _get_lib()
+        lo = np.ascontiguousarray(lo, dtype=np.uint64)
+        hi = np.ascontiguousarray(hi, dtype=np.int64)
+        n = len(lo)
+        if lib is None:
+            return cls(n, ints=[(int(h) * (1 << 64) + int(v)) % P
+                                for v, h in zip(lo.tolist(), hi.tolist())])
+        out = bytearray(32 * n)
+        lib.frv_from_i128(lo.ctypes.data_as(ctypes.c_void_p),
+                          hi.ctypes.data_as(ctypes.c_void_p), n, _buf(out))
+        return cls(n, mont=out)
+
+    @classmethod
     def zeros(cls, n: int) -> "FrVec":
         lib = _get_lib()
         if lib is None:
@@ -199,9 +220,21 @@ class FrVec:
         lib.frv_eq_table_be(_buf(pm), nv, _buf(out))
         return cls(1 << nv, mont=out)
 
+    def shifted_left(self, fill: int = 0) -> "FrVec":
+        """[a1, ..., a_{n-1}, fill] — the next-cycle view of a column."""
+        if self._mont is not None:
+            out = bytearray(32 * self.n)
+            out[: 32 * (self.n - 1)] = memoryview(self._mont)[32: 32 * self.n]
+            if fill % P:
+                out[32 * (self.n - 1):] = bytes(_mont_scalars([fill]))
+            return FrVec(self.n, mont=out)
+        return FrVec(self.n, ints=self._ints[1:] + [fill % P])
+
     def copy(self) -> "FrVec":
         if self._mont is not None:
-            return FrVec(self.n, mont=bytearray(self._mont[: 32 * self.n]))
+            # memoryview slice -> single copy (bytearray(slice) would copy twice)
+            return FrVec(self.n,
+                         mont=bytearray(memoryview(self._mont)[: 32 * self.n]))
         return FrVec(self.n, ints=list(self._ints))
 
     # -- boundary -----------------------------------------------------

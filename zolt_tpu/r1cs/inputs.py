@@ -312,3 +312,298 @@ def witness_matrix(padded_steps, sound: bool = False) -> list[list[int]]:
         nxt = padded_steps[i + 1] if i + 1 < n else None
         out.append(cycle_witness(step, nxt, sound=sound))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Columnar witness generation (vectorized)
+# ---------------------------------------------------------------------------
+
+def _steps_to_arrays(steps):
+    """Fallback: numpy step arrays from TraceStep objects (the native
+    emulator keeps the raw record buffer, vm/native_emu, which skips this)."""
+    import numpy as np
+
+    n = len(steps)
+    cols = {k: np.zeros(n, dtype=np.uint64)
+            for k in ("instruction", "pc", "unexpanded_pc", "rs1_value",
+                      "rs2_value", "rd_value", "memory_value",
+                      "memory_pre_value")}
+    comp = np.zeros(n, dtype=np.uint8)
+    has_pre = np.zeros(n, dtype=np.uint8)
+    for i, s in enumerate(steps):
+        cols["instruction"][i] = s.instruction
+        cols["pc"][i] = s.pc
+        cols["unexpanded_pc"][i] = s.unexpanded_pc
+        cols["rs1_value"][i] = s.rs1_value
+        cols["rs2_value"][i] = s.rs2_value
+        cols["rd_value"][i] = s.rd_value
+        cols["memory_value"][i] = s.memory_value or 0
+        if s.memory_pre_value is not None:
+            cols["memory_pre_value"][i] = s.memory_pre_value
+            has_pre[i] = 1
+        comp[i] = 1 if s.is_compressed else 0
+    return cols, comp, has_pre
+
+
+def witness_columns(padded_steps, sound: bool = False):
+    """The 43 witness COLUMNS as FrVec, built vectorized (numpy masks + the
+    native from_u64/from_i128 ingest) — same values as `witness_matrix`
+    transposed (differential-tested in tests/test_witness_columns.py), but
+    O(T) numpy work instead of 43·T Python int ops and no 43xT Python-int
+    matrix in memory (SURVEY §5.7 long-trace requirement)."""
+    import numpy as np
+
+    from ..native.frvec import FrVec
+
+    T = len(padded_steps)
+    n = next((i for i, s in enumerate(padded_steps) if s.is_noop), T)
+    real = padded_steps[:n]
+    cols_np, comp, has_pre = _steps_to_arrays(real)
+
+    instr = cols_np["instruction"]
+    pc = cols_np["pc"]
+    upc = cols_np["unexpanded_pc"]
+    rs1v = cols_np["rs1_value"]
+    rs2v = cols_np["rs2_value"]
+    rdv = cols_np["rd_value"]
+    mem_val = cols_np["memory_value"]
+    mem_pre = cols_np["memory_pre_value"]
+
+    u1 = np.uint64(1)
+    opcode = (instr & np.uint64(0x7F)).astype(np.uint32)
+    f3 = ((instr >> np.uint64(12)) & np.uint64(7)).astype(np.uint32)
+    f7 = ((instr >> np.uint64(25)) & np.uint64(0x7F)).astype(np.uint32)
+    rd = ((instr >> np.uint64(7)) & np.uint64(0x1F)).astype(np.uint32)
+
+    is_load = opcode == 0x03
+    is_store = opcode == 0x23
+    is_branch = opcode == 0x63
+
+    # -- immediate (derive_immediate): signed i64 + field representation ----
+    def _sx(v, bits):
+        v = v.astype(np.int64)
+        m = np.int64(1 << (bits - 1))
+        return (v ^ m) - m
+
+    i_imm = _sx((instr >> np.uint64(20)) & np.uint64(0xFFF), 12)
+    s_imm = _sx((((instr >> np.uint64(25)) & np.uint64(0x7F)) << np.uint64(5))
+                | ((instr >> np.uint64(7)) & np.uint64(0x1F)), 12)
+    b_imm = _sx((((instr >> np.uint64(31)) & u1) << np.uint64(12))
+                | (((instr >> np.uint64(7)) & u1) << np.uint64(11))
+                | (((instr >> np.uint64(25)) & np.uint64(0x3F)) << np.uint64(5))
+                | (((instr >> np.uint64(8)) & np.uint64(0xF)) << np.uint64(1)), 13)
+    j_imm = _sx((((instr >> np.uint64(31)) & u1) << np.uint64(20))
+                | (((instr >> np.uint64(12)) & np.uint64(0xFF)) << np.uint64(12))
+                | (((instr >> np.uint64(20)) & u1) << np.uint64(11))
+                | (((instr >> np.uint64(21)) & np.uint64(0x3FF)) << np.uint64(1)), 21)
+    u_imm = (instr & np.uint64(0xFFFFF000)).astype(np.int64)  # unsigned by ref
+
+    imm = np.zeros(n, dtype=np.int64)
+    imm = np.where(np.isin(opcode, (0x13, 0x03, 0x67)), i_imm, imm)
+    imm = np.where(opcode == 0x23, s_imm, imm)
+    imm = np.where(opcode == 0x63, b_imm, imm)
+    imm = np.where(opcode == 0x6F, j_imm, imm)
+    imm = np.where(np.isin(opcode, (0x37, 0x17)), u_imm, imm)
+    imm_lo = imm.astype(np.uint64)
+    imm_hi = np.where(imm < 0, np.int64(-1), np.int64(0))
+
+    # -- operand reads ------------------------------------------------------
+    reads_rs1 = np.isin(opcode, (0x13, 0x03, 0x67, 0x1B, 0x33, 0x3B, 0x23, 0x63))
+    reads_rs2 = np.isin(opcode, (0x33, 0x3B, 0x23, 0x63))
+    rs1c = np.where(reads_rs1, rs1v, np.uint64(0))
+    rs2c = np.where(reads_rs2, rs2v, np.uint64(0))
+
+    # -- operand-source flags (+ sound RAF-gadget adjustments) --------------
+    left_is_rs1 = np.isin(opcode, (0x33, 0x13, 0x03, 0x67, 0x23, 0x63, 0x1B, 0x3B))
+    left_is_pc = np.isin(opcode, (0x17, 0x6F))
+    right_is_rs2 = np.isin(opcode, (0x33, 0x63, 0x3B))
+    right_is_imm = np.isin(opcode, (0x13, 0x03, 0x67, 0x23, 0x37, 0x17, 0x6F, 0x1B))
+    zero_output = np.zeros(n, dtype=bool)
+    if sound and n:
+        from ..zkvm.raf_gadgets import needs_witness_adjust
+
+        uniq, inv = np.unique(instr, return_inverse=True)
+        adj = [needs_witness_adjust(int(u)) for u in uniq.tolist()]
+        zl = np.array([a[0] for a in adj], dtype=bool)[inv]
+        zr = np.array([a[1] for a in adj], dtype=bool)[inv]
+        zero_output = np.array([a[2] for a in adj], dtype=bool)[inv]
+        left_is_rs1 &= ~zl
+        left_is_pc &= ~zl
+        right_is_rs2 &= ~zr
+        right_is_imm &= ~zr
+
+    # -- left / right / product --------------------------------------------
+    # left_is_rs1 and left_is_pc are disjoint opcode sets, as are the right
+    # flags, so the sums below never overflow u64
+    left = np.where(left_is_rs1, rs1c, np.uint64(0)) \
+        + np.where(left_is_pc, upc, np.uint64(0))
+    right_lo = np.where(right_is_rs2, rs2c, np.uint64(0)) \
+        + np.where(right_is_imm, imm_lo, np.uint64(0))
+    right_hi = np.where(right_is_imm, imm_hi, np.int64(0))
+
+    def pad_u64(a):
+        if n == T:
+            return FrVec.from_u64_array(a)
+        return FrVec.from_u64_array(np.concatenate(
+            [a, np.zeros(T - n, dtype=np.uint64)]))
+
+    def pad_i128(lo, hi):
+        if n == T:
+            return FrVec.from_i128_arrays(lo, hi)
+        z64 = np.zeros(T - n, dtype=np.uint64)
+        return FrVec.from_i128_arrays(np.concatenate([lo, z64]),
+                                      np.concatenate([hi, np.zeros(T - n, np.int64)]))
+
+    c_left = pad_u64(left)
+    c_right = pad_i128(right_lo, right_hi)
+    c_product = c_left.mul(c_right)
+
+    # -- lookup output ------------------------------------------------------
+    s1 = rs1v.view(np.int64)
+    s2 = rs2v.view(np.int64)
+    taken = np.zeros(n, dtype=bool)
+    taken = np.where(f3 == 0, rs1v == rs2v, taken)
+    taken = np.where(f3 == 1, rs1v != rs2v, taken)
+    taken = np.where(f3 == 4, s1 < s2, taken)
+    taken = np.where(f3 == 5, s1 >= s2, taken)
+    taken = np.where(f3 == 6, rs1v < rs2v, taken)
+    taken = np.where(f3 == 7, rs1v >= rs2v, taken)
+
+    lookup_out = rdv.copy()
+    lookup_out = np.where(opcode == 0x6F, pc + j_imm.astype(np.uint64), lookup_out)
+    lookup_out = np.where(opcode == 0x67,
+                          (rs1v + i_imm.astype(np.uint64)) & ~u1, lookup_out)
+    lookup_out = np.where(is_branch, taken.astype(np.uint64), lookup_out)
+    if sound:
+        lookup_out = np.where(zero_output, np.uint64(0), lookup_out)
+
+    # -- per-opcode flag groups --------------------------------------------
+    is_op = opcode == 0x33
+    m_ext = is_op & (f7 == 1)
+    mul_mask = m_ext & (f3 == 0)
+    mulother = m_ext & (f3 != 0)
+    sub_mask = is_op & ~m_ext & (f7 == 0x20) & (f3 == 0)
+    op_add = is_op & ~m_ext & ~sub_mask
+
+    flag_add = op_add | np.isin(opcode, (0x13, 0x6F, 0x67, 0x37, 0x17))
+    flag_sub = sub_mask
+    flag_mul = mul_mask
+    flag_jump = np.isin(opcode, (0x6F, 0x67))
+    flag_wl = is_op | np.isin(opcode, (0x13, 0x37, 0x17))
+    mem_or_branch = is_load | is_store | is_branch
+
+    # LeftLookupOperand: `left` for loads/stores/branches and non-MUL M ops
+    # and the default group (0x1B/0x3B/system/...); 0 for the add/sub/mul
+    # fused groups
+    llo_left = mem_or_branch | mulother | ~(
+        mem_or_branch | is_op | np.isin(opcode, (0x13, 0x6F, 0x67, 0x37, 0x17)))
+    c_llo = pad_u64(np.where(llo_left, left, np.uint64(0)))
+
+    # RightLookupOperand by group (i128 lanes; MUL's Product spliced after)
+    rlo_lo = np.where(right_is_rs2 | right_is_imm, right_lo, np.uint64(0))
+    rlo_hi = np.where(right_is_imm, right_hi, np.int64(0))
+    # default/mem/branch/mulother: plain `right`
+    # add family: left + right
+    add_lo = left + right_lo
+    add_carry = (add_lo < left).astype(np.int64)
+    af = flag_add
+    rlo_lo = np.where(af, add_lo, rlo_lo)
+    rlo_hi = np.where(af, add_carry + right_hi, rlo_hi)
+    # sub: left − right + 2^64 (right = rs2)
+    sub_lo = left - rs2c
+    sub_hi = (left >= rs2c).astype(np.int64)
+    rlo_lo = np.where(sub_mask, sub_lo, rlo_lo)
+    rlo_hi = np.where(sub_mask, sub_hi, rlo_hi)
+    # mul: 0 here, Product spliced below
+    rlo_lo = np.where(mul_mask, np.uint64(0), rlo_lo)
+    rlo_hi = np.where(mul_mask, np.int64(0), rlo_hi)
+    c_rlo = pad_i128(rlo_lo, rlo_hi)
+    if bool(mul_mask.any()):
+        mvec = pad_u64(mul_mask.astype(np.uint64))
+        c_rlo = c_rlo.add(c_product.copy().sub(c_rlo).mul(mvec))
+
+    # -- remaining u64 columns ---------------------------------------------
+    writes_to_rd = (~is_store) & (~is_branch) & (rd != 0)
+    rd_write = np.where(is_load, mem_val,
+                        np.where(is_store, np.uint64(0),
+                                 np.where(writes_to_rd, rdv, np.uint64(0))))
+    ram_read = np.where(is_load, mem_val, np.uint64(0))
+    if sound:
+        store_pre = np.where(has_pre.astype(bool), mem_pre, mem_val)
+        ram_read = np.where(is_store, store_pre, ram_read)
+    else:
+        ram_read = np.where(is_store, mem_val, ram_read)
+    ram_write = np.where(is_load, mem_val,
+                         np.where(is_store, rs2v, np.uint64(0)))
+
+    # RamAddress = rs1 + imm (mod p) for loads/stores
+    mem_mask = is_load | is_store
+    addr_lo = rs1v + imm_lo
+    addr_carry = ((addr_lo < rs1v) & (imm_lo != 0)).astype(np.int64)
+    addr_hi = addr_carry + imm_hi
+    c_ram_addr = pad_i128(np.where(mem_mask, addr_lo, np.uint64(0)),
+                          np.where(mem_mask, addr_hi, np.int64(0)))
+
+    next_pc = np.zeros(n, dtype=np.uint64)
+    next_upc = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        next_pc[:-1] = pc[1:]
+        next_upc[:-1] = upc[1:]
+    next_is_noop = np.zeros(n, dtype=np.uint64)
+    if n:
+        next_is_noop[-1] = 1  # the cycle after the last real step is a noop
+
+    is_rd_nz = (rd != 0).astype(np.uint64)
+    fj = flag_jump.astype(np.uint64)
+    should_jump = fj * (1 - next_is_noop)
+    wl = flag_wl.astype(np.uint64)
+
+    out: list = [None] * NUM_INPUTS
+    out[Inp.LeftInstructionInput] = c_left
+    out[Inp.RightInstructionInput] = c_right
+    out[Inp.Product] = c_product
+    out[Inp.WriteLookupOutputToRD] = pad_u64(is_rd_nz * wl)
+    out[Inp.WritePCtoRD] = pad_u64(is_rd_nz * fj)
+    out[Inp.ShouldBranch] = pad_u64(lookup_out * is_branch.astype(np.uint64))
+    out[Inp.PC] = pad_u64(pc)
+    out[Inp.UnexpandedPC] = pad_u64(upc)
+    out[Inp.Imm] = pad_i128(imm_lo, imm_hi)
+    out[Inp.RamAddress] = c_ram_addr
+    out[Inp.Rs1Value] = pad_u64(rs1c)
+    out[Inp.Rs2Value] = pad_u64(rs2c)
+    out[Inp.RdWriteValue] = pad_u64(rd_write)
+    out[Inp.RamReadValue] = pad_u64(ram_read)
+    out[Inp.RamWriteValue] = pad_u64(ram_write)
+    out[Inp.LeftLookupOperand] = c_llo
+    out[Inp.RightLookupOperand] = c_rlo
+    out[Inp.NextUnexpandedPC] = pad_u64(next_upc)
+    out[Inp.NextPC] = pad_u64(next_pc)
+    out[Inp.NextIsVirtual] = FrVec.zeros(T)
+    out[Inp.NextIsFirstInSequence] = FrVec.zeros(T)
+    out[Inp.LookupOutput] = pad_u64(lookup_out)
+    out[Inp.ShouldJump] = pad_u64(should_jump)
+    out[Inp.FlagAddOperands] = pad_u64(flag_add.astype(np.uint64))
+    out[Inp.FlagSubtractOperands] = pad_u64(flag_sub.astype(np.uint64))
+    out[Inp.FlagMultiplyOperands] = pad_u64(flag_mul.astype(np.uint64))
+    out[Inp.FlagLoad] = pad_u64(is_load.astype(np.uint64))
+    out[Inp.FlagStore] = pad_u64(is_store.astype(np.uint64))
+    out[Inp.FlagJump] = pad_u64(fj)
+    out[Inp.FlagWriteLookupOutputToRD] = pad_u64(wl)
+    out[Inp.FlagVirtualInstruction] = FrVec.zeros(T)
+    out[Inp.FlagAssert] = FrVec.zeros(T)
+    out[Inp.FlagAdvice] = FrVec.zeros(T)
+    out[Inp.FlagIsCompressed] = pad_u64(comp.astype(np.uint64))
+    out[Inp.FlagIsFirstInSequence] = FrVec.zeros(T)
+    out[Inp.FlagIsRdNotZero] = pad_u64(is_rd_nz)
+    out[Inp.FlagBranch] = pad_u64(is_branch.astype(np.uint64))
+    out[Inp.FlagLeftOperandIsRs1] = pad_u64(left_is_rs1.astype(np.uint64))
+    out[Inp.FlagLeftOperandIsPC] = pad_u64(left_is_pc.astype(np.uint64))
+    out[Inp.FlagRightOperandIsRs2] = pad_u64(right_is_rs2.astype(np.uint64))
+    out[Inp.FlagRightOperandIsImm] = pad_u64(right_is_imm.astype(np.uint64))
+
+    # noop tail: DoNotUpdateUnexpandedPC = IsNoop = 1 on [n, T)
+    tail = np.concatenate([np.zeros(n, dtype=np.uint64),
+                           np.ones(T - n, dtype=np.uint64)])
+    out[Inp.FlagDoNotUpdateUnexpandedPC] = FrVec.from_u64_array(tail)
+    out[Inp.FlagIsNoop] = FrVec.from_u64_array(tail.copy())
+    return out

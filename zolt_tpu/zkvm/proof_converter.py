@@ -54,7 +54,7 @@ def compute_claimed_inputs(witness_rows: list[list[int]], r_cycle_be: list[int],
     """MLE evals of all 43 witness columns at r_cycle (big-endian). With the
     stage-1 prover's cached FrVec columns, each eval is one native inner
     product against the eq table instead of an O(T·43) Python sweep."""
-    if wcols is not None and len(witness_rows) == (1 << len(r_cycle_be)):
+    if wcols is not None and wcols[0].n == (1 << len(r_cycle_be)):
         from ..native.frvec import FrVec
 
         eqv = FrVec.eq_table_be([c % P for c in r_cycle_be])
@@ -94,47 +94,57 @@ PRODUCT_VIRTUAL_NAMES = ["Product", "WriteLookupOutputToRD", "WritePCtoRD",
                          "ShouldBranch", "ShouldJump"]
 
 
-def extract_product_factors(witness_rows: list[list[int]]) -> list[list[int]]:
-    """The 8 product factors per cycle (proof_converter.zig extractProductFactors)."""
-    n = len(witness_rows)
-    out = []
-    for idx, w in enumerate(witness_rows):
-        next_is_noop = witness_rows[idx + 1][ri.Inp.FlagIsNoop] if idx + 1 < n else 1
-        out.append([
-            w[ri.Inp.LeftInstructionInput],
-            w[ri.Inp.RightInstructionInput],
-            w[ri.Inp.FlagIsRdNotZero],
-            w[ri.Inp.FlagWriteLookupOutputToRD],
-            w[ri.Inp.FlagJump],
-            w[ri.Inp.LookupOutput],
-            w[ri.Inp.FlagBranch],
-            next_is_noop,
-        ])
-    return out
+def extract_product_factors(wcols) -> list:
+    """The 8 product-factor COLUMNS over all cycles (proof_converter.zig
+    extractProductFactors, transposed to FrVec columns so the fused
+    left/right combinations are native lincombs instead of per-row Python):
+    [Left, Right, IsRdNotZero, WriteLookupOutputToRD, Jump, LookupOutput,
+    Branch, NextIsNoop]. `wcols` are the 43 witness columns (stage 1's
+    cache); NextIsNoop is IsNoop shifted to the next cycle with fill 1."""
+    return [
+        wcols[ri.Inp.LeftInstructionInput],
+        wcols[ri.Inp.RightInstructionInput],
+        wcols[ri.Inp.FlagIsRdNotZero],
+        wcols[ri.Inp.FlagWriteLookupOutputToRD],
+        wcols[ri.Inp.FlagJump],
+        wcols[ri.Inp.LookupOutput],
+        wcols[ri.Inp.FlagBranch],
+        wcols[ri.Inp.FlagIsNoop].shifted_left(fill=1),
+    ]
 
 
-def product_virtual_extended_evals(cycle_factors: list[list[int]],
-                                   tau: list[int]) -> list[int]:
+def fused_factor_columns(factors, coeffs):
+    """(fused_left, fused_right) columns for one coefficient row:
+    left = c0·F0 + (c1+c2)·F2 + c3·F5 + c4·F4,
+    right = c0·F1 + c1·F3 + c2·F4 + c3·F6 + c4·(1 − F7)."""
+    from ..native.frvec import FrVec
+
+    one_minus_f7 = FrVec.filled(factors[7].n, 1).sub(factors[7])
+    left = FrVec.lincomb([factors[0], factors[2], factors[5], factors[4]],
+                         [coeffs[0], (coeffs[1] + coeffs[2]) % P,
+                          coeffs[3], coeffs[4]])
+    right = FrVec.lincomb([factors[1], factors[3], factors[4], factors[6],
+                           one_minus_f7],
+                          [coeffs[0], coeffs[1], coeffs[2], coeffs[3],
+                           coeffs[4]])
+    return left, right
+
+
+def product_virtual_extended_evals(factors, tau: list[int]) -> list[int]:
     """Extended evals at {-3, 3, -4, 4} of the fused product polynomial
     (univariate_skip.zig computeProductVirtualExtendedEvals). The eq table
-    uses only the first log2(padded_len) entries of tau — tau_high is excluded."""
-    padded = 1 << max(0, (len(cycle_factors) - 1).bit_length())
+    uses only the first log2(padded_len) entries of tau — tau_high is
+    excluded. Fully columnar: one eq table + per-target lincombs and a
+    triple inner product, all in the native tier."""
+    from ..native.frvec import FrVec
+
+    padded = factors[0].n
     log_n = padded.bit_length() - 1
-    eq = eq_evals_be(tau[:log_n], padded)
+    eq = FrVec.eq_table_be([t % P for t in tau[:log_n]])
     out = []
     for j in range(us.PV_DEGREE):
-        coeffs = us.PV_COEFFS_PER_J[j]
-        total = 0
-        for x, f in enumerate(cycle_factors):
-            e = eq[x]
-            if e == 0:
-                continue
-            fused_left = (coeffs[0] * f[0] + coeffs[1] * f[2] + coeffs[2] * f[2]
-                          + coeffs[3] * f[5] + coeffs[4] * f[4]) % P
-            fused_right = (coeffs[0] * f[1] + coeffs[1] * f[3] + coeffs[2] * f[4]
-                           + coeffs[3] * f[6] + coeffs[4] * (1 - f[7])) % P
-            total = (total + e * (fused_left * fused_right % P)) % P
-        out.append(total)
+        left, right = fused_factor_columns(factors, us.PV_COEFFS_PER_J[j])
+        out.append(FrVec.triple_inner(eq, left, right))
     return out
 
 
@@ -148,7 +158,7 @@ class Stage2UniSkip:
     uni_skip_claim: int = 0
 
 
-def prove_stage2_uniskip(witness_rows, stage1: Stage1Proof, input_evals: list[int],
+def prove_stage2_uniskip(stage1: Stage1Proof, input_evals: list[int],
                          transcript) -> Stage2UniSkip:
     """Sample τ_high, build the deg-12 product-virtual UniSkip poly, absorb,
     derive r0 and the claim (proof_converter.zig:1080-1200)."""
@@ -165,7 +175,7 @@ def prove_stage2_uniskip(witness_rows, stage1: Stage1Proof, input_evals: list[in
     r_cycle_be = list(reversed(stage1.challenges[1:]))
     tau2 = r_cycle_be + [out.tau_high]
 
-    factors = extract_product_factors(witness_rows)
+    factors = extract_product_factors(stage1.wcols)
     out.extended_evals = product_virtual_extended_evals(factors, tau2)
 
     out.coeffs = us.build_uniskip_first_round_poly(
@@ -215,11 +225,11 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
     conv = JoltConversion()
     with metrics.stage("witness_gen"):
-        witness_rows = ri.witness_matrix(padded_steps, sound=sound)
+        wcols = ri.witness_columns(padded_steps, sound=sound)
 
     with metrics.stage("stage1"):
         conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
-                                        witness_rows=witness_rows,
+                                        witness_cols=wcols,
                                         backend=stage1_backend, mesh=mesh)
     zlog("STAGE1", f"uni_skip_claim={conv.stage1.uni_skip_claim} "
                    f"rounds={len(conv.stage1.compressed_polys)}")
@@ -230,11 +240,11 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
     r_cycle_be = list(reversed(conv.stage1.challenges[1:]))
     conv.input_evals = add_spartan_outer_claims(
-        conv.proof.opening_claims, witness_rows, r_cycle_be,
+        conv.proof.opening_claims, None, r_cycle_be,
         conv.stage1.uni_skip_claim, transcript, wcols=conv.stage1.wcols)
 
     conv.stage2_uniskip = prove_stage2_uniskip(
-        witness_rows, conv.stage1, conv.input_evals, transcript)
+        conv.stage1, conv.input_evals, transcript)
     conv.proof.stage2_uni_skip = UniSkipFirstRoundProof(conv.stage2_uniskip.coeffs)
     conv.proof.opening_claims.insert(
         OpeningId.virtual(VirtualPolynomial.named("UnivariateSkip"),
@@ -260,8 +270,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                 uni_skip_claim_stage2=s2u.uni_skip_claim,
                 tau=tau2,
                 r_spartan=r_spartan,
-                witness_rows=witness_rows,
-                factors=extract_product_factors(witness_rows),
+                wcols=conv.stage1.wcols,
+                factors=extract_product_factors(conv.stage1.wcols),
                 input_evals=conv.input_evals,
                 n_cycle_vars=n_cycle_vars,
                 log_ram_k=log_ram_k,
@@ -309,7 +319,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         _insert_stage2_claims(conv.proof.opening_claims, conv.stage2_batch)
 
         with metrics.stage("stage3"):
-            conv.stage3 = prove_stage3(transcript, witness_rows, n_cycle_vars,
+            conv.stage3 = prove_stage3(transcript, None, n_cycle_vars,
                                        r_spartan, r_product, oc,
                                        wcols=conv.stage1.wcols)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)

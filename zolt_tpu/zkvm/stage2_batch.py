@@ -41,14 +41,9 @@ def _eq_be(r: list[int], x: int, n: int) -> int:
 
 
 def _eq_table_be(r: list[int]) -> list[int]:
-    out = [1]
-    for t in r:
-        nxt = []
-        for v in out:
-            nxt.append(v * (1 - t) % P)
-            nxt.append(v * t % P)
-        out = nxt
-    return out
+    from ..native.frvec import FrVec
+
+    return FrVec.eq_table_be([t % P for t in r]).to_ints()
 
 
 def _eq_table_le(r: list[int], n_vars: int) -> list[int]:
@@ -108,24 +103,18 @@ def _window_tables(se: GruenSplitEq):
 # ---------------------------------------------------------------------------
 
 class ProductVirtualRemainderProver:
-    def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors: list[list[int]]):
-        padded = 1 << max(0, (len(factors) - 1).bit_length())
+    def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors):
+        """`factors` are the 8 product-factor FrVec COLUMNS
+        (proof_converter.extract_product_factors)."""
+        padded = factors[0].n
         self.num_cycle_vars = padded.bit_length() - 1
         w = us.lagrange_evals(us.PV_DOMAIN, r0)
         tau_low, tau_high = tau[:-1], tau[-1]
         kern = us.lagrange_kernel(us.PV_DOMAIN, r0, tau_high)
         self.split_eq = GruenSplitEq(tau_low, scaling_factor=kern)
-        from ..native.frvec import FrVec
+        from ..zkvm.proof_converter import fused_factor_columns
 
-        left = [0] * padded
-        right = [0] * padded
-        for i, f in enumerate(factors):
-            left[i] = (w[0] * f[0] + w[1] * f[2] + w[2] * f[2]
-                       + w[3] * f[5] + w[4] * f[4]) % P
-            right[i] = (w[0] * f[1] + w[1] * f[3] + w[2] * f[4]
-                        + w[3] * f[6] + w[4] * (1 - f[7])) % P
-        self.left = FrVec.from_ints(left)
-        self.right = FrVec.from_ints(right)
+        self.left, self.right = fused_factor_columns(factors, w)
         self.current_round = 0
         self.current_claim = uni_skip_claim % P
 
@@ -885,11 +874,16 @@ class InstructionLookupsProver:
         self.gamma = gamma % P
         self.gamma_sqr = gamma * gamma % P
         assert len(r_spartan) == n_cycle_vars
+
+        def col(xs):
+            if isinstance(xs, FrVec):
+                return xs.copy() if xs.n == T else xs.zero_padded_copy(T)
+            return FrVec.from_ints(([x % P for x in xs] + [0] * T)[:T])
+
         self.eq = FrVec.eq_table_be([c % P for c in r_spartan])
-        pad = lambda xs: ([x % P for x in xs] + [0] * T)[:T]
-        self.lo = FrVec.from_ints(pad(lookup_outputs))
-        self.left = FrVec.from_ints(pad(left_ops))
-        self.right = FrVec.from_ints(pad(right_ops))
+        self.lo = col(lookup_outputs)
+        self.left = col(left_ops)
+        self.right = col(right_ops)
         # combined c = lo + γ·left + γ²·right folds consistently with its
         # terms (the fold is linear), so keep it bound alongside them
         self.comb = self.lo.copy().axpy_(self.left, self.gamma).axpy_(
@@ -942,7 +936,7 @@ class Stage2BatchResult:
 
 
 def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int,
-                       tau: list[int], r_spartan: list[int], witness_rows,
+                       tau: list[int], r_spartan: list[int], wcols,
                        factors, input_evals: list[int], n_cycle_vars: int,
                        log_ram_k: int, accesses, initial_ram: dict[int, int],
                        final_ram: dict[int, int], layout, program_inputs: bytes,
@@ -1017,12 +1011,12 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                     ev = output.round_evals()
                 else:
                     if instr is None and rnd == start:
-                        lo = [w[ri.Inp.LookupOutput] for w in witness_rows]
-                        lf = [w[ri.Inp.LeftLookupOperand] for w in witness_rows]
-                        rt = [w[ri.Inp.RightLookupOperand] for w in witness_rows]
-                        instr = InstructionLookupsProver(gamma_instr, r_spartan,
-                                                         n_cycle_vars, input_claims[4],
-                                                         lo, lf, rt)
+                        instr = InstructionLookupsProver(
+                            gamma_instr, r_spartan, n_cycle_vars,
+                            input_claims[4],
+                            wcols[ri.Inp.LookupOutput],
+                            wcols[ri.Inp.LeftLookupOperand],
+                            wcols[ri.Inp.RightLookupOperand])
                     ev = instr.round_evals()
                 per_inst_evals[i] = ev
                 for j in range(4):
@@ -1071,13 +1065,14 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
 
     # -- post-batch opening claims (cache_openings) -------------------------
     # 8 product-factor MLE evals at reversed(last n_cycle challenges)
+    from ..native.frvec import FrVec
+
     r_cycle_rev = list(reversed(res.challenges[-n_cycle_vars:]))
-    eq = _eq_table_be(r_cycle_rev)
-    res.factor_evals = [0] * 8
-    for j, f in enumerate(factors):
-        e = eq[j] if j < len(eq) else 0
-        for k in range(8):
-            res.factor_evals[k] = (res.factor_evals[k] + e * f[k]) % P
+    eqv = FrVec.eq_table_be([c % P for c in r_cycle_rev])
+    if eqv.n > factors[0].n:
+        eqv = FrVec(factors[0].n, mont=eqv._mont) if eqv._mont is not None \
+            else FrVec(factors[0].n, ints=eqv._ints[: factors[0].n])
+    res.factor_evals = [eqv.inner(f) for f in factors]
 
     res.raf_final_claim = raf.ra.first() if raf is not None else 0
 

@@ -102,11 +102,18 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
     # dense tables
     eqp1_outer = FrVec.from_ints(_eq_plus_one_table(r_outer, T))
     eqp1_prod = FrVec.from_ints(_eq_plus_one_table(r_product, T))
-    eq_outer = FrVec.from_ints(_eq_table_be(r_outer)[:T])
-    eq_prod = FrVec.from_ints(_eq_table_be(r_product)[:T])
+    def _eq_vec(point):
+        v = FrVec.eq_table_be([c % P for c in point])
+        if v.n > T:
+            v = FrVec(T, mont=v._mont) if v._mont is not None \
+                else FrVec(T, ints=v._ints[:T])
+        return v
+
+    eq_outer = _eq_vec(r_outer)
+    eq_prod = _eq_vec(r_product)
 
     def col(idx):
-        if wcols is not None and len(witness_rows) == T:
+        if wcols is not None and wcols[0].n == T:
             return wcols[idx].copy()  # stage-1's cached column (consumed by folds)
         return FrVec.from_ints(
             [w[idx] % P for w in witness_rows[:T]] + [0] * (T - len(witness_rows)))

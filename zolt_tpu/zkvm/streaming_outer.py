@@ -48,14 +48,13 @@ def _witness_az_bz(w: list[int], group: int) -> tuple[list[int], list[int]]:
     return az, bz
 
 
-def _constraint_columns(witnesses):
-    """Az/Bz constraint COLUMNS over all cycles as FrVec (the transposed view
-    of the reference's per-cycle evaluators, r1cs/evaluators.zig:36-150):
+def _constraint_columns_from_wcols(wcols):
+    """Az/Bz constraint COLUMNS from the 43 witness columns (the transposed
+    view of the reference's per-cycle evaluators, r1cs/evaluators.zig:36-150):
     az_cols[g][i][c] = cond_i(w_c), bz_cols[g][i][c] = (left−right)_i(w_c)."""
     from ..native.frvec import FrVec
 
-    T = len(witnesses)
-    wcols = [FrVec.from_ints(list(col)) for col in zip(*witnesses)]
+    T = wcols[0].n
     ones = FrVec.filled(T, 1)
 
     def lc_col(lc):
@@ -74,6 +73,16 @@ def _constraint_columns(witnesses):
             cond, left, right = rc.CONSTRAINTS[ci]
             az_cols[g].append(lc_col(cond))
             bz_cols[g].append(lc_col(left).sub(lc_col(right)))
+    return az_cols, bz_cols
+
+
+def _constraint_columns(witnesses):
+    """Row-matrix variant (internal path / tests): transpose to FrVec columns
+    first, then build the constraint columns."""
+    from ..native.frvec import FrVec
+
+    wcols = [FrVec.from_ints(list(col)) for col in zip(*witnesses)]
+    az_cols, bz_cols = _constraint_columns_from_wcols(wcols)
     return az_cols, bz_cols, wcols
 
 
@@ -125,10 +134,14 @@ def _eq_table_be(taus: list[int]) -> list[int]:
 
 
 class StreamingOuterProver:
-    def __init__(self, cycle_witnesses: list[list[int]], tau: list[int],
+    def __init__(self, cycle_witnesses, tau: list[int],
                  lagrange_tau_r0: int | None = None, backend: str = "host",
-                 mesh=None):
+                 mesh=None, witness_cols=None):
+        """`cycle_witnesses`: per-cycle rows (row path) or None when
+        `witness_cols` (the 43 FrVec columns, r1cs.inputs.witness_columns)
+        is given — the columnar path never materializes rows."""
         self.witnesses = cycle_witnesses
+        self._wcols_in = witness_cols
         self.full_tau = list(tau)
         self.tau_high = tau[-1]
         # split_eq is over tau_low = tau[:-1]; tau_high only enters via the
@@ -150,9 +163,19 @@ class StreamingOuterProver:
 
     def _cols(self):
         if getattr(self, "_az_cols", None) is None:
-            self._az_cols, self._bz_cols, self._wcols = \
-                _constraint_columns(self.witnesses)
+            if self._wcols_in is not None:
+                self._wcols = self._wcols_in
+                self._az_cols, self._bz_cols = \
+                    _constraint_columns_from_wcols(self._wcols)
+            else:
+                self._az_cols, self._bz_cols, self._wcols = \
+                    _constraint_columns(self.witnesses)
         return self._az_cols, self._bz_cols
+
+    def _num_cycles(self) -> int:
+        if self._wcols_in is not None:
+            return self._wcols_in[0].n
+        return len(self.witnesses)
 
     # -- round 0: UniSkip ---------------------------------------------------
     def compute_first_round_poly(self) -> list[int]:
@@ -166,7 +189,7 @@ class StreamingOuterProver:
         tau = self.full_tau
         wprime = len(tau) - 1
         T = 1 << (wprime - 1)
-        assert len(self.witnesses) == T, "trace must be pow2-padded"
+        assert self._num_cycles() == T, "trace must be pow2-padded"
 
         e_half = FrVec.eq_table_be([t % P for t in tau[: wprime - 1]])
         tau_g = tau[wprime - 1] % P
@@ -299,18 +322,22 @@ class Stage1Proof:
 
 def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
                       witness_rows=None, backend: str = "host",
-                      mesh=None) -> Stage1Proof:
+                      mesh=None, witness_cols=None) -> Stage1Proof:
     """Full stage-1 flow with exact transcript discipline
     (proof_converter.zig:380-540). `tau` must already have been sampled from
-    the same transcript (num_cycle_vars + 2 values). Pass witness_rows to
-    prove over a caller-built witness (e.g. the sound-mode variant).
+    the same transcript (num_cycle_vars + 2 values). Pass witness_rows (row
+    matrix) or witness_cols (43 FrVec columns — the production columnar
+    path) to prove over a caller-built witness.
 
     backend selects where the remaining-round hot loops run ("host",
     "device", "mesh" — see device_outer); the proof bytes are identical."""
-    witnesses = witness_rows if witness_rows is not None else ri.witness_matrix(padded_steps)
+    witnesses = None
+    if witness_cols is None:
+        witnesses = witness_rows if witness_rows is not None \
+            else ri.witness_matrix(padded_steps)
     proof = Stage1Proof()
 
-    prover = StreamingOuterProver(witnesses, tau)
+    prover = StreamingOuterProver(witnesses, tau, witness_cols=witness_cols)
     s1 = prover.compute_first_round_poly()
     proof.uni_skip_coeffs = s1
 
@@ -325,7 +352,8 @@ def prove_stage1_jolt(padded_steps, tau: list[int], transcript,
     cols = prover._cols()
     wcols = prover._wcols
     prover = StreamingOuterProver(witnesses, tau, lagrange_tau_r0,
-                                  backend=backend, mesh=mesh)
+                                  backend=backend, mesh=mesh,
+                                  witness_cols=witness_cols)
     prover._az_cols, prover._bz_cols = cols
     prover._wcols = wcols
     proof.wcols = wcols  # witness columns, reused by later stages
