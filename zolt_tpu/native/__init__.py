@@ -104,6 +104,8 @@ def _build_and_load():
     lib.frv_eq_table_be.argtypes = [C, I, C]
     lib.frv_fold_adj.argtypes = [C, L, C, C]
     lib.frv_fold_adj_prefix.argtypes = [C, L, C]
+    lib.frv_fold_adj_rows.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                      ctypes.c_int, L, C]
     lib.frv_fold_half.argtypes = [C, L, C, C]
     lib.frv_quad_sums_half.argtypes = [C, C, L, C]
     PP = ctypes.POINTER(ctypes.c_char_p)

@@ -229,6 +229,30 @@ void frv_fold_adj(const uint8_t *in, long n, const uint8_t *r_mont, uint8_t *out
     }
 }
 
+/* Multi-row in-place adjacent fold: rows[k][i] = rows[k][2i] +
+ * r*(rows[k][2i+1] - rows[k][2i]) for i < n/2, tail left stale.
+ * Parallelized ACROSS rows — within one row a single thread's writes stay
+ * behind its reads (o[i] from a[2i], a[2i+1]), so in-place is race-free and
+ * there is NO allocation: the per-round multi-table binds (stage-4
+ * registers: ~100 rows) avoid the mmap/munmap churn that made fresh-buffer
+ * folds collapse at 2^20 x 97 rows (13x slowdown measured). */
+void frv_fold_adj_rows(uint8_t *const *rows, int k, long n, const uint8_t *r_mont) {
+    fr r;
+    fr_load(&r, r_mont);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int t = 0; t < k; t++) {
+        fr *a = (fr *)rows[t];
+        for (long i = 0; i < n / 2; i++) {
+            fr d, m;
+            fr_sub(&d, &a[2 * i + 1], &a[2 * i]);
+            fr_mul(&m, &d, &r);
+            fr_add(&a[i], &a[2 * i], &m);
+        }
+    }
+}
+
 /* In-place prefix fold: buf[i] = buf[2i] + r*(buf[2i+1] - buf[2i]) for
  * i < active_n/2, leaving buf[active_n/2:] untouched (some byte-exact
  * provers read the stale tail of their in-place-folded tables). A scratch

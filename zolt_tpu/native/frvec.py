@@ -309,6 +309,22 @@ class FrVec:
                          _buf(out))
         return FrVec(self.n // 2, mont=out)
 
+    @staticmethod
+    def fold_adj_rows_(rows: list["FrVec"], live_n: int, r: int) -> None:
+        """In-place adjacent fold of the first live_n elements of MANY rows
+        in one native call, parallelized across rows with zero allocation
+        (tails go stale; callers track the live prefix). The per-round
+        multi-table bind primitive for wide provers (stage-4 registers)."""
+        lib = _get_lib()
+        if lib is None or any(v._mont is None for v in rows):
+            for v in rows:
+                v.fold_adj_prefix_(r, live_n)
+            return
+        arr = (ctypes.c_char_p * len(rows))()
+        for i, v in enumerate(rows):
+            arr[i] = _bufp(v._mont)
+        lib.frv_fold_adj_rows(arr, len(rows), live_n, _buf(_mont_scalars([r])))
+
     def fold_adj_prefix_(self, r: int, active_n: int) -> None:
         """In-place: fold the first active_n elements' adjacent pairs into
         the prefix, leaving the tail STALE and the length unchanged (the

@@ -145,55 +145,69 @@ class Stage4RegistersProver:
 
         from ..native.frvec import FrVec
 
-        rs1_pos = [[] for _ in range(32)]
-        rs2_pos = [[] for _ in range(32)]
-        rd_pos = [[] for _ in range(32)]
-        write_events = [[] for _ in range(32)]  # (cycle, new_value) per k
-        inc = [0] * T
-        regs = [0] * 32
-        for cycle, step in enumerate(steps):
-            if getattr(step, "is_noop", False):
-                continue
-            instr = step.instruction
-            rd = (instr >> 7) & 0x1F
-            rs1 = (instr >> 15) & 0x1F
-            rs2 = (instr >> 20) & 0x1F
-            opcode = instr & 0x7F
-            if opcode in _READS_RS1:
-                rs1_pos[rs1].append(cycle)
-            if opcode in _READS_RS2:
-                rs2_pos[rs2].append(cycle)
-            if opcode not in _NO_RD and rd != 0:
-                rd_pos[rd].append(cycle)
-                inc[cycle] = (step.rd_value - regs[rd]) % P
-                write_events[rd].append((cycle, step.rd_value))
-                regs[rd] = step.rd_value
+        # vectorized trace scan (the per-cycle Python loop was ~half of the
+        # stage-4 wall time at T=2^20)
+        from ..r1cs.inputs import _steps_to_arrays
 
+        n_real = next((i for i, s in enumerate(steps) if s.is_noop), T)
+        arrs, _comp, _hp = _steps_to_arrays(steps[:n_real])
+        instr = arrs["instruction"]
+        rdv = arrs["rd_value"]
+        opcode = (instr & np.uint64(0x7F)).astype(np.uint32)
+        rd_f = ((instr >> np.uint64(7)) & np.uint64(0x1F)).astype(np.int64)
+        rs1_f = ((instr >> np.uint64(15)) & np.uint64(0x1F)).astype(np.int64)
+        rs2_f = ((instr >> np.uint64(20)) & np.uint64(0x1F)).astype(np.int64)
+
+        def pad_to_T(a, fill):
+            if n_real == T:
+                return a
+            return np.concatenate([a, np.full(T - n_real, fill, a.dtype)])
+
+        # per-cycle read registers (32 = "no read"; selector gathers below)
+        rs1_reg = pad_to_T(np.where(np.isin(opcode, tuple(_READS_RS1)),
+                                    rs1_f, np.int64(32)), 32)
+        rs2_reg = pad_to_T(np.where(np.isin(opcode, tuple(_READS_RS2)),
+                                    rs2_f, np.int64(32)), 32)
+        self._rs1_reg = rs1_reg
+        self._rs2_reg = rs2_reg
+        # challenge log for the deferred rs1/rs2 final-claim evals
+        self._r_cycle_bound: list[int] = []
+        self._r_k_bound: list[int] = []
+
+        writes = (~np.isin(opcode, tuple(_NO_RD))) & (rd_f != 0)
+        rd_w = pad_to_T(np.where(writes, rd_f, np.int64(-1)), -1)  # -1 = no write
+        rdv_T = pad_to_T(rdv, 0)
+
+        # ra_k(c) = γ·[rs1(c)==k] + γ²·[rs2(c)==k]: byte-gather from the 4
+        # Montgomery constants {0, γ, γ², γ+γ²} by selector — one numpy pass
+        # per register instead of two indicator builds + two axpys
+        from ..native.frvec import _mont_scalars
+
+        consts = bytes(_mont_scalars([0, self.gamma, self.gamma_sq,
+                                      (self.gamma + self.gamma_sq) % P]))
+        cmat = np.frombuffer(consts, dtype=np.uint8).reshape(4, 32)
+
+        inc_lo = np.zeros(T, dtype=np.uint64)
+        inc_hi = np.zeros(T, dtype=np.int64)
         self.val = []
         self.rd_wa = []
         self.ra = []
-        self.rs1_ra = []
-        self.rs2_ra = []
         for k in range(32):
+            wc = np.flatnonzero(rd_w == k)          # write cycles of reg k
+            vals = rdv_T[wc]
+            prev = np.concatenate([np.zeros(1, np.uint64), vals[:-1]])
+            inc_lo[wc] = vals - prev                # u64 wrap; sign via hi
+            inc_hi[wc] = np.where(vals < prev, np.int64(-1), np.int64(0))
             # val row: value BEFORE the cycle — a write at cycle c takes
             # effect from cycle c+1 onward
-            v = np.zeros(T, dtype=np.uint64)
-            prev = 0
-            start = 0
-            for c, newv in write_events[k]:
-                v[start:c + 1] = prev
-                prev = newv
-                start = c + 1
-            v[start:] = prev
+            bounds = np.concatenate([wc + 1, [np.int64(T)]])
+            counts = np.diff(np.concatenate([[np.int64(0)], bounds]))
+            v = np.repeat(np.concatenate([np.zeros(1, np.uint64), vals]), counts)
             self.val.append(FrVec.from_u64_array(v))
-            r1 = FrVec.indicator(T, rs1_pos[k])
-            r2 = FrVec.indicator(T, rs2_pos[k])
-            self.rs1_ra.append(r1)
-            self.rs2_ra.append(r2)
-            self.rd_wa.append(FrVec.indicator(T, rd_pos[k]))
-            self.ra.append(FrVec.zeros(T).axpy_(r1, self.gamma)
-                           .axpy_(r2, self.gamma_sq))
-        self.inc = FrVec.from_ints(inc)
+            self.rd_wa.append(FrVec.indicator(T, wc))
+            sel = (rs1_reg == k).astype(np.int8) + 2 * (rs2_reg == k).astype(np.int8)
+            self.ra.append(FrVec(T, mont=bytearray(cmat[sel].tobytes())))
+        self.inc = FrVec.from_i128_arrays(inc_lo, inc_hi)
         self._zero_row = FrVec.zeros(T)
 
         r_cycle_be = list(reversed([c % P for c in r_cycle_le]))
@@ -319,17 +333,31 @@ class Stage4RegistersProver:
 
         omr = (1 - r) % P
         p1, p2 = self.phase1_rounds, self.phase1_rounds + self.phase2_rounds
-        all_rows = (self.val, self.rd_wa, self.ra, self.rs1_ra, self.rs2_ra)
+        # rs1_ra/rs2_ra rows are NOT kept/folded: they only feed two final
+        # scalars, computed in closed form from the challenge log (below)
+        all_rows = (self.val, self.rd_wa, self.ra)
         if rnd < p1:
             half_T = self.current_T // 2
-            for rows in all_rows:
-                for k in range(min(self.active_K, len(rows))):
-                    rows[k] = rows[k].fold_adj(r)
-            self.inc = self.inc.fold_adj(r)
-            self._zero_row = FrVec.zeros(half_T)
+            live = [rows[k] for rows in all_rows
+                    for k in range(min(self.active_K, len(rows)))] + [self.inc]
+            # one native call, in place across all ~100 rows: fresh-buffer
+            # per-row folds hit allocator churn at T=2^20 (13x slowdown)
+            FrVec.fold_adj_rows_(live, self.current_T, r)
             self.current_T = half_T
             self.gruen.bind(r)
+            self._r_cycle_bound.append(r % P)
             if rnd == p1 - 1:
+                # phase 2 works at the shrunken T: drop the stale tails
+                def trunc(v):
+                    if v._mont is not None:
+                        return FrVec(half_T,
+                                     mont=bytearray(memoryview(v._mont)[:32 * half_T]))
+                    return FrVec(half_T, ints=v._ints[:half_T])
+                for rows in all_rows:
+                    for k in range(len(rows)):
+                        rows[k] = trunc(rows[k])
+                self.inc = trunc(self.inc)
+                self._zero_row = FrVec.zeros(half_T)
                 self.merged_eq = FrVec.from_ints(self.gruen.full_eq_table())
         elif rnd < p2:
             half_K = self.current_K // 2
@@ -344,19 +372,43 @@ class Stage4RegistersProver:
                 del rows[n_active:]
             self.current_K = half_K
             self.active_K = n_active
+            self._r_k_bound.append(r % P)
         else:
             half_T = self.current_T // 2
-            for rows in all_rows:
-                for k in range(min(self.current_K, self.active_K, len(rows))):
-                    rows[k] = rows[k].fold_adj(r)
-            self.inc = self.inc.fold_adj(r)
-            self.merged_eq = self.merged_eq.fold_adj(r)
-            self._zero_row = FrVec.zeros(half_T)
+            live = [rows[k] for rows in all_rows
+                    for k in range(min(self.current_K, self.active_K, len(rows)))]
+            live += [self.inc, self.merged_eq]
+            FrVec.fold_adj_rows_(live, self.current_T, r)
             self.current_T = half_T
+            self._r_cycle_bound.append(r % P)
+
+    def _read_ra_final(self, reg_per_cycle) -> int:
+        """Closed-form final scalar of a one-hot read row family:
+        Σ_k eq_LE(r_k, k) · Σ_c eq_LE(r_cycle, c) · [reg(c) == k]. Every
+        cycle reads at most one register, so this is one byte-gather of the
+        k-weights by the per-cycle register index + one native inner
+        product — no per-round folding of 64 rows."""
+        import numpy as np
+
+        from ..native.frvec import FrVec, _mont_scalars
+
+        # fold_adj binds the LSB each round: both challenge logs are
+        # little-endian points; eq_LE(r, x) = eq_BE(reversed(r), x)
+        eq_cycle = FrVec.eq_table_be(list(reversed(self._r_cycle_bound)))
+        w = [1] * 32
+        for i, rk in enumerate(self._r_k_bound):
+            for k in range(32):
+                w[k] = w[k] * (rk if (k >> i) & 1 else (1 - rk)) % P
+        wmat = np.frombuffer(bytes(_mont_scalars(w + [0])),
+                             dtype=np.uint8).reshape(33, 32)
+        v = FrVec(self.T, mont=bytearray(wmat[reg_per_cycle].tobytes()))
+        return v.inner(eq_cycle)
 
     def final_claims(self) -> dict[str, int]:
-        return {"val": self.val[0].first(), "rs1_ra": self.rs1_ra[0].first(),
-                "rs2_ra": self.rs2_ra[0].first(), "rd_wa": self.rd_wa[0].first(),
+        return {"val": self.val[0].first(),
+                "rs1_ra": self._read_ra_final(self._rs1_reg),
+                "rs2_ra": self._read_ra_final(self._rs2_reg),
+                "rd_wa": self.rd_wa[0].first(),
                 "inc": self.inc.first()}
 
 
