@@ -115,3 +115,60 @@ def test_mesh_sharded_msm_matches_host():
     scalars[9] = 0
     got = pippenger.msm_mesh(mesh, pts, scalars, windows_per_pass=16)
     assert got == chost.msm(pts, scalars)
+
+
+def test_mesh_full_sound_prove_byte_identical():
+    """VERDICT r2 #3: the complete sound prove (commitments, stages 1-12,
+    PCS batch opening) over the 8-device mesh with the wide sumcheck
+    instances on mesh backends (stage 1, stage-2 Product/Instr, stage-4
+    ValEval/ValFinal) — proof bytes identical to the all-host prover."""
+    import os
+    import tempfile
+
+    import jax
+
+    from zolt_tpu.parallel import make_mesh
+    from zolt_tpu.vm import elf as elf_mod
+    from zolt_tpu.vm.guest import Asm
+    from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=1024))
+    a = Asm()
+    a.li_addr(5, 0x80002000)
+    a.addi(1, 0, 0)
+    a.addi(2, 0, 12)
+    a.label("w")
+    a.sd(5, 1, 0)
+    a.addi(5, 5, 8)
+    a.add(1, 1, 2)
+    a.addi(2, 2, -1)
+    a.bne(2, 0, "w")
+    a.halt(lay, provable=True)
+    with tempfile.NamedTemporaryFile(suffix=".elf", delete=False) as f:
+        f.write(elf_mod.write_minimal_elf(a.bytes()))
+        path = f.name
+    try:
+        mesh = make_mesh(jax.devices())
+        host = prove_jolt(path, sound=True).conv.proof.serialize_with_dory()
+        meshp = prove_jolt(path, sound=True, backend="mesh",
+                           mesh=mesh).conv.proof.serialize_with_dory()
+    finally:
+        os.unlink(path)
+    assert meshp == host
+
+
+def test_device_backend_prove_byte_identical():
+    """Single-device backend for the same stages — byte-identical proof."""
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    FIB = "/root/reference/examples/fibonacci.elf"
+    import os
+
+    import pytest
+
+    if not os.path.exists(FIB):
+        pytest.skip("reference fibonacci.elf absent")
+    host = prove_jolt(FIB).conv.proof.serialize_with_dory()
+    dev = prove_jolt(FIB, backend="device").conv.proof.serialize_with_dory()
+    assert dev == host

@@ -1,0 +1,238 @@
+"""Generic device/mesh backend for dense product-sumcheck instances.
+
+Most of the Jolt schedule's instances reduce per round to the same two
+primitives over k dense tables (ValEvaluation: inc·wa·lt deg-3; ValFinal:
+inc·wa deg-2; InstructionLookupsClaimReduction: eq·comb deg-2; the Gruen
+instances factor their eq weight separately — see zkvm/device_outer):
+
+    evals[t] = Σ_i Π_k (lo_k[i] + t·(hi_k[i] − lo_k[i]))   t = 0..degree
+    fold:      tab_k[i] ← lo_k[i] + r·(hi_k[i] − lo_k[i])
+
+This engine runs both on a single device or sharded over a jax Mesh with the
+fixed-shape discipline proven out by the stage-1 backend (zkvm/device_outer):
+tables keep their initial power-of-two size, the live prefix halves per round
+behind a zero tail (zero factors kill tail products, so sums are exact), and
+every round reuses the same two compiled programs. On the mesh, tables shard
+on the pair axis, per-round sums reduce with `psum` over ICI, and folds stay
+shard-local (pairs are adjacent and shards even-sized); the tail rounds where
+the live prefix no longer spans the mesh finish on host.
+
+"Passenger" tables ride along in the fold (no eval contribution) so that
+instances can expose final openings of constituent polynomials (e.g. the
+instruction instance proves with comb = lo + γ·left + γ²·right but must open
+lo/left/right individually).
+
+FrVec <-> device bridging is pure byte reinterpretation: both sides hold the
+same Montgomery form (R = 2^256), FrVec as 32-byte LE scalars, the device as
+16x16-bit LE limbs — a `<u2` view, no conversion kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import limb
+from ..field.limb import FR_C
+from ..field.params import FR
+from ..poly import dense
+from .mesh import AXIS, _psum_field
+
+P = FR.p
+
+
+def frvec_to_limbs(v) -> np.ndarray:
+    """FrVec Montgomery bytes -> (n, 16) uint32 device limb array (view+cast
+    only; both representations are the same Montgomery residue)."""
+    buf = bytes(memoryview(v._mont)[: 32 * v.n]) if v._mont is not None else None
+    if buf is None:
+        from ..native.frvec import _mont_scalars
+
+        buf = bytes(_mont_scalars([x % P for x in v._ints]))
+    return np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(v.n, 16)
+
+
+def limbs_to_frvec(arr) -> "object":
+    """(n, 16) uint32 limb array -> FrVec (Montgomery bytes)."""
+    from ..native.frvec import FrVec
+
+    a = np.asarray(arr, dtype=np.uint32)
+    assert a.dtype == np.uint32
+    b = a.astype("<u2").tobytes()
+    return FrVec(a.shape[0], mont=bytearray(b))
+
+
+def _split_pairs(tab):
+    n2 = tab.shape[0] // 2
+    pairs = tab.reshape(n2, 2, -1)
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    return lo, limb.sub(hi, lo, FR_C)
+
+
+@partial(jax.jit, static_argnames=("degree",))
+def _evals_fixed(tables, degree: int):
+    """Σ_i Π_k extensions at t=0..degree over all (zero-padded) pairs."""
+    f = FR_C
+    k = tables.shape[0]
+    los, diffs = [], []
+    for j in range(k):
+        lo, d = _split_pairs(tables[j])
+        los.append(lo)
+        diffs.append(d)
+    outs = []
+    for t in range(degree + 1):
+        prod = None
+        for lo, d in zip(los, diffs):
+            val = lo
+            for _ in range(t):
+                val = limb.add(val, d, f)
+            prod = val if prod is None else limb.mont_mul(prod, val, f)
+        outs.append(dense.sum_mod(prod, f))
+    return jnp.stack(outs)
+
+
+@jax.jit
+def _fold_fixed_stack(tables, r):
+    """Fold every table (live prefix halves; zero tail restored)."""
+    f = FR_C
+    out = []
+    for j in range(tables.shape[0]):
+        lo, d = _split_pairs(tables[j])
+        nb = limb.add(lo, limb.mont_mul(r[None], d, f), f)
+        out.append(jnp.concatenate([nb, jnp.zeros_like(nb)]))
+    return jnp.stack(out)
+
+
+def _make_mesh_steps(mesh, degree: int):
+    from jax.sharding import PartitionSpec as PS
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(PS(None, AXIS, None),), out_specs=PS(None, None),
+             check_vma=False)
+    def eval_step(tables):
+        f = FR_C
+        k = tables.shape[0]
+        los, diffs = [], []
+        for j in range(k):
+            lo, d = _split_pairs(tables[j])
+            los.append(lo)
+            diffs.append(d)
+        outs = []
+        for t in range(degree + 1):
+            prod = None
+            for lo, d in zip(los, diffs):
+                val = lo
+                for _ in range(t):
+                    val = limb.add(val, d, f)
+                prod = val if prod is None else limb.mont_mul(prod, val, f)
+            outs.append(dense.sum_mod(prod, f))
+        return _psum_field(jnp.stack(outs), f)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(PS(None, AXIS, None), PS(None)),
+             out_specs=PS(None, AXIS, None), check_vma=False)
+    def fold_step(tables, r):
+        return _fold_fixed_stack(tables, r)
+
+    return jax.jit(eval_step), jax.jit(fold_step)
+
+
+class DeviceProductTables:
+    """k product tables + passengers on one device or a mesh; see module doc.
+
+    n_factors tables contribute to the evals; the rest only fold. The live
+    prefix is tracked host-side; on a mesh the live data sits as each shard's
+    local prefix and the tail rounds finish on host once the prefix no longer
+    spans the mesh."""
+
+    def __init__(self, factor_vecs, passenger_vecs=(), degree=None, mesh=None):
+        self.k = len(factor_vecs)
+        self.degree = degree if degree is not None else self.k
+        self.mesh = mesh
+        self.n_dev = int(mesh.devices.size) if mesh is not None else 1
+        all_vecs = list(factor_vecs) + list(passenger_vecs)
+        self.n = all_vecs[0].n
+        assert all(v.n == self.n for v in all_vecs)
+        self.live = self.n
+        stack = np.stack([frvec_to_limbs(v) for v in all_vecs])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            assert self.n % (2 * self.n_dev) == 0, \
+                "table must give every shard an even pair count"
+            self._eval_step, self._fold_step = _make_mesh_steps(mesh, self.degree)
+            self.tables = jax.device_put(
+                stack, NamedSharding(mesh, PS(None, AXIS, None)))
+        else:
+            self.tables = jax.device_put(stack)
+        self._host: list[list[int]] | None = None
+
+    # -- host tail ----------------------------------------------------------
+    def _live_local(self) -> int:
+        return self.live // self.n_dev
+
+    def _to_host(self) -> None:
+        if self._host is not None:
+            return
+        arr = np.asarray(self.tables)
+        loc = self.n // self.n_dev
+        live_loc = self.live // self.n_dev
+        rows = []
+        for j in range(arr.shape[0]):
+            vals = []
+            for s in range(self.n_dev):
+                seg = arr[j, s * loc: s * loc + live_loc]
+                vals.extend(int(x) for x in limb.decode(seg, FR_C))
+            rows.append(vals)
+        self._host = rows
+
+    # -- protocol ------------------------------------------------------------
+    def round_evals(self) -> list[int]:
+        if self._host is None and self.mesh is not None \
+                and self._live_local() < 2:
+            self._to_host()
+        if self._host is not None:
+            evals = []
+            for t in range(self.degree + 1):
+                s = 0
+                for i in range(self.live // 2):
+                    prod = 1
+                    for j in range(self.k):
+                        lo = self._host[j][2 * i]
+                        hi = self._host[j][2 * i + 1]
+                        prod = prod * (lo + t * (hi - lo)) % P
+                    s = (s + prod) % P
+                evals.append(s)
+            return evals
+        if self.mesh is not None:
+            out = self._eval_step(self.tables[: self.k])
+        else:
+            out = _evals_fixed(self.tables[: self.k], self.degree)
+        return [int(v) for v in limb.decode(np.asarray(out), FR_C)]
+
+    def bind(self, r: int) -> None:
+        if self._host is None and self.mesh is not None \
+                and self._live_local() < 2:
+            self._to_host()
+        if self._host is not None:
+            half = self.live // 2
+            self._host = [[(row[2 * i] + r * (row[2 * i + 1] - row[2 * i])) % P
+                           for i in range(half)] for row in self._host]
+            self.live = half
+            return
+        rl = limb.encode([r % P], FR_C)[0]
+        if self.mesh is not None:
+            self.tables = self._fold_step(self.tables, rl)
+        else:
+            self.tables = _fold_fixed_stack(self.tables, rl)
+        self.live //= 2
+
+    def finals(self) -> list[int]:
+        """First element of every table (factors then passengers)."""
+        if self._host is not None:
+            return [row[0] for row in self._host]
+        arr = np.asarray(self.tables[:, :1])
+        return [int(limb.decode(arr[j, 0], FR_C)) for j in range(arr.shape[0])]

@@ -50,12 +50,31 @@ P = FR.p
 _U32 = jnp.uint32
 
 
-def _pad_encode(vals: list[int], size: int):
-    """Encode host ints to Montgomery limbs in a fixed-size zero-padded
+def _ingest(vals) -> np.ndarray:
+    """(n, 16) uint32 Montgomery limb array from an FrVec (byte
+    reinterpretation — same Montgomery form both sides) or from host ints
+    (C ingest when the native tier is up, Python bigint fallback)."""
+    if hasattr(vals, "_mont"):                       # FrVec
+        from ..parallel.stage_engine import frvec_to_limbs
+
+        return frvec_to_limbs(vals)
+    from ..native.frvec import FrVec
+
+    v = FrVec.from_ints([x % P for x in vals])
+    if v._mont is not None:
+        from ..parallel.stage_engine import frvec_to_limbs
+
+        return frvec_to_limbs(v)
+    return np.asarray(limb.encode([x % P for x in vals], FR_C))
+
+
+def _pad_encode(vals, size: int):
+    """Encode host values to Montgomery limbs in a fixed-size zero-padded
     buffer (zero is zero in Montgomery form, so padding is inert)."""
     buf = np.zeros((size, 16), np.uint32)
-    if vals:
-        buf[: len(vals)] = np.asarray(limb.encode([v % P for v in vals], FR_C))
+    n = vals.n if hasattr(vals, "n") else len(vals)
+    if n:
+        buf[:n] = _ingest(vals)
     return jnp.asarray(buf)
 
 
@@ -101,11 +120,12 @@ class DeviceOuterRounds:
     """Single-device backend. az/bz live on device as Montgomery limbs; the
     host keeps only the split-eq scalars (cubic-poly bookkeeping)."""
 
-    def __init__(self, az: list[int], bz: list[int]):
-        self.n = len(az)                 # fixed device size
-        self.live = len(az)              # live prefix length (halves per round)
-        self.az = limb.encode([v % P for v in az], FR_C)
-        self.bz = limb.encode([v % P for v in bz], FR_C)
+    def __init__(self, az, bz):
+        n = az.n if hasattr(az, "n") else len(az)
+        self.n = n                       # fixed device size
+        self.live = n                    # live prefix length (halves per round)
+        self.az = jnp.asarray(_ingest(az))
+        self.bz = jnp.asarray(_ingest(bz))
         self._e_in_size = max(1, self.n // 2)
 
     def num_pairs(self) -> int:
@@ -180,19 +200,20 @@ class MeshOuterRounds:
     the mesh (< 1 pair per shard — the last ~log2(n_dev) rounds, a vanishing
     fraction of the work), the tail finishes as host ints."""
 
-    def __init__(self, az: list[int], bz: list[int], mesh):
+    def __init__(self, az, bz, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as PS
 
+        n = az.n if hasattr(az, "n") else len(az)
         self.mesh = mesh
         self.n_dev = int(mesh.devices.size)
-        assert len(az) % (2 * self.n_dev) == 0, \
+        assert n % (2 * self.n_dev) == 0, \
             "table must give every shard an even pair count"
-        self.n = len(az)
-        self.live = len(az)
+        self.n = n
+        self.live = n
         self.eval_step, self.fold_step = _make_mesh_steps(mesh)
         sh = NamedSharding(mesh, PS(AXIS, None))
-        self.az = jax.device_put(limb.encode([v % P for v in az], FR_C), sh)
-        self.bz = jax.device_put(limb.encode([v % P for v in bz], FR_C), sh)
+        self.az = jax.device_put(jnp.asarray(_ingest(az)), sh)
+        self.bz = jax.device_put(jnp.asarray(_ingest(bz)), sh)
         self._e_in_size = max(1, self.n // 2)
         self._host_az: list[int] | None = None
         self._host_bz: list[int] | None = None

@@ -40,7 +40,7 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
                srs=None, golden_commitments: list[bytes] | None = None,
                stages: int = 7, with_joint_proof: bool = False,
                sound: bool = False, stage1_backend: str = "host",
-               mesh=None) -> JoltPipelineResult:
+               mesh=None, backend: str | None = None) -> JoltPipelineResult:
     """Full Jolt-format proof for an ELF. `golden_commitments` replaces the
     commitment phase with externally-provided GT bytes (for differential
     testing against a proof produced with a different SRS)."""
@@ -103,7 +103,7 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     conv = convert_with_transcript(padded, tau, transcript, emulator=emu,
                                    log_ram_k=LOG_RAM_K, stages=stages, sound=sound,
                                    stage1_backend=stage1_backend, mesh=mesh,
-                                   bc_index=bc_index)
+                                   bc_index=bc_index, backend=backend)
 
     proof = conv.proof
     proof.commitments = commitment_bytes

@@ -211,7 +211,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                             emulator=None, log_ram_k: int = 16,
                             stages: int = 7, sound: bool = False,
                             stage1_backend: str = "host",
-                            mesh=None, bc_index=None) -> JoltConversion:
+                            mesh=None, bc_index=None,
+                            backend: str | None = None) -> JoltConversion:
     """Drive the Jolt proof stages implemented so far. Pass the finished
     emulator to enable the stage-2 batched sumcheck (needs RAM traces).
 
@@ -228,9 +229,10 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         wcols = ri.witness_columns(padded_steps, sound=sound)
 
     with metrics.stage("stage1"):
+        s1_backend = backend if backend is not None else stage1_backend
         conv.stage1 = prove_stage1_jolt(padded_steps, tau, transcript,
                                         witness_cols=wcols,
-                                        backend=stage1_backend, mesh=mesh)
+                                        backend=s1_backend, mesh=mesh)
     zlog("STAGE1", f"uni_skip_claim={conv.stage1.uni_skip_claim} "
                    f"rounds={len(conv.stage1.compressed_polys)}")
     conv.proof.stage1_uni_skip = UniSkipFirstRoundProof(conv.stage1.uni_skip_coeffs)
@@ -283,6 +285,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                 program_inputs=bytes(emulator.device.inputs),
                 program_outputs=bytes(emulator.device.outputs),
                 is_panicking=emulator.device.panic,
+                backend=backend, mesh=mesh,
             )
         conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
         zlog("STAGE2", f"rounds={len(conv.stage2_batch.compressed_polys)} "
@@ -337,7 +340,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                 getattr(emulator, "initial_memory", {}),
                 emulator.device.layout.lowest_address(),
                 conv.stage2_batch, conv.stage3,
-                n_cycle_vars, log_ram_k, sound=sound)
+                n_cycle_vars, log_ram_k, sound=sound,
+                backend=backend, mesh=mesh)
         conv.proof.stage4_sumcheck = SIP(conv.stage4.compressed_polys)
         _insert_stage4_claims(conv.proof.opening_claims, conv.stage4)
 

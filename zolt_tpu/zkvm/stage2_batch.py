@@ -103,7 +103,8 @@ def _window_tables(se: GruenSplitEq):
 # ---------------------------------------------------------------------------
 
 class ProductVirtualRemainderProver:
-    def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors):
+    def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors,
+                 backend: str | None = None, mesh=None):
         """`factors` are the 8 product-factor FrVec COLUMNS
         (proof_converter.extract_product_factors)."""
         padded = factors[0].n
@@ -117,15 +118,33 @@ class ProductVirtualRemainderProver:
         self.left, self.right = fused_factor_columns(factors, w)
         self.current_round = 0
         self.current_claim = uni_skip_claim % P
+        self._dev = None
+        if backend in ("device", "mesh") and padded >= 2:
+            from .device_outer import DeviceOuterRounds, MeshOuterRounds
+
+            if backend == "mesh":
+                self._dev = MeshOuterRounds(self.left, self.right, mesh)
+            else:
+                self._dev = DeviceOuterRounds(self.left, self.right)
+            self.left = self.right = None
 
     def round_evals(self) -> list[int]:
         from ..native.frvec import FrVec
 
         E_out, E_in, head_in = _window_tables(self.split_eq)
+        if self._dev is not None:
+            n2 = self._dev.num_pairs()
+            t0, tinf = self._dev.round_evals(E_out[: max(1, n2 >> head_in)],
+                                             E_in[: 1 << head_in])
+            evals = _gruen_cubic(self.split_eq, t0, tinf, self.current_claim)
+            return self._pv_compress(evals)
         num_groups = len(self.left) // 2
         t0, tinf = FrVec.gruen_quad(FrVec.from_ints(E_out), FrVec.from_ints(E_in),
                                     head_in, self.left, self.right, num_groups)
         evals = _gruen_cubic(self.split_eq, t0, tinf, self.current_claim)
+        return self._pv_compress(evals)
+
+    def _pv_compress(self, evals: list[int]) -> list[int]:
         # replicate the driver's compressed->evals round trip (proof_converter)
         compressed = unipoly.evals_to_compressed(evals)
         c0, c2, c3 = compressed
@@ -137,8 +156,11 @@ class ProductVirtualRemainderProver:
         return [s0, s1, s2, s3]
 
     def bind(self, r: int) -> None:
-        self.left = self.left.fold_adj(r)
-        self.right = self.right.fold_adj(r)
+        if self._dev is not None:
+            self._dev.bind(r)
+        else:
+            self.left = self.left.fold_adj(r)
+            self.right = self.right.fold_adj(r)
         self.split_eq.bind(r)
         self.current_round += 1
 
@@ -867,7 +889,8 @@ class OutputSumcheckProver:
 
 class InstructionLookupsProver:
     def __init__(self, gamma: int, r_spartan: list[int], n_cycle_vars: int,
-                 initial_claim: int, lookup_outputs, left_ops, right_ops):
+                 initial_claim: int, lookup_outputs, left_ops, right_ops,
+                 backend: str | None = None, mesh=None):
         from ..native.frvec import FrVec
 
         T = 1 << n_cycle_vars
@@ -889,21 +912,45 @@ class InstructionLookupsProver:
         self.comb = self.lo.copy().axpy_(self.left, self.gamma).axpy_(
             self.right, self.gamma_sqr)
         self.current_claim = initial_claim % P
+        self._eng = None
+        if backend in ("device", "mesh") and T >= 2:
+            from ..parallel.stage_engine import DeviceProductTables
+
+            # factors [eq, comb] carry the round sums; lo/left/right ride as
+            # passengers for the three final opening claims
+            self._eng = DeviceProductTables(
+                [self.eq, self.comb],
+                passenger_vecs=[self.lo, self.left, self.right], degree=2,
+                mesh=mesh if backend == "mesh" else None)
+            self.eq = self.comb = self.lo = self.left = self.right = None
 
     def round_evals(self) -> list[int]:
         from ..native.frvec import FrVec
 
-        s0, _, s2 = FrVec.prod_evals_adj([self.eq, self.comb], 2)
+        if self._eng is not None:
+            s0, _, s2 = self._eng.round_evals()
+        else:
+            s0, _, s2 = FrVec.prod_evals_adj([self.eq, self.comb], 2)
         s1 = (self.current_claim - s0) % P
         s3 = (s0 - 3 * s1 + 3 * s2) % P
         return [s0, s1, s2, s3]
 
     def bind(self, r: int) -> None:
+        if self._eng is not None:
+            self._eng.bind(r)
+            return
         self.eq = self.eq.fold_adj(r)
         self.lo = self.lo.fold_adj(r)
         self.left = self.left.fold_adj(r)
         self.right = self.right.fold_adj(r)
         self.comb = self.comb.fold_adj(r)
+
+    def final_openings(self) -> tuple[int, int, int]:
+        """(lookup_output, left_operand, right_operand) final claims."""
+        if self._eng is not None:
+            f = self._eng.finals()
+            return f[2], f[3], f[4]
+        return self.lo.first(), self.left.first(), self.right.first()
 
     def update_claim(self, evals4: list[int], r: int) -> None:
         self.current_claim = _lagrange_eval_0123(evals4, r)
@@ -941,7 +988,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                        log_ram_k: int, accesses, initial_ram: dict[int, int],
                        final_ram: dict[int, int], layout, program_inputs: bytes,
                        program_outputs: bytes, is_panicking: bool,
-                       sound: bool = False) -> Stage2BatchResult:
+                       sound: bool = False, backend: str | None = None,
+                       mesh=None) -> Stage2BatchResult:
     res = Stage2BatchResult()
     max_rounds = log_ram_k + n_cycle_vars
 
@@ -977,7 +1025,9 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                          + (input_claims[i] << (max_rounds - rounds_per[i])) % P * alphas[i]) % P
 
     lowest = layout.lowest_address()
-    product = ProductVirtualRemainderProver(r0_stage2, tau, uni_skip_claim_stage2, factors)
+    product = ProductVirtualRemainderProver(r0_stage2, tau,
+                                            uni_skip_claim_stage2, factors,
+                                            backend=backend, mesh=mesh)
     output = OutputSumcheckProver(initial_ram, final_ram, r_address, layout,
                                   program_inputs, program_outputs, is_panicking)
     if sound:
@@ -1016,7 +1066,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                             input_claims[4],
                             wcols[ri.Inp.LookupOutput],
                             wcols[ri.Inp.LeftLookupOperand],
-                            wcols[ri.Inp.RightLookupOperand])
+                            wcols[ri.Inp.RightLookupOperand],
+                            backend=backend, mesh=mesh)
                     ev = instr.round_evals()
                 per_inst_evals[i] = ev
                 for j in range(4):
@@ -1086,9 +1137,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
         res.output_val_final_claim = output.val_final.first()
         res.output_val_init_claim = output.val_init.first()
         if instr is not None:
-            res.instr_lookup_output_claim = instr.lo.first()
-            res.instr_left_operand_claim = instr.left.first()
-            res.instr_right_operand_claim = instr.right.first()
+            (res.instr_lookup_output_claim, res.instr_left_operand_claim,
+             res.instr_right_operand_claim) = instr.final_openings()
         for v in res.factor_evals:
             transcript.append_scalar(v)
         transcript.append_scalar(res.raf_final_claim)
@@ -1150,9 +1200,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     res.output_val_final_claim = output.val_final.first()
     res.output_val_init_claim = output.val_init.first()
     if instr is not None:
-        res.instr_lookup_output_claim = instr.lo.first()
-        res.instr_left_operand_claim = instr.left.first()
-        res.instr_right_operand_claim = instr.right.first()
+        (res.instr_lookup_output_claim, res.instr_left_operand_claim,
+         res.instr_right_operand_claim) = instr.final_openings()
 
     # cache_openings transcript absorption: 17 claims in instance order
     for v in res.factor_evals:

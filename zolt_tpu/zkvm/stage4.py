@@ -468,7 +468,7 @@ class ValEvaluationProver:
 
     def __init__(self, accesses, initial_ram, trace_len: int, k: int,
                  r_address_le: list[int], r_cycle_le: list[int],
-                 start_address: int):
+                 start_address: int, backend: str | None = None, mesh=None):
         from ..native.frvec import FrVec
 
         inc, wa = _build_inc_wa(accesses, initial_ram, trace_len,
@@ -484,12 +484,20 @@ class ValEvaluationProver:
         self.inc = FrVec.from_ints(inc)
         self.wa = FrVec.from_ints(wa)
         self.lt = FrVec.from_ints(lt)
+        self._eng = None
+        if backend in ("device", "mesh") and n >= 2:
+            from ..parallel.stage_engine import DeviceProductTables
+
+            self._eng = DeviceProductTables(
+                [self.inc, self.wa, self.lt], degree=3,
+                mesh=mesh if backend == "mesh" else None)
+            self.inc = self.wa = self.lt = None
 
     def num_rounds(self) -> int:
         return self.num_vars
 
     def _len(self) -> int:
-        return self.inc.n
+        return self._eng.live if self._eng is not None else self.inc.n
 
     def round_evals(self) -> list[int]:
         from ..native.frvec import FrVec
@@ -498,22 +506,30 @@ class ValEvaluationProver:
         if n // 2 == 0:
             ev = [0, 0, 0, 0]
             if n > 0:
-                ev[0] = (self.inc.first() * self.wa.first() % P
-                         * self.lt.first() % P)
+                f = self.final_openings()
+                ev[0] = f["inc"] * f["wa"] % P * f["lt"] % P
             return ev
+        if self._eng is not None:
+            return self._eng.round_evals()
         return FrVec.prod_evals_adj([self.inc, self.wa, self.lt], 3)
 
     def bind_with_poly(self, r: int, evals4: list[int]) -> None:
         if self._len() // 2 == 0:
             self.round += 1
             return
-        self.inc = self.inc.fold_adj(r)
-        self.wa = self.wa.fold_adj(r)
-        self.lt = self.lt.fold_adj(r)
+        if self._eng is not None:
+            self._eng.bind(r)
+        else:
+            self.inc = self.inc.fold_adj(r)
+            self.wa = self.wa.fold_adj(r)
+            self.lt = self.lt.fold_adj(r)
         self.current_claim = _lagrange_eval_0123(evals4, r)
         self.round += 1
 
     def final_openings(self) -> dict[str, int]:
+        if self._eng is not None:
+            f = self._eng.finals()
+            return {"inc": f[0], "wa": f[1], "lt": f[2]}
         return {"inc": self.inc.first(), "wa": self.wa.first(),
                 "lt": self.lt.first()}
 
@@ -522,7 +538,8 @@ class ValFinalProver:
     """Σ_j Inc(j)·wa(j) (reference src/zkvm/ram/val_final.zig:58-260)."""
 
     def __init__(self, accesses, initial_ram, trace_len: int,
-                 r_address: list[int], start_address: int):
+                 r_address: list[int], start_address: int,
+                 backend: str | None = None, mesh=None):
         from ..native.frvec import FrVec
 
         k = 1 << len(r_address)
@@ -536,12 +553,20 @@ class ValFinalProver:
             self.current_claim = (self.current_claim + inc[j] * wa[j]) % P
         self.inc = FrVec.from_ints(inc)
         self.wa = FrVec.from_ints(wa)
+        self._eng = None
+        if backend in ("device", "mesh") and n >= 2:
+            from ..parallel.stage_engine import DeviceProductTables
+
+            self._eng = DeviceProductTables(
+                [self.inc, self.wa], degree=3,
+                mesh=mesh if backend == "mesh" else None)
+            self.inc = self.wa = None
 
     def num_rounds(self) -> int:
         return self.num_vars
 
     def _len(self) -> int:
-        return self.inc.n
+        return self._eng.live if self._eng is not None else self.inc.n
 
     def round_evals(self) -> list[int]:
         from ..native.frvec import FrVec
@@ -550,20 +575,29 @@ class ValFinalProver:
         if n // 2 == 0:
             ev = [0, 0, 0, 0]
             if n > 0:
-                ev[0] = self.inc.first() * self.wa.first() % P
+                f = self.final_openings()
+                ev[0] = f["inc"] * f["wa"] % P
             return ev
+        if self._eng is not None:
+            return self._eng.round_evals()
         return FrVec.prod_evals_adj([self.inc, self.wa], 3)
 
     def bind_with_poly(self, r: int, evals4: list[int]) -> None:
         if self._len() // 2 == 0:
             self.round += 1
             return
-        self.inc = self.inc.fold_adj(r)
-        self.wa = self.wa.fold_adj(r)
+        if self._eng is not None:
+            self._eng.bind(r)
+        else:
+            self.inc = self.inc.fold_adj(r)
+            self.wa = self.wa.fold_adj(r)
         self.current_claim = _lagrange_eval_0123(evals4, r)
         self.round += 1
 
     def final_openings(self) -> dict[str, int]:
+        if self._eng is not None:
+            f = self._eng.finals()
+            return {"inc": f[0], "wa": f[1]}
         return {"inc": self.inc.first(), "wa": self.wa.first()}
 
 
@@ -587,7 +621,8 @@ class Stage4Result:
 def prove_stage4(transcript, padded_steps, accesses, initial_ram,
                  start_address: int, stage2_res, stage3_res,
                  n_cycle_vars: int, log_ram_k: int,
-                 sound: bool = False) -> Stage4Result:
+                 sound: bool = False, backend: str | None = None,
+                 mesh=None) -> Stage4Result:
     """Stage-4 batched sumcheck, bit-exact transcript flow
     (reference src/zkvm/proof_converter.zig:1605-2628).
 
@@ -667,13 +702,14 @@ def prove_stage4(transcript, padded_steps, accesses, initial_ram,
                                  stage3_res.reg_claims)
     val_eval = ValEvaluationProver(accesses, initial_ram, trace_len,
                                    1 << log_ram_k, r_address_le, r_cycle_le,
-                                   start_address)
+                                   start_address, backend=backend, mesh=mesh)
     # compat mode reproduces the reference's (rigged) first-log_k point;
     # sound mode uses the OutputSumcheck's actual bound point so the input
     # claim val_final_claim − init_eval equals the instance's true sum
     r_addr_vf = ch2[out_start:] if sound else [ch2[i] for i in range(log_ram_k)]
     val_final = ValFinalProver(accesses, initial_ram, trace_len,
-                               r_addr_vf, start_address)
+                               r_addr_vf, start_address,
+                               backend=backend, mesh=mesh)
 
     rounds = [max_rounds, val_eval.num_rounds(), val_final.num_rounds()]
     batched_claim = 0
