@@ -20,6 +20,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Disable the narrow-tail host handoff (parallel/stage_engine.tail_n): test
+# traces are tiny, and the point of the CPU suite is to exercise the
+# device/mesh kernels, not the host tail (which has its own crossover test).
+os.environ.setdefault("ZOLT_TPU_DEVICE_TAIL", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -172,3 +172,22 @@ def test_device_backend_prove_byte_identical():
     host = prove_jolt(FIB).conv.proof.serialize_with_dory()
     dev = prove_jolt(FIB, backend="device").conv.proof.serialize_with_dory()
     assert dev == host
+
+
+def test_device_tail_crossover_byte_identical(monkeypatch):
+    """The narrow-tail handoff (device rounds while wide, host FrVec tail
+    once live <= ZOLT_TPU_DEVICE_TAIL): forcing the crossover mid-prove must
+    not change a byte of the proof."""
+    from zolt_tpu.zkvm.pipeline import prove_jolt
+
+    FIB = "/root/reference/examples/fibonacci.elf"
+    import os
+
+    import pytest
+
+    if not os.path.exists(FIB):
+        pytest.skip("reference fibonacci.elf absent")
+    host = prove_jolt(FIB).conv.proof.serialize_with_dory()
+    monkeypatch.setenv("ZOLT_TPU_DEVICE_TAIL", "64")
+    dev = prove_jolt(FIB, backend="device").conv.proof.serialize_with_dory()
+    assert dev == host

@@ -29,6 +29,7 @@ same Montgomery form (R = 2^256), FrVec as 32-byte LE scalars, the device as
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -42,6 +43,16 @@ from ..poly import dense
 from .mesh import AXIS, _psum_field
 
 P = FR.p
+
+def tail_n() -> int:
+    """Narrow-tail threshold: once the live prefix is at most this many
+    entries the remaining rounds move to the host FrVec tier. Rationale:
+    every device round pays a full Fiat-Shamir round trip (~50 ms through
+    the tunneled chip) while a narrow host round costs <1 ms in the native
+    C kernels — the device should only own rounds wide enough to out-earn
+    the latency. Read per call so tests/dryruns can pin it (e.g. to 0) and
+    exercise the device path on tiny tables."""
+    return int(os.environ.get("ZOLT_TPU_DEVICE_TAIL", "8192"))
 
 
 def frvec_to_limbs(v) -> np.ndarray:
@@ -63,6 +74,26 @@ def limbs_to_frvec(arr) -> "object":
     assert a.dtype == np.uint32
     b = a.astype("<u2").tobytes()
     return FrVec(a.shape[0], mont=bytearray(b))
+
+
+def drain_futures(futures: list) -> list[list[int]]:
+    """Download several instances' round-eval device arrays ((k_i, 16) limb
+    rows) in ONE host transfer — each round trip through the tunneled chip
+    costs ~30 ms, so a batched stage must not pay it once per instance."""
+    if not futures:
+        return []
+    if len(futures) == 1:
+        big = np.asarray(futures[0])
+        sizes = [big.shape[0]]
+    else:
+        big = np.asarray(jnp.concatenate(futures, axis=0))
+        sizes = [int(a.shape[0]) for a in futures]
+    vals = [int(v) for v in np.atleast_1d(limb.decode(big, FR_C))]
+    out, off = [], 0
+    for k in sizes:
+        out.append(vals[off: off + k])
+        off += k
+    return out
 
 
 def _split_pairs(tab):
@@ -174,54 +205,64 @@ class DeviceProductTables:
     def _live_local(self) -> int:
         return self.live // self.n_dev
 
+    def _needs_tail(self) -> bool:
+        if self._host is not None:
+            return False
+        if self.live <= tail_n():
+            return True
+        return self.mesh is not None and self._live_local() < 2
+
     def _to_host(self) -> None:
+        """Move the live prefixes to host FrVecs (byte reinterpretation, no
+        conversion) for the narrow-tail rounds; on a mesh, gather the
+        scattered shard-local prefixes back into contiguous order."""
         if self._host is not None:
             return
         arr = np.asarray(self.tables)
         loc = self.n // self.n_dev
-        live_loc = self.live // self.n_dev
+        live_loc = max(1, self.live // self.n_dev)
         rows = []
         for j in range(arr.shape[0]):
-            vals = []
-            for s in range(self.n_dev):
-                seg = arr[j, s * loc: s * loc + live_loc]
-                vals.extend(int(x) for x in limb.decode(seg, FR_C))
-            rows.append(vals)
+            segs = [arr[j, s * loc: s * loc + live_loc]
+                    for s in range(self.n_dev)]
+            rows.append(limbs_to_frvec(np.concatenate(segs)[: self.live]))
         self._host = rows
+        self.tables = None
 
     # -- protocol ------------------------------------------------------------
-    def round_evals(self) -> list[int]:
-        if self._host is None and self.mesh is not None \
-                and self._live_local() < 2:
+    def round_evals_device(self):
+        """Device (degree+1, 16) eval array, or None once the narrow tail
+        has moved to host (callers then use round_evals directly). Batching
+        callers concatenate several instances' arrays into ONE download."""
+        if self._needs_tail():
             self._to_host()
         if self._host is not None:
-            evals = []
-            for t in range(self.degree + 1):
-                s = 0
-                for i in range(self.live // 2):
-                    prod = 1
-                    for j in range(self.k):
-                        lo = self._host[j][2 * i]
-                        hi = self._host[j][2 * i + 1]
-                        prod = prod * (lo + t * (hi - lo)) % P
-                    s = (s + prod) % P
-                evals.append(s)
-            return evals
+            return None
         if self.mesh is not None:
-            out = self._eval_step(self.tables[: self.k])
-        else:
-            out = _evals_fixed(self.tables[: self.k], self.degree)
-        return [int(v) for v in limb.decode(np.asarray(out), FR_C)]
+            return self._eval_step(self.tables[: self.k])
+        return _evals_fixed(self.tables[: self.k], self.degree)
+
+    def _tail_round_evals(self) -> list[int]:
+        from ..native.frvec import FrVec
+
+        if self.live // 2 == 0:
+            return [0] * (self.degree + 1)
+        return FrVec.prod_evals_adj(self._host[: self.k], self.degree)
+
+    def round_evals(self) -> list[int]:
+        dev = self.round_evals_device()
+        if dev is None:
+            return self._tail_round_evals()
+        return [int(v) for v in limb.decode(np.asarray(dev), FR_C)]
 
     def bind(self, r: int) -> None:
-        if self._host is None and self.mesh is not None \
-                and self._live_local() < 2:
+        if self._needs_tail():
             self._to_host()
         if self._host is not None:
-            half = self.live // 2
-            self._host = [[(row[2 * i] + r * (row[2 * i + 1] - row[2 * i])) % P
-                           for i in range(half)] for row in self._host]
-            self.live = half
+            if self.live // 2 == 0:
+                return
+            self._host = [v.fold_adj(r) for v in self._host]
+            self.live //= 2
             return
         rl = limb.encode([r % P], FR_C)[0]
         if self.mesh is not None:
@@ -233,6 +274,6 @@ class DeviceProductTables:
     def finals(self) -> list[int]:
         """First element of every table (factors then passengers)."""
         if self._host is not None:
-            return [row[0] for row in self._host]
+            return [v.first() for v in self._host]
         arr = np.asarray(self.tables[:, :1])
         return [int(limb.decode(arr[j, 0], FR_C)) for j in range(arr.shape[0])]

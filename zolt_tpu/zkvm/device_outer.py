@@ -68,41 +68,60 @@ def _ingest(vals) -> np.ndarray:
     return np.asarray(limb.encode([x % P for x in vals], FR_C))
 
 
-def _pad_encode(vals, size: int):
-    """Encode host values to Montgomery limbs in a fixed-size zero-padded
-    buffer (zero is zero in Montgomery form, so padding is inert)."""
-    buf = np.zeros((size, 16), np.uint32)
-    n = vals.n if hasattr(vals, "n") else len(vals)
-    if n:
-        buf[:n] = _ingest(vals)
-    return jnp.asarray(buf)
+def _flat_stack(levels: list[list[int]]) -> np.ndarray:
+    """Flatten a doubling eq-table stack (level k has 2^k entries, offset
+    2^k − 1) into one (2^{K+1}−1, 16) Montgomery limb buffer — uploaded to
+    the device ONCE per prover so per-round traffic is a handful of scalars
+    instead of re-padded table buffers."""
+    flat: list[int] = []
+    for lvl in levels:
+        flat.extend(v % P for v in lvl)
+    return np.asarray(limb.encode(flat, FR_C))
 
 
-def _eq_gather(e_out_p, e_in_p, idx, h_in):
-    """e_i = E_out[i >> h_in] · E_in[i & (2^h_in − 1)] via dynamic gather."""
+def _eq_gather(e_out_p, e_in_p, idx, valid, off_out, off_in, h_in):
+    """e_i = E_out[i >> h_in] · E_in[i & (2^h_in − 1)] for live lanes,
+    gathered from the resident flat stacks at traced level offsets; dead
+    lanes (valid false) contribute zero."""
     f = FR_C
     mask = jnp.left_shift(jnp.uint32(1), h_in) - jnp.uint32(1)
-    row = jax.lax.shift_right_logical(idx, h_in)
-    col = idx & mask
-    return limb.mont_mul(e_out_p[row], e_in_p[col], f)
+    safe = jnp.where(valid, idx, 0)
+    row = off_out + jax.lax.shift_right_logical(safe, h_in)
+    col = off_in + (safe & mask)
+    e = limb.mont_mul(e_out_p[row], e_in_p[col], f)
+    return jnp.where(valid[:, None], e, 0)
 
 
 @jax.jit
-def _eval_fixed(az, bz, e_out_p, e_in_p, h_in):
-    """(t0, t∞) over the live prefix; dead-tail terms vanish because the
-    padded eq tables are zero there. Fixed shapes across all rounds."""
+def _eval_fixed(az, bz, e_out_p, e_in_p, off_out, off_in, h_in, live):
+    """(t0, t∞) over the live prefix. Fixed shapes across all rounds: the
+    tables keep their initial size and the eq weights are masked to the
+    live prefix, so one compiled program serves every round."""
     f = FR_C
     n2 = az.shape[0] // 2
     a = az.reshape(n2, 2, -1)
     b = bz.reshape(n2, 2, -1)
     a0, a1 = a[:, 0], a[:, 1]
     b0, b1 = b[:, 0], b[:, 1]
-    e = _eq_gather(e_out_p, e_in_p, jnp.arange(n2, dtype=_U32), h_in)
+    idx = jnp.arange(n2, dtype=_U32)
+    e = _eq_gather(e_out_p, e_in_p, idx, idx < live, off_out, off_in, h_in)
     t0 = dense.sum_mod(limb.mont_mul(e, limb.mont_mul(a0, b0, f), f), f)
     tinf = dense.sum_mod(
         limb.mont_mul(e, limb.mont_mul(limb.sub(a1, a0, f),
                                        limb.sub(b1, b0, f), f), f), f)
     return jnp.stack([t0, tinf])
+
+
+def _gruen_level_args(se) -> tuple[int, int, int, int]:
+    """Per-round (off_out, off_in, h_in, live_pairs-independent) level
+    offsets into the flat stacks, mirroring the host window selection
+    (getWindowEqTables(·, 1), reference src/poly/split_eq.zig:311-351)."""
+    head = se.current_index - 1
+    head_out = min(head, se.m)
+    head_in = head - head_out
+    lvl_out = min(head_out, len(se.E_out_vec) - 1)
+    lvl_in = min(head_in, len(se.E_in_vec) - 1)
+    return (1 << lvl_out) - 1, (1 << lvl_in) - 1, head_in, head_out
 
 
 @jax.jit
@@ -116,37 +135,100 @@ def _fold_fixed(az, bz, r):
     return jnp.concatenate([na, z]), jnp.concatenate([nb, z])
 
 
+def _gruen_tail_evals(se, az_fr, bz_fr, live: int) -> tuple[int, int]:
+    """Host-tier (t0, t∞) via the native FrVec kernel — the narrow-tail
+    rounds where a device dispatch would be pure latency."""
+    from ..native.frvec import FrVec
+
+    n2 = live // 2
+    if n2 == 0:
+        return 0, 0
+    head = se.current_index - 1
+    head_out = min(head, se.m)
+    h_in = head - head_out
+    e_out = se.E_out_vec[min(head_out, len(se.E_out_vec) - 1)]
+    e_in = se.E_in_vec[min(h_in, len(se.E_in_vec) - 1)]
+    n_out = max(1, n2 >> h_in)
+    n_in = min(1 << h_in, n2)
+    return FrVec.gruen_quad(FrVec.from_ints(e_out[:n_out]),
+                            FrVec.from_ints(e_in[:n_in]), h_in,
+                            az_fr, bz_fr, n2)
+
+
 class DeviceOuterRounds:
     """Single-device backend. az/bz live on device as Montgomery limbs; the
-    host keeps only the split-eq scalars (cubic-poly bookkeeping)."""
+    host keeps only the split-eq scalars (cubic-poly bookkeeping). Attach
+    the prover's GruenSplitEq once — its prefix-table stacks become device-
+    resident and every round passes only level offsets. Rounds whose live
+    prefix is at most TAIL_N finish on the host FrVec tier — every device
+    round costs a Fiat-Shamir round trip, so the device only owns rounds
+    wide enough to out-earn that latency."""
 
-    def __init__(self, az, bz):
+    def __init__(self, az, bz, se=None):
         n = az.n if hasattr(az, "n") else len(az)
         self.n = n                       # fixed device size
         self.live = n                    # live prefix length (halves per round)
         self.az = jnp.asarray(_ingest(az))
         self.bz = jnp.asarray(_ingest(bz))
-        self._e_in_size = max(1, self.n // 2)
+        self.se = None
+        self._fr = None                  # (az, bz) FrVecs once on the tail
+        if se is not None:
+            self.attach_eq(se)
+
+    def attach_eq(self, se) -> None:
+        self.se = se
+        self.eq_out = jnp.asarray(_flat_stack(se.E_out_vec))
+        self.eq_in = jnp.asarray(_flat_stack(se.E_in_vec))
 
     def num_pairs(self) -> int:
         return self.live // 2
 
-    def round_evals(self, e_out: list[int], e_in: list[int]) -> tuple[int, int]:
-        h_in = (len(e_in) - 1).bit_length() if len(e_in) > 1 else 0
-        eo = _pad_encode(e_out, self.n // 2)
-        ei = _pad_encode(e_in, self._e_in_size)
-        out = _eval_fixed(self.az, self.bz, eo, ei, jnp.uint32(h_in))
-        vals = limb.decode(np.asarray(out), FR_C)
+    def _maybe_tail(self) -> None:
+        from ..parallel.stage_engine import limbs_to_frvec, tail_n
+
+        if self._fr is not None or self.live > tail_n():
+            return
+        arr = np.asarray(jnp.stack([self.az[: self.live],
+                                    self.bz[: self.live]]))
+        self._fr = (limbs_to_frvec(arr[0]), limbs_to_frvec(arr[1]))
+        self.az = self.bz = None
+
+    def round_evals_device(self):
+        """(2, 16) device array [t0, t∞] — no host sync — or None once on
+        the host tail; callers batch the download across instances (one
+        transfer per round per stage)."""
+        self._maybe_tail()
+        if self._fr is not None:
+            return None
+        off_out, off_in, h_in, _ = _gruen_level_args(self.se)
+        return _eval_fixed(self.az, self.bz, self.eq_out, self.eq_in,
+                           jnp.uint32(off_out), jnp.uint32(off_in),
+                           jnp.uint32(h_in), jnp.uint32(self.live // 2))
+
+    def round_evals(self) -> tuple[int, int]:
+        dev = self.round_evals_device()
+        if dev is None:
+            return _gruen_tail_evals(self.se, self._fr[0], self._fr[1],
+                                     self.live)
+        vals = limb.decode(np.asarray(dev), FR_C)
         return int(vals[0]), int(vals[1])
 
     def bind(self, r: int) -> None:
+        self._maybe_tail()
+        if self._fr is not None:
+            if self.live > 1:
+                self._fr = (self._fr[0].fold_adj(r), self._fr[1].fold_adj(r))
+                self.live //= 2
+            return
         rl = limb.encode([r % P], FR_C)[0]
         self.az, self.bz = _fold_fixed(self.az, self.bz, rl)
         self.live //= 2
 
     def final_values(self) -> tuple[int, int]:
-        return (int(limb.decode(np.asarray(self.az[0]), FR_C)),
-                int(limb.decode(np.asarray(self.bz[0]), FR_C)))
+        if self._fr is not None:
+            return self._fr[0].first(), self._fr[1].first()
+        out = np.asarray(jnp.stack([self.az[0], self.bz[0]]))
+        return (int(limb.decode(out[0], FR_C)), int(limb.decode(out[1], FR_C)))
 
 
 # ---------------------------------------------------------------------------
@@ -158,9 +240,9 @@ def _make_mesh_steps(mesh):
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(PS(AXIS, None), PS(AXIS, None), PS(None, None),
-                       PS(None, None), PS(), PS()),
+                       PS(None, None), PS(), PS(), PS(), PS()),
              out_specs=PS(None, None), check_vma=False)
-    def eval_step(az, bz, e_out_p, e_in_p, h_in, live_pairs):
+    def eval_step(az, bz, e_out_p, e_in_p, off_out, off_in, h_in, live_pairs):
         f = FR_C
         n2 = az.shape[0] // 2            # local pairs
         a = az.reshape(n2, 2, -1)
@@ -173,8 +255,7 @@ def _make_mesh_steps(mesh):
         loc = jnp.arange(n2, dtype=_U32)
         gi = s * live_pairs + loc
         valid = loc < live_pairs
-        e = _eq_gather(e_out_p, e_in_p, jnp.where(valid, gi, 0), h_in)
-        e = jnp.where(valid[:, None], e, 0)
+        e = _eq_gather(e_out_p, e_in_p, gi, valid, off_out, off_in, h_in)
         t0 = dense.sum_mod(limb.mont_mul(e, limb.mont_mul(a0, b0, f), f), f)
         tinf = dense.sum_mod(
             limb.mont_mul(e, limb.mont_mul(limb.sub(a1, a0, f),
@@ -200,7 +281,7 @@ class MeshOuterRounds:
     the mesh (< 1 pair per shard — the last ~log2(n_dev) rounds, a vanishing
     fraction of the work), the tail finishes as host ints."""
 
-    def __init__(self, az, bz, mesh):
+    def __init__(self, az, bz, mesh, se=None):
         from jax.sharding import NamedSharding, PartitionSpec as PS
 
         n = az.n if hasattr(az, "n") else len(az)
@@ -214,9 +295,16 @@ class MeshOuterRounds:
         sh = NamedSharding(mesh, PS(AXIS, None))
         self.az = jax.device_put(jnp.asarray(_ingest(az)), sh)
         self.bz = jax.device_put(jnp.asarray(_ingest(bz)), sh)
-        self._e_in_size = max(1, self.n // 2)
         self._host_az: list[int] | None = None
         self._host_bz: list[int] | None = None
+        self.se = None
+        if se is not None:
+            self.attach_eq(se)
+
+    def attach_eq(self, se) -> None:
+        self.se = se
+        self.eq_out = jnp.asarray(_flat_stack(se.E_out_vec))
+        self.eq_in = jnp.asarray(_flat_stack(se.E_in_vec))
 
     def num_pairs(self) -> int:
         return self.live // 2
@@ -228,55 +316,57 @@ class MeshOuterRounds:
     def _live_pairs_local(self) -> int:
         return self.live // (2 * self.n_dev)
 
+    def _needs_tail(self) -> bool:
+        from ..parallel.stage_engine import tail_n
+
+        if self._on_host:
+            return False
+        return self.live <= tail_n() or self._live_pairs_local() < 1
+
     def _to_host(self) -> None:
         """Gather the scattered live prefixes (each shard's local prefix)
-        back into contiguous host ints for the tail rounds."""
+        back into contiguous host FrVecs for the tail rounds."""
+        from ..parallel.stage_engine import limbs_to_frvec
+
         if self._on_host:
             return
         az = np.asarray(self.az)
         bz = np.asarray(self.bz)
         loc = self.n // self.n_dev
-        live_loc = self.live // self.n_dev
-        ha, hb = [], []
-        for s in range(self.n_dev):
-            sl = slice(s * loc, s * loc + live_loc)
-            ha.extend(int(v) for v in limb.decode(az[sl], FR_C))
-            hb.extend(int(v) for v in limb.decode(bz[sl], FR_C))
-        self._host_az, self._host_bz = ha, hb
+        live_loc = max(1, self.live // self.n_dev)
+        segs_a = [az[s * loc: s * loc + live_loc] for s in range(self.n_dev)]
+        segs_b = [bz[s * loc: s * loc + live_loc] for s in range(self.n_dev)]
+        self._host_az = limbs_to_frvec(np.concatenate(segs_a)[: self.live])
+        self._host_bz = limbs_to_frvec(np.concatenate(segs_b)[: self.live])
+        self.az = self.bz = None
 
-    def round_evals(self, e_out: list[int], e_in: list[int]) -> tuple[int, int]:
-        if not self._on_host and self._live_pairs_local() < 1:
+    def round_evals_device(self):
+        if self._needs_tail():
             self._to_host()
         if self._on_host:
-            az, bz = self._host_az, self._host_bz
-            h_in = (len(e_in) - 1).bit_length() if len(e_in) > 1 else 0
-            t0 = tinf = 0
-            for i in range(self.live // 2):
-                e = e_out[i >> h_in] * e_in[i & ((1 << h_in) - 1)] % P
-                a0, a1 = az[2 * i], az[2 * i + 1]
-                b0, b1 = bz[2 * i], bz[2 * i + 1]
-                t0 = (t0 + e * (a0 * b0 % P)) % P
-                tinf = (tinf + e * ((a1 - a0) * (b1 - b0) % P)) % P
-            return t0, tinf
-        h_in = (len(e_in) - 1).bit_length() if len(e_in) > 1 else 0
-        eo = _pad_encode(e_out, self.n // 2)
-        ei = _pad_encode(e_in, self._e_in_size)
-        out = self.eval_step(self.az, self.bz, eo, ei, jnp.uint32(h_in),
-                             jnp.uint32(self._live_pairs_local()))
-        vals = limb.decode(np.asarray(out), FR_C)
+            return None
+        off_out, off_in, h_in, _ = _gruen_level_args(self.se)
+        return self.eval_step(self.az, self.bz, self.eq_out, self.eq_in,
+                              jnp.uint32(off_out), jnp.uint32(off_in),
+                              jnp.uint32(h_in),
+                              jnp.uint32(self._live_pairs_local()))
+
+    def round_evals(self) -> tuple[int, int]:
+        dev = self.round_evals_device()
+        if dev is None:
+            return _gruen_tail_evals(self.se, self._host_az, self._host_bz,
+                                     self.live)
+        vals = limb.decode(np.asarray(dev), FR_C)
         return int(vals[0]), int(vals[1])
 
     def bind(self, r: int) -> None:
-        if not self._on_host and self._live_pairs_local() < 1:
+        if self._needs_tail():
             self._to_host()
         if self._on_host:
-            az, bz = self._host_az, self._host_bz
-            half = self.live // 2
-            self._host_az = [(az[2 * i] + r * (az[2 * i + 1] - az[2 * i])) % P
-                             for i in range(half)]
-            self._host_bz = [(bz[2 * i] + r * (bz[2 * i + 1] - bz[2 * i])) % P
-                             for i in range(half)]
-            self.live = half
+            if self.live > 1:
+                self._host_az = self._host_az.fold_adj(r)
+                self._host_bz = self._host_bz.fold_adj(r)
+                self.live //= 2
             return
         rl = limb.encode([r % P], FR_C)[0]
         self.az, self.bz = self.fold_step(self.az, self.bz, rl)
@@ -284,4 +374,4 @@ class MeshOuterRounds:
 
     def final_values(self) -> tuple[int, int]:
         self._to_host()
-        return self._host_az[0], self._host_bz[0]
+        return self._host_az.first(), self._host_bz.first()

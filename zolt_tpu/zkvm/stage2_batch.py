@@ -123,21 +123,26 @@ class ProductVirtualRemainderProver:
             from .device_outer import DeviceOuterRounds, MeshOuterRounds
 
             if backend == "mesh":
-                self._dev = MeshOuterRounds(self.left, self.right, mesh)
+                self._dev = MeshOuterRounds(self.left, self.right, mesh,
+                                            se=self.split_eq)
             else:
-                self._dev = DeviceOuterRounds(self.left, self.right)
+                self._dev = DeviceOuterRounds(self.left, self.right,
+                                              se=self.split_eq)
             self.left = self.right = None
 
-    def round_evals(self) -> list[int]:
+    def eval_future(self):
+        """Device (2, 16) [t0, t∞] array for this round, or None when on
+        host (the stage loop batches futures into one download per round)."""
+        return self._dev.round_evals_device() if self._dev is not None else None
+
+    def round_evals(self, pre: list[int] | None = None) -> list[int]:
         from ..native.frvec import FrVec
 
-        E_out, E_in, head_in = _window_tables(self.split_eq)
         if self._dev is not None:
-            n2 = self._dev.num_pairs()
-            t0, tinf = self._dev.round_evals(E_out[: max(1, n2 >> head_in)],
-                                             E_in[: 1 << head_in])
+            t0, tinf = pre if pre is not None else self._dev.round_evals()
             evals = _gruen_cubic(self.split_eq, t0, tinf, self.current_claim)
             return self._pv_compress(evals)
+        E_out, E_in, head_in = _window_tables(self.split_eq)
         num_groups = len(self.left) // 2
         t0, tinf = FrVec.gruen_quad(FrVec.from_ints(E_out), FrVec.from_ints(E_in),
                                     head_in, self.left, self.right, num_groups)
@@ -924,10 +929,16 @@ class InstructionLookupsProver:
                 mesh=mesh if backend == "mesh" else None)
             self.eq = self.comb = self.lo = self.left = self.right = None
 
-    def round_evals(self) -> list[int]:
+    def eval_future(self):
+        """Device (3, 16) eval array, or None when on host."""
+        return self._eng.round_evals_device() if self._eng is not None else None
+
+    def round_evals(self, pre: list[int] | None = None) -> list[int]:
         from ..native.frvec import FrVec
 
-        if self._eng is not None:
+        if pre is not None:
+            s0, _, s2 = pre
+        elif self._eng is not None:
             s0, _, s2 = self._eng.round_evals()
         else:
             s0, _, s2 = FrVec.prod_evals_adj([self.eq, self.comb], 2)
@@ -1044,31 +1055,48 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     for rnd in range(max_rounds):
         combined = [0, 0, 0, 0]
         per_inst_evals: list[list[int] | None] = [None] * 5
+        # lazy instance creation must precede the prefetch pass
+        if raf is None and rnd == max_rounds - rounds_per[1]:
+            raf = RafEvaluationProver(accesses, tau[:n_cycle_vars], lowest,
+                                      log_ram_k, input_claims[1],
+                                      sound=sound)
+        if instr is None and rnd == max_rounds - rounds_per[4]:
+            instr = InstructionLookupsProver(
+                gamma_instr, r_spartan, n_cycle_vars,
+                input_claims[4],
+                wcols[ri.Inp.LookupOutput],
+                wcols[ri.Inp.LeftLookupOperand],
+                wcols[ri.Inp.RightLookupOperand],
+                backend=backend, mesh=mesh)
+        # prefetch the device-backed instances' round evals and download
+        # them in ONE transfer (drain_futures) — the per-round sync is the
+        # dominant cost on a tunneled chip
+        pre: dict[int, list[int]] = {}
+        if backend in ("device", "mesh"):
+            from ..parallel.stage_engine import drain_futures
+
+            futs, fut_ids = [], []
+            for i, p in ((0, product), (4, instr)):
+                if rnd >= max_rounds - rounds_per[i] and p is not None:
+                    fut = p.eval_future()
+                    if fut is not None:
+                        futs.append(fut)
+                        fut_ids.append(i)
+            for i, vals in zip(fut_ids, drain_futures(futs)):
+                pre[i] = vals
         for i in range(5):
             start = max_rounds - rounds_per[i]
             if rnd >= start:
                 if i == 0:
-                    ev = product.round_evals()
+                    ev = product.round_evals(pre.get(0))
                 elif i == 1:
-                    if raf is None and rnd == start:
-                        raf = RafEvaluationProver(accesses, tau[:n_cycle_vars], lowest,
-                                                  log_ram_k, input_claims[1],
-                                                  sound=sound)
                     ev = raf.round_evals()
                 elif i == 2:
                     ev = rwc.round_evals()
                 elif i == 3:
                     ev = output.round_evals()
                 else:
-                    if instr is None and rnd == start:
-                        instr = InstructionLookupsProver(
-                            gamma_instr, r_spartan, n_cycle_vars,
-                            input_claims[4],
-                            wcols[ri.Inp.LookupOutput],
-                            wcols[ri.Inp.LeftLookupOperand],
-                            wcols[ri.Inp.RightLookupOperand],
-                            backend=backend, mesh=mesh)
-                    ev = instr.round_evals()
+                    ev = instr.round_evals(pre.get(4))
                 per_inst_evals[i] = ev
                 for j in range(4):
                     combined[j] = (combined[j] + ev[j] * alphas[i]) % P

@@ -499,9 +499,18 @@ class ValEvaluationProver:
     def _len(self) -> int:
         return self._eng.live if self._eng is not None else self.inc.n
 
-    def round_evals(self) -> list[int]:
+    def eval_future(self):
+        """Device (4, 16) eval array for this round, or None when on host
+        (the stage loop batches futures into one download per round)."""
+        if self._eng is None or self._len() // 2 == 0:
+            return None
+        return self._eng.round_evals_device()
+
+    def round_evals(self, pre: list[int] | None = None) -> list[int]:
         from ..native.frvec import FrVec
 
+        if pre is not None:
+            return pre
         n = self._len()
         if n // 2 == 0:
             ev = [0, 0, 0, 0]
@@ -568,9 +577,16 @@ class ValFinalProver:
     def _len(self) -> int:
         return self._eng.live if self._eng is not None else self.inc.n
 
-    def round_evals(self) -> list[int]:
+    def eval_future(self):
+        if self._eng is None or self._len() // 2 == 0:
+            return None
+        return self._eng.round_evals_device()
+
+    def round_evals(self, pre: list[int] | None = None) -> list[int]:
         from ..native.frvec import FrVec
 
+        if pre is not None:
+            return pre
         n = self._len()
         if n // 2 == 0:
             ev = [0, 0, 0, 0]
@@ -722,6 +738,27 @@ def prove_stage4(transcript, padded_steps, accesses, initial_ram,
     for rnd in range(max_rounds):
         remaining = max_rounds - rnd
         combined = [0, 0, 0, 0]
+        # prefetch the device-backed instances' evals in one download
+        pre_ve = pre_vf = None
+        if backend in ("device", "mesh"):
+            from ..parallel.stage_engine import drain_futures
+
+            futs, tags = [], []
+            if remaining <= rounds[1]:
+                f = val_eval.eval_future()
+                if f is not None:
+                    futs.append(f)
+                    tags.append("ve")
+            if remaining <= rounds[2]:
+                f = val_final.eval_future()
+                if f is not None:
+                    futs.append(f)
+                    tags.append("vf")
+            for tag, vals in zip(tags, drain_futures(futs)):
+                if tag == "ve":
+                    pre_ve = vals
+                else:
+                    pre_vf = vals
         regs_evals = regs.round_evals(rnd, regs_claim)
         for j in range(4):
             combined[j] = (combined[j] + regs_evals[j] * alphas[0]) % P
@@ -730,14 +767,14 @@ def prove_stage4(transcript, padded_steps, accesses, initial_ram,
             w = (input_claim_val_eval << (remaining - rounds[1] - 1)) * alphas[1] % P
             combined = [(c + w) % P for c in combined]
         else:
-            ve_evals = val_eval.round_evals()
+            ve_evals = val_eval.round_evals(pre_ve)
             for j in range(4):
                 combined[j] = (combined[j] + ve_evals[j] * alphas[1]) % P
         if remaining > rounds[2]:
             w = (input_claim_val_final << (remaining - rounds[2] - 1)) * alphas[2] % P
             combined = [(c + w) % P for c in combined]
         else:
-            vf_evals = val_final.round_evals()
+            vf_evals = val_final.round_evals(pre_vf)
             for j in range(4):
                 combined[j] = (combined[j] + vf_evals[j] * alphas[2]) % P
 

@@ -235,13 +235,13 @@ class StreamingOuterProver:
         if self.backend_kind == "device":
             from .device_outer import DeviceOuterRounds
 
-            self._dev = DeviceOuterRounds(self.az.to_ints(), self.bz.to_ints())
+            self._dev = DeviceOuterRounds(self.az, self.bz, se=self.split_eq)
             self.az = self.bz = None
         elif self.backend_kind == "mesh":
             from .device_outer import MeshOuterRounds
 
-            self._dev = MeshOuterRounds(self.az.to_ints(), self.bz.to_ints(),
-                                        self.mesh)
+            self._dev = MeshOuterRounds(self.az, self.bz, self.mesh,
+                                        se=self.split_eq)
             self.az = self.bz = None
 
     def num_remaining_rounds(self) -> int:
@@ -250,6 +250,10 @@ class StreamingOuterProver:
 
     def compute_remaining_round_poly(self) -> list[int]:
         """Gruen cubic evals [s(0), s(1), s(2), s(3)]."""
+        if self._dev is not None:
+            t0, tinf = self._dev.round_evals()
+            return self._cubic_round_poly(t0, tinf, self.current_claim)
+
         se = self.split_eq
         # eq weights over pair index i: E_out[head_out] x E_in[head_in]
         head = se.current_index - 1
@@ -257,12 +261,6 @@ class StreamingOuterProver:
         head_in = head - head_out
         E_out = se.E_out_vec[min(head_out, len(se.E_out_vec) - 1)]
         E_in = se.E_in_vec[min(head_in, len(se.E_in_vec) - 1)]
-
-        if self._dev is not None:
-            n2 = self._dev.num_pairs()
-            t0, tinf = self._dev.round_evals(E_out[: n2 >> head_in],
-                                             E_in[: 1 << head_in])
-            return self._cubic_round_poly(t0, tinf, self.current_claim)
 
         from ..native.frvec import FrVec
 
