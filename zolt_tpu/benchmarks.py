@@ -254,49 +254,125 @@ def bench_e2e(report, quick: bool) -> None:
             os.unlink(path)
 
 
-def bench_roofline(report, quick: bool) -> None:
-    """Self-calibrated roofline: the mont_mul kernel's sustained MXU-matmul
-    throughput as a fraction of the device's ACHIEVABLE peak for the same
-    op class (f32 dot at Precision.HIGHEST, the exact-integer configuration
-    the kernel requires). BASELINE target: > 70% of per-chip roofline.
+def _chain_time(kernel, init, k_long: int = 16) -> float:
+    """Steady-state seconds per kernel application, measured as the time
+    DELTA between a jitted scan of k_long applications and a scan of 1,
+    each forced to completion by downloading a scalar. This is the only
+    honest timing through the axon tunnel: block_until_ready returns early
+    there, and repeated identical dispatches get elided, so wall-clocking
+    un-chained calls reads out fantasy numbers (we measured 4 PFLOP/s)."""
+    import time
 
-    Methodology: peak is measured, not quoted from a datasheet — a bare
-    (n·16, 256)x(256, 33) HIGHEST-precision dot (the kernel's own inner
-    matmul shape family) is timed steady-state; mont_mul is then timed and
-    credited with its 2 such matmuls per element. Everything outside the
-    matmuls (outer product, 16 REDC steps, carries) counts against it, so
-    the ratio is a true utilization number."""
+    from functools import partial
+
+    import jax
+
+    @partial(jax.jit, static_argnames="k")
+    def run(x, k):
+        def body(c, _):
+            return kernel(c), None
+
+        c, _ = jax.lax.scan(body, x, None, length=k)
+        leaf = jax.tree_util.tree_leaves(c)[0]
+        return leaf.reshape(-1)[0]
+
+    float(run(init, 1))
+    float(run(init, k_long))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(init, 1))
+        t1 = time.perf_counter()
+        float(run(init, k_long))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (k_long - 1))
+    return max(best, 1e-9)
+
+
+def bench_roofline(report, quick: bool) -> None:
+    """Honest per-chip roofline for the device field kernels, at steady
+    state (scan-chained, download-forced — see _chain_time).
+
+    Three reference ceilings are measured on the same chip, not quoted:
+      - bf16 MXU matmul peak (default-precision f32 dot, 4096^3),
+      - HIGHEST-precision matmul peak (the exact-integer 6-pass mode),
+      - HBM copy bandwidth (u32 stream).
+    Kernels are then scored against the ceiling that binds them:
+    mul_shared/fold_shared (field/mxu.py, bf16 Toeplitz + matmul-REDC) are
+    HBM-bound — utilization is achieved GB/s vs the copy ceiling; the
+    general mont_mul (VPU column path) is compute-bound — utilization is
+    its HIGHEST-matmul fraction. BASELINE target: > 70%."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from .field import FR, limb
+    from .field import FR, limb, mxu
     from .field.limb import FR_C
 
-    n = 1 << (12 if quick else 16)
+    n = 1 << (14 if quick else 18)
     rng = np.random.default_rng(11)
-    vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(2 * n)]
-    a = jax.device_put(np.asarray(limb.encode(vals[:n], FR_C)))
-    b = jax.device_put(np.asarray(limb.encode(vals[n:], FR_C)))
+    vals = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(n)]
+    a = jax.device_put(np.asarray(limb.encode(vals, FR_C)))
+    rt = jax.device_put(mxu.scalar_toeplitz(FR.mont(987654321)))
 
-    # peak: the kernel's inner matmul shape, isolated
-    A = jax.device_put(rng.integers(0, 1 << 16, (n * 16, 256)).astype(np.float32))
-    S = jax.device_put((rng.integers(0, 2, (256, 33))).astype(np.float32))
-    dot = jax.jit(lambda x, s: jnp.dot(x, s, preferred_element_type=jnp.float32,
-                                       precision=jax.lax.Precision.HIGHEST))
-    sec_peak = _time(lambda: dot(A, S).block_until_ready(), 10, warmup=3)
-    peak_flops = 2.0 * A.shape[0] * 256 * 33 / sec_peak
+    # ceilings ---------------------------------------------------------------
+    m = 2048 if quick else 4096
+    B = jax.device_put(rng.integers(0, 2, (m, m)).astype(np.float32))
 
-    mm = jax.jit(lambda x, y: limb.mont_mul(x, y, FR_C))
-    sec_mm = _time(lambda: mm(a, b).block_until_ready(), 10, warmup=3)
-    # per element: 2 dots of (16x16=256)·(256x33) → 2·2·256·33 matmul flops
-    mm_matmul_flops = 2 * 2.0 * 256 * 33 * n / sec_mm
+    def matmul_def(x):
+        return jnp.dot(x, B, preferred_element_type=jnp.float32) % 7.0
 
-    report("Roofline (mont_mul vs measured per-chip matmul peak):")
-    report(f"  matmul peak (same shape/precision) {peak_flops / 1e9:>8.2f} GFLOP/s")
-    report(f"  mont_mul sustained (matmul part)   {mm_matmul_flops / 1e9:>8.2f} GFLOP/s")
-    report(f"  mont_mul throughput                {n / sec_mm / 1e6:>8.2f} M elem/s")
-    report(f"  roofline utilization               {mm_matmul_flops / peak_flops * 100:>8.1f} %")
+    def matmul_hi(x):
+        return jnp.dot(x, B, precision=jax.lax.Precision.HIGHEST) % 7.0
+
+    sec = _chain_time(matmul_def, B, 8)
+    peak_bf16 = 2.0 * m ** 3 / sec
+    sec = _chain_time(matmul_hi, B, 4)
+    peak_hi = 2.0 * m ** 3 / sec
+    big = jax.device_put(np.zeros(1 << (22 if quick else 26), np.uint32))
+    sec = _chain_time(lambda x: x + np.uint32(1), big, 16)
+    hbm_bw = 2.0 * big.size * 4 / sec       # read + write
+
+    report("Roofline (steady-state, chained dispatch, real downloads):")
+    report(f"  bf16 matmul peak ({m}^3)        {peak_bf16 / 1e12:>8.1f} TFLOP/s")
+    report(f"  HIGHEST matmul peak             {peak_hi / 1e12:>8.1f} TFLOP/s")
+    report(f"  HBM copy bandwidth              {hbm_bw / 1e9:>8.1f} GB/s")
+
+    # MXU shared-scalar multiply: HBM-bound (read 64B + write 64B per elem)
+    sec = _chain_time(lambda x: mxu.mul_shared(x, rt, FR_C), a, 16)
+    bw = 128.0 * n / sec
+    report(f"  mul_shared (MXU bf16 tier)      {n / sec / 1e6:>8.2f} M elem/s"
+           f"   {bw / 1e9:>6.1f} GB/s = {bw / hbm_bw * 100:>5.1f} % of HBM peak")
+
+    # fold: read n, write n/2 (+ the zero-tail restore write in production)
+    def fold_restore(x):
+        h = mxu.fold_shared(x, rt, FR_C)
+        return jnp.concatenate([h, h])
+
+    sec = _chain_time(fold_restore, a, 16)
+    bw = (64.0 + 64.0) * n / sec
+    report(f"  fold_shared (sumcheck fold)     {n / sec / 1e6:>8.2f} M elem/s"
+           f"   {bw / 1e9:>6.1f} GB/s = {bw / hbm_bw * 100:>5.1f} % of HBM peak")
+
+    # general mont_mul (VPU + HIGHEST column matmuls): compute-bound
+    sec = _chain_time(lambda x: limb.mont_mul(x, x, FR_C), a, 8)
+    mm_flops = 2 * 2.0 * 256 * 33 * n / sec
+    report(f"  mont_mul (general, VPU tier)    {n / sec / 1e6:>8.2f} M elem/s"
+           f"   matmul part {mm_flops / 1e12:.2f} TFLOP/s = "
+           f"{mm_flops / peak_hi * 100:.1f} % of HIGHEST peak")
+
+    # sumcheck round evals (the stage-1 eval kernel shape: e·a·b pair sums)
+    from .poly import dense
+
+    def round_eval(x):
+        n2 = x.shape[0] // 2
+        pr = x.reshape(n2, 2, -1)
+        lo, hi = pr[:, 0], pr[:, 1]
+        t0 = dense.sum_mod(limb.mont_mul(lo, hi, FR_C), FR_C)
+        return x + t0[None, :]
+
+    sec = _chain_time(round_eval, a, 8)
+    report(f"  round eval (pairwise mul+sum)   {n / 2 / sec / 1e6:>8.2f} M pair/s")
 
 
 def bench_mesh(report, quick: bool) -> None:

@@ -955,3 +955,86 @@ void frv_mle_eval_be(uint8_t *tab, long n, const uint8_t *point, int n_vars,
     }
     memcpy(out, tab, 32);
 }
+
+/* ------------------------------------------------------------------ */
+/* Stage-8 phase-A primitives (zkvm/lookups_raf.py): the full-width    */
+/* Lasso address rounds decompose into per-CATEGORY weighted sums plus */
+/* per-category state updates, where the category of an entry is a     */
+/* small integer computed from its concrete index bits (current bit,   */
+/* suffix bit, lt/eq chain state, shift amount). ncat <= 65536.          */
+/* ------------------------------------------------------------------ */
+
+/* out[cat[i]] += wt[i] * x[i]  (x_fr Montgomery; or x_u64 canonical;   */
+/* or neither -> just wt sums). out holds ncat Montgomery elements and  */
+/* must be zeroed by the caller.                                        */
+void frv_cat_wsum(const uint8_t *wt, const uint8_t *x_fr, const u64 *x_u64,
+                  const uint16_t *cat, long n, int ncat, uint8_t *out) {
+#ifdef _OPENMP
+    int nthreads = omp_get_max_threads();
+    if (n < 4096) nthreads = 1;
+    fr *parts = (fr *)calloc((size_t)nthreads * ncat, sizeof(fr));
+    #pragma omp parallel num_threads(nthreads)
+    {
+        int tid = omp_get_thread_num();
+        fr *acc = parts + (size_t)tid * ncat;
+        #pragma omp for schedule(static)
+        for (long i = 0; i < n; i++) {
+            fr v;
+            fr_load(&v, wt + i * 32);
+            if (x_fr) {
+                fr x;
+                fr_load(&x, x_fr + i * 32);
+                fr_mul(&v, &v, &x);
+            } else if (x_u64) {
+                fr x = {{x_u64[i], 0, 0, 0}};
+                fr_mul(&x, &x, &FR_R2);   /* to_mont */
+                fr_mul(&v, &v, &x);
+            }
+            fr_add(&acc[cat[i]], &acc[cat[i]], &v);
+        }
+    }
+    for (int c = 0; c < ncat; c++) {
+        fr acc = {{0, 0, 0, 0}};
+        for (int t = 0; t < nthreads; t++)
+            fr_add(&acc, &acc, &parts[(size_t)t * ncat + c]);
+        fr_store(&acc, out + (long)c * 32);
+    }
+    free(parts);
+#else
+    for (long i = 0; i < n; i++) {
+        fr v;
+        fr_load(&v, wt + i * 32);
+        if (x_fr) {
+            fr x;
+            fr_load(&x, x_fr + i * 32);
+            fr_mul(&v, &v, &x);
+        } else if (x_u64) {
+            fr x = {{x_u64[i], 0, 0, 0}};
+            fr_mul(&x, &x, &FR_R2);
+            fr_mul(&v, &v, &x);
+        }
+        fr *slot = (fr *)(out + (long)cat[i] * 32);
+        fr_add(slot, slot, &v);
+    }
+#endif
+}
+
+/* buf[i] *= consts[cat[i]]  (consts: ncat Montgomery elements) */
+void frv_scale_by_cat(uint8_t *buf, const uint16_t *cat, long n,
+                      const uint8_t *consts) {
+    #pragma omp parallel for schedule(static) if (n >= 4096)
+    for (long i = 0; i < n; i++) {
+        fr *v = (fr *)(buf + i * 32);
+        fr_mul(v, v, (const fr *)(consts + (long)cat[i] * 32));
+    }
+}
+
+/* buf[i] += consts[cat[i]] */
+void frv_add_by_cat(uint8_t *buf, const uint16_t *cat, long n,
+                    const uint8_t *consts) {
+    #pragma omp parallel for schedule(static) if (n >= 4096)
+    for (long i = 0; i < n; i++) {
+        fr *v = (fr *)(buf + i * 32);
+        fr_add(v, v, (const fr *)(consts + (long)cat[i] * 32));
+    }
+}

@@ -703,6 +703,75 @@ class FrVec:
         lib.frv_mle_eval_be(_buf(scratch), 1 << nv, _buf(pm), nv, _buf(out))
         return _from_mont_list(out, 1)[0]
 
+    # -- stage-8 category primitives (zkvm/lookups_raf.py phase A) ---------
+
+    @staticmethod
+    def cat_wsum(wt: "FrVec", x, cat, ncat: int) -> list[int]:
+        """Per-category weighted sums: out[c] = Σ_{i: cat[i]==c} wt[i]·x[i].
+        `x` is an FrVec, a numpy uint64 array (canonical values), or None
+        (plain Σ wt per category). `cat` is a numpy uint16 array."""
+        import ctypes as _ct
+
+        import numpy as _np
+
+        cat = _np.ascontiguousarray(cat, dtype=_np.uint16)
+        lib = _get_lib()
+        if lib is None or wt._mont is None or (
+                isinstance(x, FrVec) and x._mont is None):
+            w = wt._ints if wt._ints is not None else wt.to_ints()
+            if isinstance(x, FrVec):
+                xv = x._ints if x._ints is not None else x.to_ints()
+            elif x is None:
+                xv = None
+            else:
+                xv = [int(v) for v in x]
+            out = [0] * ncat
+            for i in range(wt.n):
+                v = w[i] if xv is None else w[i] * xv[i] % P
+                out[cat[i]] = (out[cat[i]] + v) % P
+            return out
+        out = bytearray(32 * ncat)
+        x_fr = None
+        x_u64 = None
+        if isinstance(x, FrVec):
+            x_fr = _buf(x._mont)
+        elif x is not None:
+            xa = _np.ascontiguousarray(x, dtype=_np.uint64)
+            x_u64 = xa.ctypes.data_as(_ct.c_void_p)
+        lib.frv_cat_wsum(_buf(wt._mont), x_fr, x_u64,
+                         cat.tobytes(), wt.n, ncat, _buf(out))
+        return _from_mont_list(out, ncat)
+
+    def scale_by_cat_(self, cat, consts: list[int]) -> "FrVec":
+        """self[i] *= consts[cat[i]], in place."""
+        import numpy as _np
+
+        cat = _np.ascontiguousarray(cat, dtype=_np.uint16)
+        lib = _get_lib()
+        if lib is None or self._mont is None:
+            a = self._ints if self._ints is not None else self.to_ints()
+            self._ints = [a[i] * consts[cat[i]] % P for i in range(self.n)]
+            self._mont = None
+            return self
+        lib.frv_scale_by_cat(_buf(self._mont), cat.tobytes(), self.n,
+                             _buf(_mont_scalars([c % P for c in consts])))
+        return self
+
+    def add_by_cat_(self, cat, consts: list[int]) -> "FrVec":
+        """self[i] += consts[cat[i]], in place."""
+        import numpy as _np
+
+        cat = _np.ascontiguousarray(cat, dtype=_np.uint16)
+        lib = _get_lib()
+        if lib is None or self._mont is None:
+            a = self._ints if self._ints is not None else self.to_ints()
+            self._ints = [(a[i] + consts[cat[i]]) % P for i in range(self.n)]
+            self._mont = None
+            return self
+        lib.frv_add_by_cat(_buf(self._mont), cat.tobytes(), self.n,
+                           _buf(_mont_scalars([c % P for c in consts])))
+        return self
+
 
 _SCALAR_MEMO: dict[int, bytearray] = {}
 

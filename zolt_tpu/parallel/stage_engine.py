@@ -56,24 +56,30 @@ def tail_n() -> int:
 
 
 def frvec_to_limbs(v) -> np.ndarray:
-    """FrVec Montgomery bytes -> (n, 16) uint32 device limb array (view+cast
-    only; both representations are the same Montgomery residue)."""
-    buf = bytes(memoryview(v._mont)[: 32 * v.n]) if v._mont is not None else None
-    if buf is None:
+    """FrVec Montgomery bytes -> (n, 16) uint32 device limb array (view +
+    widen only; both representations are the same Montgomery residue).
+    Uses np.copyto into a preallocated buffer — this numpy build's bare
+    astype takes a pathologically slow path (~100x) on large widenings."""
+    if v._mont is not None:
+        src = np.frombuffer(memoryview(v._mont), dtype="<u2", count=16 * v.n)
+    else:
         from ..native.frvec import _mont_scalars
 
-        buf = bytes(_mont_scalars([x % P for x in v._ints]))
-    return np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(v.n, 16)
+        src = np.frombuffer(_mont_scalars([x % P for x in v._ints]),
+                            dtype="<u2")
+    out = np.empty(src.shape, np.uint32)
+    np.copyto(out, src, casting="unsafe")
+    return out.reshape(v.n, 16)
 
 
 def limbs_to_frvec(arr) -> "object":
     """(n, 16) uint32 limb array -> FrVec (Montgomery bytes)."""
     from ..native.frvec import FrVec
 
-    a = np.asarray(arr, dtype=np.uint32)
-    assert a.dtype == np.uint32
-    b = a.astype("<u2").tobytes()
-    return FrVec(a.shape[0], mont=bytearray(b))
+    a = np.ascontiguousarray(arr, dtype=np.uint32)
+    narrow = np.empty(a.shape, np.uint16)
+    np.copyto(narrow, a, casting="unsafe")
+    return FrVec(a.shape[0], mont=bytearray(narrow.tobytes()))
 
 
 def drain_futures(futures: list) -> list[list[int]]:
@@ -126,13 +132,14 @@ def _evals_fixed(tables, degree: int):
 
 
 @jax.jit
-def _fold_fixed_stack(tables, r):
-    """Fold every table (live prefix halves; zero tail restored)."""
-    f = FR_C
+def _fold_fixed_stack(tables, rt):
+    """Fold every table (live prefix halves; zero tail restored). The
+    shared-challenge multiply rides the MXU (field/mxu.fold_shared)."""
+    from ..field import mxu
+
     out = []
     for j in range(tables.shape[0]):
-        lo, d = _split_pairs(tables[j])
-        nb = limb.add(lo, limb.mont_mul(r[None], d, f), f)
+        nb = mxu.fold_shared(tables[j], rt, FR_C)
         out.append(jnp.concatenate([nb, jnp.zeros_like(nb)]))
     return jnp.stack(out)
 
@@ -163,7 +170,7 @@ def _make_mesh_steps(mesh, degree: int):
         return _psum_field(jnp.stack(outs), f)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(PS(None, AXIS, None), PS(None)),
+             in_specs=(PS(None, AXIS, None), PS(None, None)),
              out_specs=PS(None, AXIS, None), check_vma=False)
     def fold_step(tables, r):
         return _fold_fixed_stack(tables, r)
@@ -215,18 +222,22 @@ class DeviceProductTables:
     def _to_host(self) -> None:
         """Move the live prefixes to host FrVecs (byte reinterpretation, no
         conversion) for the narrow-tail rounds; on a mesh, gather the
-        scattered shard-local prefixes back into contiguous order."""
+        scattered shard-local prefixes back into contiguous order. Only the
+        live prefix crosses the wire — downloading the fixed-size stack
+        would move the (mostly dead) full tables at tunnel bandwidth."""
         if self._host is not None:
             return
-        arr = np.asarray(self.tables)
         loc = self.n // self.n_dev
         live_loc = max(1, self.live // self.n_dev)
-        rows = []
-        for j in range(arr.shape[0]):
-            segs = [arr[j, s * loc: s * loc + live_loc]
-                    for s in range(self.n_dev)]
-            rows.append(limbs_to_frvec(np.concatenate(segs)[: self.live]))
-        self._host = rows
+        if self.n_dev > 1:
+            # compact the scattered shard prefixes on device, then download
+            idx = np.concatenate([s * loc + np.arange(live_loc)
+                                  for s in range(self.n_dev)])
+            arr = np.asarray(jnp.take(self.tables, jnp.asarray(idx),
+                                      axis=1))[:, : self.live]
+        else:
+            arr = np.asarray(self.tables[:, : self.live])
+        self._host = [limbs_to_frvec(arr[j]) for j in range(arr.shape[0])]
         self.tables = None
 
     # -- protocol ------------------------------------------------------------
@@ -264,11 +275,13 @@ class DeviceProductTables:
             self._host = [v.fold_adj(r) for v in self._host]
             self.live //= 2
             return
-        rl = limb.encode([r % P], FR_C)[0]
+        from ..field import mxu
+
+        rt = jnp.asarray(mxu.scalar_toeplitz(FR.mont(r % P)))
         if self.mesh is not None:
-            self.tables = self._fold_step(self.tables, rl)
+            self.tables = self._fold_step(self.tables, rt)
         else:
-            self.tables = _fold_fixed_stack(self.tables, rl)
+            self.tables = _fold_fixed_stack(self.tables, rt)
         self.live //= 2
 
     def finals(self) -> list[int]:

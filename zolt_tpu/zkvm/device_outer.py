@@ -125,12 +125,15 @@ def _gruen_level_args(se) -> tuple[int, int, int, int]:
 
 
 @jax.jit
-def _fold_fixed(az, bz, r):
+def _fold_fixed(az, bz, rt):
     """Live prefix folds into a half-length prefix; shape restored with a
-    zero tail so every round reuses this one compiled program."""
-    f = FR_C
-    na = dense.bind_low(az, r, f)
-    nb = dense.bind_low(bz, r, f)
+    zero tail so every round reuses this one compiled program. The multiply
+    by the shared challenge rides the MXU (field/mxu.py fold_shared: bf16
+    Toeplitz product + matmul-Hensel REDC), bit-identical to the VPU fold."""
+    from ..field import mxu
+
+    na = mxu.fold_shared(az, rt, FR_C)
+    nb = mxu.fold_shared(bz, rt, FR_C)
     z = jnp.zeros_like(na)
     return jnp.concatenate([na, z]), jnp.concatenate([nb, z])
 
@@ -220,8 +223,11 @@ class DeviceOuterRounds:
                 self._fr = (self._fr[0].fold_adj(r), self._fr[1].fold_adj(r))
                 self.live //= 2
             return
-        rl = limb.encode([r % P], FR_C)[0]
-        self.az, self.bz = _fold_fixed(self.az, self.bz, rl)
+        from ..field import mxu
+        from ..field.params import FR as _FR
+
+        rt = jnp.asarray(mxu.scalar_toeplitz(_FR.mont(r % P)))
+        self.az, self.bz = _fold_fixed(self.az, self.bz, rt)
         self.live //= 2
 
     def final_values(self) -> tuple[int, int]:
@@ -263,12 +269,13 @@ def _make_mesh_steps(mesh):
         return _psum_field(jnp.stack([t0, tinf]), f)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(PS(AXIS, None), PS(AXIS, None), PS(None)),
+             in_specs=(PS(AXIS, None), PS(AXIS, None), PS(None, None)),
              out_specs=(PS(AXIS, None), PS(AXIS, None)), check_vma=False)
-    def fold_step(az, bz, r):
-        f = FR_C
-        na = dense.bind_low(az, r, f)
-        nb = dense.bind_low(bz, r, f)
+    def fold_step(az, bz, rt):
+        from ..field import mxu
+
+        na = mxu.fold_shared(az, rt, FR_C)
+        nb = mxu.fold_shared(bz, rt, FR_C)
         z = jnp.zeros_like(na)
         return jnp.concatenate([na, z]), jnp.concatenate([nb, z])
 
@@ -325,19 +332,20 @@ class MeshOuterRounds:
 
     def _to_host(self) -> None:
         """Gather the scattered live prefixes (each shard's local prefix)
-        back into contiguous host FrVecs for the tail rounds."""
+        back into contiguous host FrVecs for the tail rounds. Compaction
+        happens on device so only the live prefix crosses the wire."""
         from ..parallel.stage_engine import limbs_to_frvec
 
         if self._on_host:
             return
-        az = np.asarray(self.az)
-        bz = np.asarray(self.bz)
         loc = self.n // self.n_dev
         live_loc = max(1, self.live // self.n_dev)
-        segs_a = [az[s * loc: s * loc + live_loc] for s in range(self.n_dev)]
-        segs_b = [bz[s * loc: s * loc + live_loc] for s in range(self.n_dev)]
-        self._host_az = limbs_to_frvec(np.concatenate(segs_a)[: self.live])
-        self._host_bz = limbs_to_frvec(np.concatenate(segs_b)[: self.live])
+        idx = jnp.asarray(np.concatenate(
+            [s * loc + np.arange(live_loc) for s in range(self.n_dev)]))
+        az = np.asarray(jnp.take(self.az, idx, axis=0))[: self.live]
+        bz = np.asarray(jnp.take(self.bz, idx, axis=0))[: self.live]
+        self._host_az = limbs_to_frvec(az)
+        self._host_bz = limbs_to_frvec(bz)
         self.az = self.bz = None
 
     def round_evals_device(self):
@@ -368,8 +376,11 @@ class MeshOuterRounds:
                 self._host_bz = self._host_bz.fold_adj(r)
                 self.live //= 2
             return
-        rl = limb.encode([r % P], FR_C)[0]
-        self.az, self.bz = self.fold_step(self.az, self.bz, rl)
+        from ..field import mxu
+        from ..field.params import FR as _FR
+
+        rt = jnp.asarray(mxu.scalar_toeplitz(_FR.mont(r % P)))
+        self.az, self.bz = self.fold_step(self.az, self.bz, rt)
         self.live //= 2
 
     def final_values(self) -> tuple[int, int]:

@@ -24,10 +24,14 @@ bytecode slots, proven later by the BytecodeReadRaf stage (bytecode_raf.py).
 Phase A binds the 128 address variables MSB-first with per-entry O(1)
 incremental evaluation by gadget family (linear forms, eq/lt chains,
 bitwise pair sums, shifts with concrete shamt, generic fallback for the
-rare validity tables); the final 12 variables switch to a dense 4096-point
-endgame. Phase B binds the cycle variables over eq * w * C(slot) dense
-tables. Terminal claims (w, cs) are virtualized by stage 9
-(InstructionRaVirtualization) and the bytecode read-check respectively.
+rare validity tables), VECTORIZED over entries: the per-round sums reduce
+to a few per-category native weighted sums (frv_cat_wsum) keyed on small
+integers from the concrete index bits, and per-entry state updates are
+per-category scale/add kernels — no per-entry Python in the hot rounds.
+The final 12 variables switch to a dense 4096-point endgame. Phase B binds
+the cycle variables over eq * w * C(slot) dense tables. Terminal claims
+(w, cs) are virtualized by stage 9 (InstructionRaVirtualization) and the
+bytecode read-check respectively.
 
 Degrees: phase A rounds are degree 2 (chi * Gm), phase B degree 3.
 """
@@ -109,7 +113,16 @@ def _shift_w(kind: int, s: int, i: int) -> int:
 
 class ClassGroup:
     """All entries of one gadget class, with the class's combined Gm
-    components and the per-entry incremental phase-A state."""
+    components and the per-entry incremental phase-A state.
+
+    The per-entry state is VECTORIZED: Fr vectors (wt = eq·χ weights, the
+    χ-only pref, the linear-form suffix lin_s, the shift partial sh_cur)
+    live as FrVec buffers updated by per-category native kernels
+    (frv_scale_by_cat / frv_add_by_cat), and the round sums reduce to a few
+    per-category weighted sums (frv_cat_wsum) keyed on small integers
+    computed from the concrete index bits (current bit, suffix bit, lt/eq
+    chain state, shift amount) with numpy. The category tables themselves
+    are O(1)-sized host math per round."""
 
     def __init__(self, spec: RafSpec, gammas: list[int]):
         self.spec = spec
@@ -124,17 +137,9 @@ class ClassGroup:
             self._add_slot(slot, g)
         if spec.valid_table is not None:
             self.valid = (gammas[3], spec.valid_table)
-        # per-entry parallel arrays
+        # entry collection (vectorized into numpy/FrVec state by finalize())
         self.cyc: list[int] = []
         self.idx: list[int] = []
-        self.eqw: list[int] = []
-        self.pref: list[int] = []
-        self.lin_s: list[int] = []
-        self.lt_below: list[list[int]] = []
-        self.eq_below: list[list[int]] = []
-        self.bw_s: list[int] = []
-        self.sh_cur: list[int] = []
-        self.sh_s: list[int] = []
         # shared accumulators
         self.lin_b = 0
         self.LTb, self.EQb = 0, 1
@@ -190,36 +195,106 @@ class ClassGroup:
 
     # -- entries ---------------------------------------------------------------
 
-    def add_entry(self, cycle: int, idx: int, eqw: int):
+    def add_entry(self, cycle: int, idx: int):
         self.cyc.append(cycle)
         self.idx.append(idx)
-        self.eqw.append(eqw)
-        self.pref.append(1)
-        self.lin_s.append(sum(self.lin_w[p] for p in range(ADDR_VARS)
-                              if (idx >> p) & 1) % P)
-        if self.chain is not None:
-            x, y = tb.uninterleave_bits(idx, 64)
-            lt, eq = [0] * 64, [0] * 64
-            ltv, eqv = 0, 1
+
+    def bit(self, p: int):
+        """(n,) uint16 bit-p of every entry's index."""
+        import numpy as np
+
+        if p < 64:
+            return ((self._lo >> np.uint64(p)) & np.uint64(1)).astype(np.uint16)
+        return ((self._hi >> np.uint64(p - 64)) & np.uint64(1)).astype(np.uint16)
+
+    def finalize(self, eq_src) -> None:
+        """Build the vectorized per-entry state (after all add_entry calls).
+        `eq_src` is the cycle-indexed eq FrVec; entry weights gather from it."""
+        import numpy as np
+
+        from ..native.frvec import FrVec
+
+        M64 = (1 << 64) - 1
+        n = self.n = len(self.idx)
+        self._lo = np.fromiter((i & M64 for i in self.idx), np.uint64, n)
+        self._hi = np.fromiter((i >> 64 for i in self.idx), np.uint64, n)
+        self.wt = _gather_frvec(eq_src, np.asarray(self.cyc, np.int64))
+        self.pref = FrVec.filled(n, 1)
+        self.lin_s = FrVec.zeros(n)
+        for p in range(ADDR_VARS):
+            w = self.lin_w[p]
+            if w:
+                self.lin_s.add_by_cat_(self.bit(p), [0, w])
+        needs_xy = (self.chain is not None or self.bitop is not None
+                    or self.shift is not None)
+        if needs_xy:
+            x = np.zeros(n, np.uint64)
+            y = np.zeros(n, np.uint64)
             for i in range(64):
-                lt[i], eq[i] = ltv, eqv
-                xb, yb = (x >> i) & 1, (y >> i) & 1
-                ltv = 1 if (xb < yb or (xb == yb and ltv)) else 0
-                eqv = eqv if xb == yb else 0
-            self.lt_below.append(lt)
-            self.eq_below.append(eq)
+                x |= self.bit(2 * i + 1).astype(np.uint64) << np.uint64(i)
+                y |= self.bit(2 * i).astype(np.uint64) << np.uint64(i)
+        if self.chain is not None:
+            lt = np.empty((n, 64), np.uint16)
+            eq = np.empty((n, 64), np.uint16)
+            ltv = np.zeros(n, np.uint16)
+            eqvv = np.ones(n, np.uint16)
+            for i in range(64):
+                lt[:, i] = ltv
+                eq[:, i] = eqvv
+                xb = ((x >> np.uint64(i)) & np.uint64(1)).astype(np.uint16)
+                yb = ((y >> np.uint64(i)) & np.uint64(1)).astype(np.uint16)
+                ltv = ((xb < yb) | ((xb == yb) & (ltv == 1))).astype(np.uint16)
+                eqvv = (eqvv & (xb == yb)).astype(np.uint16)
+            self.lt_b, self.eq_b = lt, eq
         if self.bitop is not None:
-            x, y = tb.uninterleave_bits(idx, 64)
             kind = self.bitop[1]
-            v = (x & y) if kind == 0 else (x | y) if kind == 1 else (x ^ y)
-            self.bw_s.append(v)
+            self.bw = (x & y) if kind == 0 else (x | y) if kind == 1 else (x ^ y)
         if self.shift is not None:
-            x, y = tb.uninterleave_bits(idx, 64)
-            s = y & 63
             kind = self.shift[1]
-            self.sh_s.append(s)
-            self.sh_cur.append(sum(_shift_w(kind, s, i) for i in range(64)
-                                   if (x >> i) & 1) % P)
+            self.sh_s = (y & np.uint64(63)).astype(np.uint16)
+            self.sh_cur = FrVec.zeros(n)
+            for i in range(64):
+                xb = ((x >> np.uint64(i)) & np.uint64(1)).astype(np.uint16)
+                cats = xb + 2 * self.sh_s
+                consts = [0] * 128
+                for s in range(64):
+                    consts[2 * s + 1] = _shift_w(kind, s, i)
+                self.sh_cur.add_by_cat_(cats, consts)
+
+
+def _gather_frvec(src, idxs):
+    """FrVec gather: out[i] = src[idxs[i]] (byte-row fancy indexing on the
+    Montgomery buffer; int-list fallback for the no-native tier)."""
+    import numpy as np
+
+    from ..native.frvec import FrVec
+
+    if src._mont is not None:
+        rows = np.frombuffer(memoryview(src._mont), np.uint8,
+                             count=32 * src.n).reshape(src.n, 32)
+        return FrVec(len(idxs), mont=bytearray(rows[idxs].tobytes()))
+    ints = src._ints
+    return FrVec(len(idxs), ints=[ints[int(i)] for i in idxs])
+
+
+def _scatter_frvec(size: int, idxs, src):
+    """FrVec scatter into a zero vector: out[idxs[i]] = src[i]."""
+    import numpy as np
+
+    from ..native.frvec import FrVec
+
+    if src._mont is not None:
+        buf = bytearray(32 * size)
+        out = np.frombuffer(buf, np.uint8).reshape(size, 32)
+        rows = np.frombuffer(memoryview(src._mont), np.uint8,
+                             count=32 * src.n).reshape(src.n, 32)
+        out[np.asarray(idxs, np.int64)] = rows
+        return FrVec(size, mont=buf)
+    vals = [0] * size
+    ints = src._ints
+    for i, j in enumerate(idxs):
+        vals[int(j)] = ints[i]
+    return FrVec(size, ints=vals)
 
 
 def _mixed_point(r_bound: dict[int, int], idx: int, pos: int, c: int) -> list[int]:
@@ -319,28 +394,38 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
                  n_cycle_vars: int) -> Stage8Result:
     from ..native.frvec import FrVec
 
+    import numpy as np
+
     res = Stage8Result()
     T = 1 << n_cycle_vars
     g = transcript.challenge_scalar_full()
     res.gamma = g
     gammas = [1, g, g * g % P, g * g % P * g % P]
 
-    eqv = FrVec.eq_table_be([c % P for c in r_cycle_be]).to_ints()
+    eq_fr = FrVec.eq_table_be([c % P for c in r_cycle_be])
     entries = collect_entries(padded_steps)
     slots = bc_index.slots_per_cycle(padded_steps)
+    slots_np = np.asarray(slots, np.int64)
 
-    # public-claim components (proven by the BytecodeReadRaf stage)
-    const_c = valid_c = 0
-    for j in range(T):
-        spec = bc_index.raf_spec(slots[j])
+    # public-claim components (proven by the BytecodeReadRaf stage):
+    # const_c = Σ_j eq[j]·CONST(slot_j) as an FrVec inner product over a
+    # per-slot gather; valid_c = Σ_j eq[j]·HasValidity(slot_j) as a
+    # 2-category weighted sum
+    n_slots = bc_index.size
+    const_per_slot = [0] * n_slots
+    hv_per_slot = np.zeros(n_slots, np.uint16)
+    for k in range(n_slots):
+        spec = bc_index.raf_spec(k)
         if spec is None:
             continue
-        e = eqv[j]
-        const_c = (const_c + e * ((gammas[0] * spec.out.const
-                                   + gammas[1] * spec.left.const
-                                   + gammas[2] * spec.right.const) % P)) % P
+        const_per_slot[k] = (gammas[0] * spec.out.const
+                             + gammas[1] * spec.left.const
+                             + gammas[2] * spec.right.const) % P
         if spec.valid_table is not None:
-            valid_c = (valid_c + e) % P
+            hv_per_slot[k] = 1
+    const_c = eq_fr.inner(_gather_frvec(FrVec.from_ints(const_per_slot),
+                                        slots_np))
+    valid_c = FrVec.cat_wsum(eq_fr, None, hv_per_slot[slots_np], 2)[1]
     res.const_claim, res.valid_rhs = const_c, valid_c
     transcript.append_scalar(const_c)
     transcript.append_scalar(valid_c)
@@ -351,108 +436,172 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
 
     # ---- group entries by class -------------------------------------------
     groups: dict = {}
-    valid_entries = []   # (group, idx, cycle) — generic per-entry evaluation
     for (j, idx, spec) in entries:
         key = _class_key(spec)
         grp = groups.get(key)
         if grp is None:
             grp = groups[key] = ClassGroup(spec, gammas)
-        grp.add_entry(j, idx, eqv[j])
+        grp.add_entry(j, idx)
     grouplist = list(groups.values())
+    for grp in grouplist:
+        grp.finalize(eq_fr)
 
     r_bound: dict[int, int] = {}
     last_x_challenge = 0
 
     # ---- Phase A: address rounds, MSB first --------------------------------
+    # Vectorized: per group per round, 2-4 native category-sum passes over
+    # the entry vectors (frv_cat_wsum) + O(1) host combination of the shared
+    # gadget tables; state updates are per-category native kernels.
     for pos in range(ADDR_VARS - 1, ENDGAME_VARS - 1, -1):
         is_x = (pos & 1) == 1
         pair = pos >> 1
         e0 = e2 = 0
+        round_bits = []    # per-group bit arrays, reused by the fold pass
         for grp in grouplist:
             wp = grp.lin_w[pos]
             ch, bo, sh, va = grp.chain, grp.bitop, grp.shift, grp.valid
-            for t in range(len(grp.idx)):
-                idx = grp.idx[t]
-                bit = (idx >> pos) & 1
-                # remove this position from the per-entry suffix state
-                if bit and grp.lin_s[t]:
-                    grp.lin_s[t] = (grp.lin_s[t] - wp) % P
-                elif bit:
-                    grp.lin_s[t] = (-wp) % P
-                base = grp.cc + grp.lin_b + grp.lin_s[t]
-                v0 = base
-                v2 = base + 2 * wp
-                if ch is not None:
-                    bl, be, signed = ch
-                    ltb, eqb = grp.LTb, grp.EQb
-                    lt_i = grp.lt_below[t][pair]
-                    eq_i = grp.eq_below[t][pair]
+            bit = grp.bit(pos)
+            round_bits.append(bit)
+            # remove this position from the per-entry linear suffix state
+            if wp:
+                grp.lin_s.add_by_cat_(bit, [0, (-wp) % P])
+            L = FrVec.cat_wsum(grp.wt, grp.lin_s, bit, 2)
+            Wb = None
+            S0 = S2m = S2p = 0
+            if ch is not None:
+                bl, be, signed = ch
+                ltb, eqb = grp.LTb, grp.EQb
+                lt_i = grp.lt_b[:, pair]
+                eq_i = grp.eq_b[:, pair]
+
+                def chain_add(c, ob_or_rx, lt_v, eq_v):
                     if is_x:
-                        ob = (idx >> (pos - 1)) & 1   # y bit (suffix)
-                        for c, acc in ((0, 0), (2, 1)):
-                            if signed and pair == 63:
-                                ltt = c * (1 - ob)
-                            else:
-                                ltt = (1 - c) * ob
-                            eqt = c * ob + (1 - c) * (1 - ob)
-                            add = (bl * (ltb + eqb * ((ltt + eqt * lt_i) % P))
-                                   + be * (eqb * eqt % P * eq_i)) % P
-                            if acc == 0:
-                                v0 += add
-                            else:
-                                v2 += add
+                        ob = ob_or_rx
+                        if signed and pair == 63:
+                            ltt = c * (1 - ob)
+                        else:
+                            ltt = (1 - c) * ob
+                        eqt = c * ob + (1 - c) * (1 - ob)
                     else:
-                        rx = last_x_challenge
-                        for c, acc in ((0, 0), (2, 1)):
-                            if signed and pair == 63:
-                                ltt = rx * (1 - c) % P
-                            else:
-                                ltt = (1 - rx) * c % P
-                            eqt = (rx * c + (1 - rx) * (1 - c)) % P
-                            add = (bl * (ltb + eqb * ((ltt + eqt * lt_i) % P))
-                                   + be * (eqb * eqt % P * eq_i)) % P
-                            if acc == 0:
-                                v0 += add
-                            else:
-                                v2 += add
-                if bo is not None:
-                    coeff, kind = bo
-                    if is_x:
-                        # strip the pair from the suffix sum once (at x round)
-                        if (grp.bw_s[t] >> pair) & 1:
-                            grp.bw_s[t] -= 1 << pair
-                        rest = grp.bw_s[t] % P
-                        ob = (idx >> (pos - 1)) & 1
-                        v0 += coeff * ((rest + (1 << pair) * _bit_op(kind, 0, ob)) % P)
-                        v2 += coeff * ((rest + (1 << pair) * _bit_op(kind, 2, ob)) % P)
-                    else:
-                        rx = last_x_challenge
-                        rest = grp.bw_s[t] % P
-                        v0 += coeff * ((rest + (1 << pair) * _bit_op(kind, rx, 0)) % P)
-                        v2 += coeff * ((rest + (1 << pair) * _bit_op(kind, rx, 2)) % P)
-                if sh is not None:
-                    coeff, kind = sh
-                    if is_x:
-                        w = _shift_w(kind, grp.sh_s[t], pair)
-                        if bit and w:
-                            grp.sh_cur[t] = (grp.sh_cur[t] - w) % P
-                        v0 += coeff * grp.sh_cur[t]
-                        v2 += coeff * ((grp.sh_cur[t] + 2 * w) % P)
-                    else:
-                        v0 += coeff * grp.sh_cur[t]
-                        v2 += coeff * grp.sh_cur[t]
-                if va is not None:
-                    coeff, vt = va
-                    pt = _mixed_point(r_bound, idx, pos, 0)
-                    v0 += coeff * tb.evaluate_mle(vt, list(reversed(pt)), 64)
-                    pt[pos] = 2
-                    v2 += coeff * tb.evaluate_mle(vt, list(reversed(pt)), 64)
-                wt = grp.eqw[t] * grp.pref[t] % P
-                if bit:
-                    e2 += wt * 2 % P * (v2 % P)
+                        rx = ob_or_rx
+                        if signed and pair == 63:
+                            ltt = rx * (1 - c) % P
+                        else:
+                            ltt = (1 - rx) * c % P
+                        eqt = (rx * c + (1 - rx) * (1 - c)) % P
+                    return (bl * (ltb + eqb * ((ltt + eqt * lt_v) % P))
+                            + be * (eqb * eqt % P * eq_v)) % P
+
+                if is_x:
+                    ob = grp.bit(pos - 1)
+                    cat = bit + 2 * ob + 4 * lt_i + 8 * eq_i
+                    W = FrVec.cat_wsum(grp.wt, None, cat, 16)
+                    Wb = [sum(W[c4] for c4 in range(0, 16, 2)) % P,
+                          sum(W[c4] for c4 in range(1, 16, 2)) % P]
+                    for o in (0, 1):
+                        for lv in (0, 1):
+                            for ev in (0, 1):
+                                bc = 2 * o + 4 * lv + 8 * ev
+                                a0 = chain_add(0, o, lv, ev)
+                                a2 = chain_add(2, o, lv, ev)
+                                S0 += a0 * W[bc]
+                                S2m += a2 * W[bc]
+                                S2p += a2 * W[bc + 1]
                 else:
-                    e0 += wt * (v0 % P)
-                    e2 -= wt * (v2 % P)
+                    rx = last_x_challenge
+                    cat = bit + 2 * lt_i + 4 * eq_i
+                    W = FrVec.cat_wsum(grp.wt, None, cat, 8)
+                    Wb = [sum(W[c4] for c4 in range(0, 8, 2)) % P,
+                          sum(W[c4] for c4 in range(1, 8, 2)) % P]
+                    for lv in (0, 1):
+                        for ev in (0, 1):
+                            bc = 2 * lv + 4 * ev
+                            a0 = chain_add(0, rx, lv, ev)
+                            a2 = chain_add(2, rx, lv, ev)
+                            S0 += a0 * W[bc]
+                            S2m += a2 * W[bc]
+                            S2p += a2 * W[bc + 1]
+            elif bo is not None:
+                coeff, kind = bo
+                pw = (1 << pair) % P
+                if is_x:
+                    # strip the pair bit from the suffix sum (x round only)
+                    grp.bw = grp.bw & ~np.uint64(1 << pair)
+                    ob = grp.bit(pos - 1)
+                    cat = bit + 2 * ob
+                    W = FrVec.cat_wsum(grp.wt, None, cat, 4)
+                    Wb = [(W[0] + W[2]) % P, (W[1] + W[3]) % P]
+                    R = FrVec.cat_wsum(grp.wt, grp.bw, bit, 2)
+                    for o in (0, 1):
+                        t0v = coeff * pw % P * _bit_op(kind, 0, o) % P
+                        t2v = coeff * pw % P * _bit_op(kind, 2, o) % P
+                        S0 += t0v * W[2 * o]
+                        S2m += t2v * W[2 * o]
+                        S2p += t2v * W[2 * o + 1]
+                else:
+                    rx = last_x_challenge
+                    W = FrVec.cat_wsum(grp.wt, None, bit, 2)
+                    Wb = list(W)
+                    R = FrVec.cat_wsum(grp.wt, grp.bw, bit, 2)
+                    t0v = coeff * pw % P * _bit_op(kind, rx, 0) % P
+                    t2v = coeff * pw % P * _bit_op(kind, rx, 2) % P
+                    S0 += t0v * Wb[0]
+                    S2m += t2v * Wb[0]
+                    S2p += t2v * Wb[1]
+                S0 += coeff * R[0]
+                S2m += coeff * R[0]
+                S2p += coeff * R[1]
+            elif sh is not None:
+                coeff, kind = sh
+                if is_x:
+                    w_s = [_shift_w(kind, s, pair) for s in range(64)]
+                    # strip for bit=1 entries before use
+                    strip = [0] * 128
+                    for s in range(64):
+                        strip[2 * s + 1] = (-w_s[s]) % P
+                    grp.sh_cur.add_by_cat_(bit + 2 * grp.sh_s, strip)
+                    W = FrVec.cat_wsum(grp.wt, None, bit + 2 * grp.sh_s, 128)
+                    Wb = [sum(W[2 * s] for s in range(64)) % P,
+                          sum(W[2 * s + 1] for s in range(64)) % P]
+                    Ssh = FrVec.cat_wsum(grp.wt, grp.sh_cur, bit, 2)
+                    S0 += coeff * Ssh[0]
+                    tw0 = sum(2 * w_s[s] * W[2 * s] for s in range(64)) % P
+                    tw1 = sum(2 * w_s[s] * W[2 * s + 1] for s in range(64)) % P
+                    S2m += coeff * ((Ssh[0] + tw0) % P)
+                    S2p += coeff * ((Ssh[1] + tw1) % P)
+                else:
+                    W = FrVec.cat_wsum(grp.wt, None, bit, 2)
+                    Wb = list(W)
+                    Ssh = FrVec.cat_wsum(grp.wt, grp.sh_cur, bit, 2)
+                    S0 += coeff * Ssh[0]
+                    S2m += coeff * Ssh[0]
+                    S2p += coeff * Ssh[1]
+            if Wb is None:
+                W = FrVec.cat_wsum(grp.wt, None, bit, 2)
+                Wb = list(W)
+            A0 = (grp.cc + grp.lin_b) % P
+            S0 += A0 * Wb[0] + L[0]
+            S2m += (A0 + 2 * wp) * Wb[0] + L[0]
+            S2p += (A0 + 2 * wp) * Wb[1] + L[1]
+            if va is not None:
+                # rare validity tables: generic per-entry evaluation
+                coeff, vt = va
+                wt_ints = grp.wt.to_ints()
+                for t in range(grp.n):
+                    idx = grp.idx[t]
+                    b = (idx >> pos) & 1
+                    pt = _mixed_point(r_bound, idx, pos, 0)
+                    val0 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
+                    pt[pos] = 2
+                    val2 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
+                    if b:
+                        S2p += wt_ints[t] * (coeff * val2 % P)
+                    else:
+                        S0 += wt_ints[t] * (coeff * val0 % P)
+                        S2m += wt_ints[t] * (coeff * val2 % P)
+            e0 += S0
+            e2 += 2 * S2p - S2m
         e0 %= P
         e2 %= P
         e1 = (claim - e0) % P
@@ -464,19 +613,16 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
         if is_x:
             last_x_challenge = r
         # fold per-entry / shared state
-        for grp in grouplist:
+        omr = (1 - r) % P
+        for grp, bit in zip(grouplist, round_bits):
             wp = grp.lin_w[pos]
             grp.lin_b = (grp.lin_b + wp * r) % P
-            omr = (1 - r) % P
-            for t in range(len(grp.idx)):
-                bit = (grp.idx[t] >> pos) & 1
-                grp.pref[t] = grp.pref[t] * (r if bit else omr) % P
+            grp.wt.scale_by_cat_(bit, [omr, r])
+            grp.pref.scale_by_cat_(bit, [omr, r])
             if grp.shift is not None and is_x:
                 kind = grp.shift[1]
-                for t in range(len(grp.idx)):
-                    w = _shift_w(kind, grp.sh_s[t], pair)
-                    if w:
-                        grp.sh_cur[t] = (grp.sh_cur[t] + w * r) % P
+                upd = [_shift_w(kind, s, pair) * r % P for s in range(64)]
+                grp.sh_cur.add_by_cat_(grp.sh_s, upd)
             if grp.chain is not None and not is_x:
                 bl_, be_, signed = grp.chain
                 rx = last_x_challenge
@@ -542,17 +688,14 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
                         acc += _shift_w(kind, s, i)
                 base += coeff_s * (acc % P)
             V[w] = base % P
-        A = [0] * size
-        mask = size - 1
-        for t in range(len(grp.idx)):
-            A[grp.idx[t] & mask] = (A[grp.idx[t] & mask]
-                                    + grp.eqw[t] * grp.pref[t]) % P
+        low_cat = (grp._lo & np.uint64(size - 1)).astype(np.uint16)
+        A = FrVec.cat_wsum(grp.wt, None, low_cat, size)
         dense.append((A, V))
         if grp.valid is not None:
             coeff, vt = grp.valid
-            for t in range(len(grp.idx)):
-                endgame_valid.append(
-                    (coeff, vt, grp.idx[t], grp.eqw[t] * grp.pref[t] % P))
+            wt_ints = grp.wt.to_ints()
+            for t in range(grp.n):
+                endgame_valid.append((coeff, vt, grp.idx[t], wt_ints[t]))
 
     eg_challenges: list[int] = []
     for pos in range(ENDGAME_VARS - 1, -1, -1):
@@ -599,21 +742,16 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
     res.r_addr = [r_bound[p] for p in range(ADDR_VARS)]   # LE by bit position
 
     # ---- Phase B: cycle rounds over eq * w * C(slot) ------------------------
-    wv = [0] * T
+    wf = FrVec.zeros(T)
     for grp in grouplist:
-        for t in range(len(grp.idx)):
-            full = grp.pref[t]
-            for posn in range(ENDGAME_VARS):
-                b = (grp.idx[t] >> posn) & 1
-                rr = r_bound[posn]
-                full = full * (rr if b else (1 - rr)) % P
-            wv[grp.cyc[t]] = full
+        for posn in range(ENDGAME_VARS):
+            rr = r_bound[posn] % P
+            grp.pref.scale_by_cat_(grp.bit(posn), [(1 - rr) % P, rr])
+        wf = wf.add(_scatter_frvec(T, grp.cyc, grp.pref))
     ctab = ctable_values(bc_index, gammas, res.r_addr, bc_index.size)
-    cs = [ctab[slots[j]] for j in range(T)]
 
-    eqf = FrVec.from_ints(eqv)
-    wf = FrVec.from_ints(wv)
-    cf = FrVec.from_ints(cs)
+    eqf = eq_fr
+    cf = _gather_frvec(FrVec.from_ints(ctab), slots_np)
     for _ in range(n_cycle_vars):
         evs = FrVec.prod_evals_adj([eqf, wf, cf], 3)
         e1 = (claim - evs[0]) % P
