@@ -108,28 +108,37 @@ def from_bytes8(b8):
     return pairs[..., 0] | (pairs[..., 1] << 8)
 
 
-def _norm_mod_r(cols):
-    """Carry-normalize 32 redundant u32 columns into exact byte limbs,
-    discarding the carry out of byte 31 (i.e. reduce mod R = 2^256)."""
-    out = []
-    c = jnp.zeros(cols.shape[:-1], dtype=_U32)
-    for i in range(N8):
-        v = cols[..., i] + c
-        out.append(v & jnp.uint32(0xFF))
-        c = v >> 8
-    return jnp.stack(out, axis=-1)
+def _norm_lazy(cols):
+    """Lazily carry-normalize 32 redundant u32 columns (< 2^22) into byte
+    limbs ≤ 256 via three WIDE shift-add passes, dropping carries out of
+    byte 31 (reduce mod R = 2^256). A strict 32-step sequential chain here
+    is HBM-bound (XLA materializes each tiny step); three vector passes
+    bound every column by 255 + carry: 2^14 -> 63 -> 1, i.e. ≤ 256 — and
+    256 = 2^8 is still exactly representable in bf16, so lazy bytes feed
+    the REDC matmuls without losing exactness (column sums stay < 2^21·2).
+    Mod-R correctness: only the value mod 2^256 matters for the Hensel m,
+    and the ≤2^256·(256/255) slack on m keeps t/R < 1.23p (see redc_cols)."""
+    for _ in range(3):
+        lo = cols & jnp.uint32(0xFF)
+        carry = cols >> 8
+        cols = lo.at[..., 1:].add(carry[..., :-1])
+    return cols
 
 
 def redc_cols(cols, f: FieldConst = FR_C):
     """(…, 64) u32 redundant product columns (each < 2^22) -> (…, 16) u32
-    canonical Montgomery limbs: matmul-Hensel REDC + byte-carry division."""
+    canonical Montgomery limbs: matmul-Hensel REDC + byte-carry division.
+
+    Result bound: m is taken lazily (bytes ≤ 256 ⇒ integer m' < 2^256·
+    256/255) so t = cols + m'·p < p² + 1.004·2^256·p ⇒ t/R < 1.23p < 2p;
+    one conditional subtract lands canonical."""
     np_band, p_band = _get_consts(f)
     np_band = jnp.asarray(np_band)
     p_band = jnp.asarray(p_band)
 
-    low8 = _norm_mod_r(cols[..., :N8]).astype(jnp.float32)
-    m8 = _norm_mod_r(jnp.dot(low8, np_band,
-                             preferred_element_type=jnp.float32).astype(_U32))
+    low8 = _norm_lazy(cols[..., :N8]).astype(jnp.float32)
+    m8 = _norm_lazy(jnp.dot(low8, np_band,
+                            preferred_element_type=jnp.float32).astype(_U32))
     q = jnp.dot(m8.astype(jnp.float32), p_band,
                 preferred_element_type=jnp.float32).astype(_U32)
     t = cols + q

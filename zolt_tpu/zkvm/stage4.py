@@ -192,7 +192,20 @@ class Stage4RegistersProver:
         self.val = []
         self.rd_wa = []
         self.ra = []
+        self._zero_row = FrVec.zeros(T)
+        # registers the guest never touches have all-zero rows: share ONE
+        # zero vector instead of building 3 T-sized buffers per register
+        # (the row build dominated stage-4 init at T=2^20); fold passes
+        # dedupe by object identity so the shared row folds once
+        used = set(np.unique(rd_w[rd_w >= 0]).tolist())
+        used |= set(np.unique(rs1_reg[rs1_reg < 32]).tolist())
+        used |= set(np.unique(rs2_reg[rs2_reg < 32]).tolist())
         for k in range(32):
+            if k not in used:
+                self.val.append(self._zero_row)
+                self.rd_wa.append(self._zero_row)
+                self.ra.append(self._zero_row)
+                continue
             wc = np.flatnonzero(rd_w == k)          # write cycles of reg k
             vals = rdv_T[wc]
             prev = np.concatenate([np.zeros(1, np.uint64), vals[:-1]])
@@ -208,7 +221,6 @@ class Stage4RegistersProver:
             sel = (rs1_reg == k).astype(np.int8) + 2 * (rs2_reg == k).astype(np.int8)
             self.ra.append(FrVec(T, mont=bytearray(cmat[sel].tobytes())))
         self.inc = FrVec.from_i128_arrays(inc_lo, inc_hi)
-        self._zero_row = FrVec.zeros(T)
 
         r_cycle_be = list(reversed([c % P for c in r_cycle_le]))
         self.gruen = GruenSplitEq(r_cycle_be)
@@ -338,8 +350,16 @@ class Stage4RegistersProver:
         all_rows = (self.val, self.rd_wa, self.ra)
         if rnd < p1:
             half_T = self.current_T // 2
-            live = [rows[k] for rows in all_rows
-                    for k in range(min(self.active_K, len(rows)))] + [self.inc]
+            seen: set[int] = set()
+            live = []
+            for rows in all_rows:
+                for k in range(min(self.active_K, len(rows))):
+                    v = rows[k]
+                    if id(v) in seen:
+                        continue   # shared zero row: fold once
+                    seen.add(id(v))
+                    live.append(v)
+            live.append(self.inc)
             # one native call, in place across all ~100 rows: fresh-buffer
             # per-row folds hit allocator churn at T=2^20 (13x slowdown)
             FrVec.fold_adj_rows_(live, self.current_T, r)
@@ -348,11 +368,20 @@ class Stage4RegistersProver:
             self._r_cycle_bound.append(r % P)
             if rnd == p1 - 1:
                 # phase 2 works at the shrunken T: drop the stale tails
+                # (identity-cached so shared zero rows stay shared)
+                tcache: dict[int, FrVec] = {}
+
                 def trunc(v):
+                    got = tcache.get(id(v))
+                    if got is not None:
+                        return got
                     if v._mont is not None:
-                        return FrVec(half_T,
-                                     mont=bytearray(memoryview(v._mont)[:32 * half_T]))
-                    return FrVec(half_T, ints=v._ints[:half_T])
+                        out = FrVec(half_T,
+                                    mont=bytearray(memoryview(v._mont)[:32 * half_T]))
+                    else:
+                        out = FrVec(half_T, ints=v._ints[:half_T])
+                    tcache[id(v)] = out
+                    return out
                 for rows in all_rows:
                     for k in range(len(rows)):
                         rows[k] = trunc(rows[k])
@@ -375,8 +404,15 @@ class Stage4RegistersProver:
             self._r_k_bound.append(r % P)
         else:
             half_T = self.current_T // 2
-            live = [rows[k] for rows in all_rows
-                    for k in range(min(self.current_K, self.active_K, len(rows)))]
+            seen = set()
+            live = []
+            for rows in all_rows:
+                for k in range(min(self.current_K, self.active_K, len(rows))):
+                    v = rows[k]
+                    if id(v) in seen:
+                        continue   # shared zero row: fold once
+                    seen.add(id(v))
+                    live.append(v)
             live += [self.inc, self.merged_eq]
             FrVec.fold_adj_rows_(live, self.current_T, r)
             self.current_T = half_T
@@ -416,13 +452,38 @@ class Stage4RegistersProver:
 # Instances 1-2: RAM Val evaluation / Val final
 # ---------------------------------------------------------------------------
 
+def _lt_table_fr(r: list[int], n_vars: int):
+    """_lt_table_le as an FrVec doubling build: each level is two shared-
+    scalar vector ops + a buffer concat instead of 2^i Python modmuls."""
+    import numpy as np
+
+    from ..native.frvec import FrVec
+
+    L = FrVec.from_ints([0])
+    for i in range(n_vars):
+        ri = (r[i] if i < len(r) else 0) % P
+        lo = L.scale((1 - ri) % P)
+        lo.add_by_cat_(np.zeros(L.n, np.uint16), [ri])
+        hi = L.scale(ri)
+        if lo._mont is not None and hi._mont is not None:
+            L = FrVec(2 * L.n, mont=lo._mont + hi._mont)
+        else:
+            L = FrVec(2 * L.n, ints=lo.to_ints() + hi.to_ints())
+    return L
+
+
 def _build_inc_wa(accesses, initial_ram, trace_len: int, start_address: int,
                   k: int, r_address: list[int]):
-    """Inc (write deltas) and wa (eq at write address) per cycle
+    """Inc (write deltas) and wa (eq at write address) per cycle, as FrVecs
+    built SPARSELY — only write cycles are nonzero, so the vectors scatter
+    a handful of values into zero buffers instead of building and
+    converting T-sized Python lists
     (reference src/zkvm/ram/val_evaluation.zig:87-285)."""
+    import numpy as np
+
+    from ..native.frvec import FrVec, _mont_scalars
+
     padded = _next_pow2(max(trace_len, 1))
-    inc = [0] * padded
-    wa = [0] * padded
     last = {}
     for addr, val in initial_ram.items():
         if addr < start_address:
@@ -430,7 +491,9 @@ def _build_inc_wa(accesses, initial_ram, trace_len: int, start_address: int,
         if (addr - start_address) // 8 >= k:
             continue
         last[addr] = val
-    write_addr = [None] * padded
+    w_ts: list[int] = []
+    w_inc: list[int] = []
+    w_idx: list[int] = []
     for a in accesses:
         if a.op != "write":
             continue
@@ -443,22 +506,46 @@ def _build_inc_wa(accesses, initial_ram, trace_len: int, start_address: int,
         if ts >= trace_len:
             continue
         old = last.get(a.address, 0)
-        inc[ts] = (a.post_value - old) % P
+        w_ts.append(ts)
+        w_inc.append((a.post_value - old) % P)
+        w_idx.append(idx)
         last[a.address] = a.post_value
-        write_addr[ts] = idx
-    n_writes = sum(1 for i in write_addr if i is not None)
+    inc = FrVec.zeros(padded)
+    wa = FrVec.zeros(padded)
+    if not w_ts:
+        return inc, wa
+    n_writes = len(w_ts)
     if n_writes * len(r_address) > (1 << len(r_address)):
         # dense writes: one LE eq table beats per-write pointwise products
-        from .stage2_batch import _eq_table_le
+        # (eq_LE(r, x) = eq_BE(reversed(r), x))
+        from ..native.frvec import FrVec as _FV
 
-        table = _eq_table_le(list(r_address), len(r_address))
-        for j, idx in enumerate(write_addr):
-            if idx is not None:
-                wa[j] = table[idx]
+        tab = _FV.eq_table_be(list(reversed([c % P for c in r_address])))
+        wa_vals = None
+        if tab._mont is not None:
+            rows = np.frombuffer(memoryview(tab._mont), np.uint8,
+                                 count=32 * tab.n).reshape(tab.n, 32)
+            wa_bytes = rows[np.asarray(w_idx, np.int64)]
+        else:
+            ti = tab._ints
+            wa_vals = [ti[i] for i in w_idx]
     else:
-        for j, idx in enumerate(write_addr):
-            if idx is not None:
-                wa[j] = _eq_le(r_address, idx)
+        wa_vals = [_eq_le(r_address, i) for i in w_idx]
+        wa_bytes = None
+    if wa_vals is not None:
+        wa_bytes = np.frombuffer(bytes(_mont_scalars(wa_vals)),
+                                 np.uint8).reshape(n_writes, 32) \
+            if wa._mont is not None else None
+    ts_np = np.asarray(w_ts, np.int64)
+    if inc._mont is not None:
+        inc_bytes = np.frombuffer(bytes(_mont_scalars(w_inc)),
+                                  np.uint8).reshape(n_writes, 32)
+        np.frombuffer(inc._mont, np.uint8).reshape(padded, 32)[ts_np] = inc_bytes
+        np.frombuffer(wa._mont, np.uint8).reshape(padded, 32)[ts_np] = wa_bytes
+    else:
+        for j, ts in enumerate(w_ts):
+            inc._ints[ts] = w_inc[j]
+            wa._ints[ts] = wa_vals[j]
     return inc, wa
 
 
@@ -473,17 +560,14 @@ class ValEvaluationProver:
 
         inc, wa = _build_inc_wa(accesses, initial_ram, trace_len,
                                 start_address, k, r_address_le)
-        n = len(inc)
+        n = inc.n
         self.num_vars = n.bit_length() - 1 if n > 1 else 0
-        lt = _lt_table_le(r_cycle_le, self.num_vars)[:n]
+        lt = _lt_table_fr(r_cycle_le, self.num_vars)
         self.round = 0
-        self.current_claim = 0
-        for j in range(n):
-            self.current_claim = (self.current_claim
-                                  + inc[j] * wa[j] % P * lt[j]) % P
-        self.inc = FrVec.from_ints(inc)
-        self.wa = FrVec.from_ints(wa)
-        self.lt = FrVec.from_ints(lt)
+        self.current_claim = FrVec.triple_inner(inc, wa, lt)
+        self.inc = inc
+        self.wa = wa
+        self.lt = lt
         self._eng = None
         if backend in ("device", "mesh") and n >= 2:
             from ..parallel.stage_engine import DeviceProductTables
@@ -554,14 +638,12 @@ class ValFinalProver:
         k = 1 << len(r_address)
         inc, wa = _build_inc_wa(accesses, initial_ram, trace_len,
                                 start_address, k, r_address)
-        n = len(inc)
+        n = inc.n
         self.num_vars = n.bit_length() - 1 if n > 1 else 0
         self.round = 0
-        self.current_claim = 0
-        for j in range(n):
-            self.current_claim = (self.current_claim + inc[j] * wa[j]) % P
-        self.inc = FrVec.from_ints(inc)
-        self.wa = FrVec.from_ints(wa)
+        self.current_claim = inc.inner(wa)
+        self.inc = inc
+        self.wa = wa
         self._eng = None
         if backend in ("device", "mesh") and n >= 2:
             from ..parallel.stage_engine import DeviceProductTables

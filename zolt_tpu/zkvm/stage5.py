@@ -22,7 +22,7 @@ from dataclasses import dataclass, field as dfield
 from ..field.params import FR
 from ..poly import unipoly
 from .stage2_batch import _lagrange_eval_0123, eval_from_hint
-from .stage4 import LOG_K, _eq_le, _lt_le, _lt_table_le
+from .stage4 import LOG_K, _eq_le, _lt_le, _lt_table_fr
 
 P = FR.p
 
@@ -89,7 +89,7 @@ def prove_stage5(transcript, padded_steps, s4_res,
 
     wa = FrVec.from_ints(wa)
     inc = FrVec.from_ints(inc)
-    lt = FrVec.from_ints(_lt_table_le(r_cycle_le, n_cycle_vars)[:T])
+    lt = _lt_table_fr(r_cycle_le, n_cycle_vars)
 
     claim = s4_res.regs_claims["val"] % P
     for rnd in range(n_cycle_vars):
