@@ -91,3 +91,58 @@ def test_fibonacci_columns_both_modes():
     padded = pad_with_noop(list(emu.trace))
     _compare(padded, False)
     _compare(padded, True)
+
+
+def test_jolt_lookup_lo_hi_matches_oracle():
+    """Vectorized lookup-index lanes == the per-step oracle over a guest
+    that exercises every vectorized opcode class plus M-ext fallbacks."""
+    from zolt_tpu.vm import elf as elf_mod, pad_with_noop, run_elf
+    from zolt_tpu.vm.guest import Asm
+    from zolt_tpu.vm.layout import MemoryConfig, MemoryLayout
+    from zolt_tpu.zkvm.commitments import jolt_lookup_indices, jolt_lookup_lo_hi
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=2048))
+    a = Asm()
+    a.li_addr(5, 0x80002000)
+    a.addi(1, 0, -7)
+    a.addi(2, 0, 13)
+    a.lui(3, 0x80001)          # sign-extended U-imm
+    a.auipc(4, 0x7F)
+    a.add(6, 1, 2)
+    a.sub(6, 1, 2)
+    a.and_(7, 1, 2)
+    a.or_(7, 1, 2)
+    a.xor(7, 1, 2)
+    a.sll(8, 1, 2)
+    a.srl(8, 1, 2)
+    a.sra(8, 1, 2)
+    a.slt(9, 1, 2)
+    a.sltu(9, 2, 1)
+    a.andi(10, 1, 0x55)
+    a.ori(10, 1, -3)
+    a.xori(10, 1, 0x0F)
+    a.slti(10, 1, -9)
+    a.slli(11, 1, 17)
+    a.srli(11, 1, 33)
+    a.srai(11, 1, 5)
+    a.addw(12, 1, 2)
+    a.subw(12, 1, 2)
+    a.sllw(13, 1, 2)
+    a.mul(14, 1, 2)
+    a.mulhu(14, 1, 2)
+    a.div(15, 1, 2)
+    a.rem(15, 1, 2)
+    a.divu(15, 2, 1)
+    a.bne(2, 0, "skip")
+    a.label("skip")
+    a.beq(1, 1, "skip2")
+    a.label("skip2")
+    a.jal(16, "next")
+    a.label("next")
+    a.halt(lay, provable=True)
+    emu = run_elf(elf_mod.write_minimal_elf(a.bytes()))
+    padded = pad_with_noop(list(emu.trace))
+    want = jolt_lookup_indices(padded)
+    lo, hi = jolt_lookup_lo_hi(padded)
+    got = [(int(h) << 64) | int(l) for l, h in zip(lo, hi)]
+    assert got == want and len(want) > 30

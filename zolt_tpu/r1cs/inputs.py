@@ -318,12 +318,20 @@ def witness_matrix(padded_steps, sound: bool = False) -> list[list[int]]:
 # Columnar witness generation (vectorized)
 # ---------------------------------------------------------------------------
 
+_ARR_MEMO: list = []   # single-entry memo: [(first_step, n, result)]
+
+
 def _steps_to_arrays(steps):
-    """Fallback: numpy step arrays from TraceStep objects (the native
-    emulator keeps the raw record buffer, vm/native_emu, which skips this)."""
+    """Numpy step arrays from TraceStep objects. Memoized on the identity of
+    the first step + length — witness gen, the stage-4 registers prover, and
+    the commitment index builder all scan the same real-trace prefix (the
+    memo holds the first step alive, so the id key cannot be recycled)."""
     import numpy as np
 
     n = len(steps)
+    for first, m, out in _ARR_MEMO:
+        if m == n and steps and first is steps[0]:
+            return out
     cols = {k: np.zeros(n, dtype=np.uint64)
             for k in ("instruction", "pc", "unexpanded_pc", "rs1_value",
                       "rs2_value", "rd_value", "memory_value",
@@ -342,7 +350,10 @@ def _steps_to_arrays(steps):
             cols["memory_pre_value"][i] = s.memory_pre_value
             has_pre[i] = 1
         comp[i] = 1 if s.is_compressed else 0
-    return cols, comp, has_pre
+    out = (cols, comp, has_pre)
+    if steps:
+        _ARR_MEMO[:] = [(steps[0], n, out)]
+    return out
 
 
 def witness_columns(padded_steps, sound: bool = False):

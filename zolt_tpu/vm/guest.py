@@ -129,6 +129,14 @@ class Asm:
 
     def add(self, rd, rs1, rs2):   self._r(0x33, rd, 0, rs1, rs2, 0)
     def sub(self, rd, rs1, rs2):   self._r(0x33, rd, 0, rs1, rs2, 0x20)
+    def addw(self, rd, rs1, rs2):  self._r(0x3B, rd, 0, rs1, rs2, 0)
+    def subw(self, rd, rs1, rs2):  self._r(0x3B, rd, 0, rs1, rs2, 0x20)
+    def sllw(self, rd, rs1, rs2):  self._r(0x3B, rd, 1, rs1, rs2, 0)
+    def srlw(self, rd, rs1, rs2):  self._r(0x3B, rd, 5, rs1, rs2, 0)
+    def sraw(self, rd, rs1, rs2):  self._r(0x3B, rd, 5, rs1, rs2, 0x20)
+    def mulw(self, rd, rs1, rs2):  self._r(0x3B, rd, 0, rs1, rs2, 1)
+    def divw(self, rd, rs1, rs2):  self._r(0x3B, rd, 4, rs1, rs2, 1)
+    def remw(self, rd, rs1, rs2):  self._r(0x3B, rd, 6, rs1, rs2, 1)
     def and_(self, rd, rs1, rs2):  self._r(0x33, rd, 7, rs1, rs2, 0)
     def or_(self, rd, rs1, rs2):   self._r(0x33, rd, 6, rs1, rs2, 0)
     def xor(self, rd, rs1, rs2):   self._r(0x33, rd, 4, rs1, rs2, 0)

@@ -236,7 +236,9 @@ def build_ram_inc(steps, size: int) -> list[int]:
 
 
 def jolt_lookup_indices(steps) -> list[int]:
-    """Recorded lookup indices in trace order (collector parity)."""
+    """Recorded lookup indices in trace order (collector parity) — the
+    per-step oracle; production uses the vectorized jolt_lookup_lo_hi
+    (differentially tested in tests/test_witness_columns.py)."""
     out = []
     for s in steps:
         if getattr(s, "is_noop", False):
@@ -245,6 +247,115 @@ def jolt_lookup_indices(steps) -> list[int]:
         if idx is not None:
             out.append(idx)
     return out
+
+
+def _spread32_np(x):
+    """Spread each u64 lane's low 32 bits to even positions (Morton)."""
+    u = np.uint64
+    x = (x | (x << u(16))) & u(0x0000FFFF0000FFFF)
+    x = (x | (x << u(8))) & u(0x00FF00FF00FF00FF)
+    x = (x | (x << u(4))) & u(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << u(2))) & u(0x3333333333333333)
+    x = (x | (x << u(1))) & u(0x5555555555555555)
+    return x
+
+
+def _interleave_np(x, y):
+    """Vectorized interleave_bits: x to odd bit positions, y to even;
+    returns (lo64, hi64) of the 128-bit Morton index."""
+    u = np.uint64
+    lo = (_spread32_np(x & u(M32)) << u(1)) | _spread32_np(y & u(M32))
+    hi = (_spread32_np(x >> u(32)) << u(1)) | _spread32_np(y >> u(32))
+    return lo, hi
+
+
+def jolt_lookup_lo_hi(steps):
+    """Vectorized jolt_lookup_indices: (lo, hi) uint64 arrays of the
+    recorded 128-bit lookup indices in trace order. The common opcode
+    classes compute in numpy; the M-extension rows (wide products,
+    signed division edge cases) fall back to the per-step oracle."""
+    from ..r1cs.inputs import _steps_to_arrays
+
+    n_real = next((i for i, s in enumerate(steps)
+                   if getattr(s, "is_noop", False)), len(steps))
+    real = steps[:n_real]
+    if n_real == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    arrs, _comp, _hp = _steps_to_arrays(real)
+    u = np.uint64
+    instr = arrs["instruction"]
+    pc = arrs["pc"]
+    rs1 = arrs["rs1_value"]
+    rs2 = arrs["rs2_value"]
+    opcode = instr & u(0x7F)
+    f3 = (instr >> u(12)) & u(7)
+    f7 = (instr >> u(25)) & u(0x7F)
+    # I-imm / U-imm, sign-extended into u64 two's complement
+    i_imm = instr >> u(20)
+    i_imm = np.where(i_imm & u(0x800), i_imm | u(0xFFFFFFFFFFFFF000), i_imm)
+    u_imm = instr & u(0xFFFFF000)
+    u_imm = np.where(u_imm & u(0x80000000),
+                     u_imm | u(0xFFFFFFFF00000000), u_imm)
+
+    lo = np.zeros(n_real, u)
+    hi = np.zeros(n_real, u)
+    keep = np.zeros(n_real, bool)
+    fallback = np.zeros(n_real, bool)
+
+    def put(mask, vlo, vhi=None):
+        lo[mask] = vlo[mask] if isinstance(vlo, np.ndarray) else vlo
+        if vhi is not None:
+            hi[mask] = vhi[mask]
+        keep[mask] = True
+
+    il_lo, il_hi = _interleave_np(rs1, rs2)
+    m_op = opcode == u(0x33)
+    fallback |= m_op & (f7 == u(1))                      # M extension
+    m = m_op & (f7 != u(1)) & (f3 == u(0)) & ((f7 & u(0x20)) == u(0))
+    put(m, rs1 + rs2)                                    # ADD
+    m = m_op & (f7 != u(1)) & ~((f3 == u(0)) & ((f7 & u(0x20)) == u(0)))
+    put(m, il_lo, il_hi)                                 # SUB/logic/cmp/shift
+
+    m_imm = opcode == u(0x13)
+    m = m_imm & (f3 == u(0))
+    put(m, rs1 + i_imm)                                  # ADDI
+    sh_lo, sh_hi = _interleave_np(rs1, i_imm & u(0x3F))
+    m = m_imm & ((f3 == u(1)) | (f3 == u(5)))
+    put(m, sh_lo, sh_hi)                                 # SLLI/SRLI/SRAI
+    ii_lo, ii_hi = _interleave_np(rs1, i_imm)
+    m = m_imm & ~((f3 == u(0)) | (f3 == u(1)) | (f3 == u(5)))
+    put(m, ii_lo, ii_hi)                                 # ANDI/ORI/XORI/SLTI(U)
+
+    put(opcode == u(0x63), il_lo, il_hi)                 # branches
+
+    m32 = opcode == u(0x3B)
+    fallback |= m32 & (f7 == u(1))                       # M-ext word ops
+    sext = rs1 + rs2
+    sext = np.where(sext & u(0x80000000),
+                    (sext & u(M32)) | u(0xFFFFFFFF00000000), sext & u(M32))
+    sw_lo, sw_hi = _interleave_np(rs1 & u(M32), rs2 & u(M32))
+    m = m32 & (f7 != u(1)) & (f3 == u(0)) & ((f7 & u(0x20)) != u(0))
+    put(m, sw_lo, sw_hi)                                 # SUBW
+    m = m32 & (f7 != u(1)) & (f3 == u(0)) & ((f7 & u(0x20)) == u(0))
+    put(m, sext)                                         # ADDW
+    shw_lo, shw_hi = _interleave_np(rs1 & u(M32), rs2 & u(0x1F))
+    m = m32 & (f7 != u(1)) & ((f3 == u(1)) | (f3 == u(5)))
+    put(m, shw_lo, shw_hi)                               # SLLW/SRLW/SRAW
+    m = m32 & (f7 != u(1)) & ~((f3 == u(0)) | (f3 == u(1)) | (f3 == u(5)))
+    put(m, sext)                                         # fallback -> Addw
+
+    put(opcode == u(0x37), u_imm)                        # LUI
+    put(opcode == u(0x17), pc + u_imm)                   # AUIPC
+    put(opcode == u(0x6F), pc + u(4))                    # JAL
+    put(opcode == u(0x67), pc + u(4))                    # JALR
+
+    for i in np.flatnonzero(fallback):
+        idx = jolt_lookup_index(real[int(i)])
+        if idx is not None:
+            lo[i] = idx & M64
+            hi[i] = idx >> 64
+            keep[i] = True
+    return lo[keep], hi[keep]
 
 
 def build_instruction_ra(indices: list[int], size: int, shift: int) -> list[int]:
@@ -266,6 +377,13 @@ def build_instruction_ra_all(indices: list[int], size: int, d: int) -> list[list
     m64 = (1 << 64) - 1
     lo = np.fromiter((idx & m64 for idx in indices[:n]), dtype=np.uint64, count=n)
     hi = np.fromiter((idx >> 64 for idx in indices[:n]), dtype=np.uint64, count=n)
+    return build_instruction_ra_lohi(lo, hi, size, d)
+
+
+def build_instruction_ra_lohi(lo, hi, size: int, d: int) -> list[list[int]]:
+    """build_instruction_ra_all from the vectorized (lo, hi) index lanes."""
+    n = min(len(lo), size)
+    lo, hi = lo[:n], hi[:n]
     mask = np.uint64((1 << LOG_K_CHUNK) - 1)
     pad = [0] * (size - n)
     out = []
@@ -412,9 +530,10 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
 
         polys.extend(build_io_oh_cubes(steps, n_cycle_vars))
     else:
-        indices = jolt_lookup_indices(steps)
-        polys.extend(build_instruction_ra_all(indices, res.reg_poly_size,
-                                              res.instruction_d))
+        idx_lo, idx_hi = jolt_lookup_lo_hi(steps)
+        polys.extend(build_instruction_ra_lohi(idx_lo, idx_hi,
+                                               res.reg_poly_size,
+                                               res.instruction_d))
     for d in range(res.ram_d):
         shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
         if sound:
