@@ -230,8 +230,12 @@ def _sum_loop_elf(iters: int) -> bytes:
 
 def bench_e2e(report, quick: bool) -> None:
     """End-to-end Jolt-format prove wall-clock vs trace length (the
-    framework's scaling axis, SURVEY §5.7), with peak memory. The guest is
-    a provable sum loop sized to fill the target power-of-two trace."""
+    framework's scaling axis, SURVEY §5.7), with peak memory: the host C
+    tier, the device tier (stages 1/2/4 wide rounds on chip, warm — the
+    second run; the first pays XLA compilation, which the axon tunnel
+    cannot cache across processes), and sound mode (real stages 5-12 + PCS
+    batch opening). The guest is a provable sum loop sized to fill the
+    target power-of-two trace."""
     import os
     import resource
     import tempfile
@@ -239,17 +243,21 @@ def bench_e2e(report, quick: bool) -> None:
     from .zkvm.pipeline import prove_jolt
 
     report("End-to-end prove scaling (sum loop, Jolt format):")
-    configs = [(1770, 12), (5300, 14)] if quick else [(1770, 12), (5300, 14),
-                                                      (21800, 16)]
+    configs = [(1770, 12), (5300, 14)] if quick else [(5300, 14), (21800, 16),
+                                                      (87000, 18)]
     for iters, log_t in configs:
         path = tempfile.mktemp(suffix=".elf")
         with open(path, "wb") as f:
             f.write(_sum_loop_elf(iters))
         try:
             sec = _time(lambda: prove_jolt(path), 1, warmup=0)
+            sec_snd = _time(lambda: prove_jolt(path, sound=True), 1, warmup=0)
+            sec_dev = _time(lambda: prove_jolt(path, backend="device"), 1,
+                            warmup=1)
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-            report(f"  T=2^{log_t:<2}  prove {sec:>7.2f} s   "
-                   f"({(1 << log_t) / sec:>8.0f} cycles/s, peak RSS {rss:.0f} MB)")
+            report(f"  T=2^{log_t:<2}  host {sec:>7.2f} s   device(warm) "
+                   f"{sec_dev:>7.2f} s   sound {sec_snd:>7.2f} s   "
+                   f"(peak RSS {rss:.0f} MB)")
         finally:
             os.unlink(path)
 

@@ -55,11 +55,10 @@ def tail_n() -> int:
     return int(os.environ.get("ZOLT_TPU_DEVICE_TAIL", "8192"))
 
 
-def frvec_to_limbs(v) -> np.ndarray:
-    """FrVec Montgomery bytes -> (n, 16) uint32 device limb array (view +
-    widen only; both representations are the same Montgomery residue).
-    Uses np.copyto into a preallocated buffer — this numpy build's bare
-    astype takes a pathologically slow path (~100x) on large widenings."""
+def frvec_to_u16(v) -> np.ndarray:
+    """FrVec Montgomery bytes as a zero-copy (n, 16) uint16 view — the
+    minimal wire format for device uploads (half the bytes of the u32 limb
+    array; the device widens after transfer, see widen_u16)."""
     if v._mont is not None:
         src = np.frombuffer(memoryview(v._mont), dtype="<u2", count=16 * v.n)
     else:
@@ -67,19 +66,42 @@ def frvec_to_limbs(v) -> np.ndarray:
 
         src = np.frombuffer(_mont_scalars([x % P for x in v._ints]),
                             dtype="<u2")
+    return src.reshape(v.n, 16)
+
+
+@jax.jit
+def widen_u16(x):
+    """Device-side u16 -> u32 limb widening (post-upload)."""
+    return x.astype(jnp.uint32)
+
+
+def frvec_to_limbs(v) -> np.ndarray:
+    """FrVec Montgomery bytes -> (n, 16) uint32 device limb array (view +
+    widen only; both representations are the same Montgomery residue).
+    Uses np.copyto into a preallocated buffer — this numpy build's bare
+    astype takes a pathologically slow path (~100x) on large widenings."""
+    src = frvec_to_u16(v).reshape(-1)
     out = np.empty(src.shape, np.uint32)
     np.copyto(out, src, casting="unsafe")
     return out.reshape(v.n, 16)
 
 
+@jax.jit
+def narrow_u16(x):
+    """Device-side u32 -> u16 limb narrowing (pre-download wire form)."""
+    return x.astype(jnp.uint16)
+
+
 def limbs_to_frvec(arr) -> "object":
-    """(n, 16) uint32 limb array -> FrVec (Montgomery bytes)."""
+    """(n, 16) uint16/uint32 limb array -> FrVec (Montgomery bytes)."""
     from ..native.frvec import FrVec
 
-    a = np.ascontiguousarray(arr, dtype=np.uint32)
-    narrow = np.empty(a.shape, np.uint16)
-    np.copyto(narrow, a, casting="unsafe")
-    return FrVec(a.shape[0], mont=bytearray(narrow.tobytes()))
+    a = np.asarray(arr)
+    if a.dtype != np.uint16:
+        narrow = np.empty(a.shape, np.uint16)
+        np.copyto(narrow, a, casting="unsafe")
+        a = narrow
+    return FrVec(a.shape[0], mont=bytearray(np.ascontiguousarray(a).tobytes()))
 
 
 def drain_futures(futures: list) -> list[list[int]]:
@@ -195,17 +217,18 @@ class DeviceProductTables:
         self.n = all_vecs[0].n
         assert all(v.n == self.n for v in all_vecs)
         self.live = self.n
-        stack = np.stack([frvec_to_limbs(v) for v in all_vecs])
+        # upload the minimal 32-byte wire form; widen to u32 limbs on device
+        stack = np.stack([frvec_to_u16(v) for v in all_vecs])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
 
             assert self.n % (2 * self.n_dev) == 0, \
                 "table must give every shard an even pair count"
             self._eval_step, self._fold_step = _make_mesh_steps(mesh, self.degree)
-            self.tables = jax.device_put(
-                stack, NamedSharding(mesh, PS(None, AXIS, None)))
+            self.tables = widen_u16(jax.device_put(
+                stack, NamedSharding(mesh, PS(None, AXIS, None))))
         else:
-            self.tables = jax.device_put(stack)
+            self.tables = widen_u16(jax.device_put(stack))
         self._host: list[list[int]] | None = None
 
     # -- host tail ----------------------------------------------------------
@@ -233,10 +256,10 @@ class DeviceProductTables:
             # compact the scattered shard prefixes on device, then download
             idx = np.concatenate([s * loc + np.arange(live_loc)
                                   for s in range(self.n_dev)])
-            arr = np.asarray(jnp.take(self.tables, jnp.asarray(idx),
-                                      axis=1))[:, : self.live]
+            arr = np.asarray(narrow_u16(jnp.take(
+                self.tables, jnp.asarray(idx), axis=1)))[:, : self.live]
         else:
-            arr = np.asarray(self.tables[:, : self.live])
+            arr = np.asarray(narrow_u16(self.tables[:, : self.live]))
         self._host = [limbs_to_frvec(arr[j]) for j in range(arr.shape[0])]
         self.tables = None
 

@@ -50,22 +50,25 @@ P = FR.p
 _U32 = jnp.uint32
 
 
-def _ingest(vals) -> np.ndarray:
-    """(n, 16) uint32 Montgomery limb array from an FrVec (byte
-    reinterpretation — same Montgomery form both sides) or from host ints
-    (C ingest when the native tier is up, Python bigint fallback)."""
-    if hasattr(vals, "_mont"):                       # FrVec
-        from ..parallel.stage_engine import frvec_to_limbs
+def _ingest(vals, sharding=None):
+    """Device (n, 16) uint32 Montgomery limb array from an FrVec (upload
+    the 32-byte u16 wire form, widen on device — half the tunnel traffic)
+    or from host ints (C ingest when the native tier is up, Python bigint
+    fallback)."""
+    from ..parallel.stage_engine import frvec_to_u16, widen_u16
 
-        return frvec_to_limbs(vals)
-    from ..native.frvec import FrVec
+    if not hasattr(vals, "_mont"):                   # host ints
+        from ..native.frvec import FrVec
 
-    v = FrVec.from_ints([x % P for x in vals])
-    if v._mont is not None:
-        from ..parallel.stage_engine import frvec_to_limbs
-
-        return frvec_to_limbs(v)
-    return np.asarray(limb.encode([x % P for x in vals], FR_C))
+        vals = FrVec.from_ints([x % P for x in vals])
+        if vals._mont is None:
+            arr = jnp.asarray(np.asarray(
+                limb.encode([x % P for x in vals.to_ints()], FR_C)))
+            return jax.device_put(arr, sharding) if sharding is not None else arr
+    u16 = frvec_to_u16(vals)
+    buf = jax.device_put(u16, sharding) if sharding is not None \
+        else jax.device_put(u16)
+    return widen_u16(buf)
 
 
 def _flat_stack(levels: list[list[int]]) -> np.ndarray:
@@ -171,8 +174,8 @@ class DeviceOuterRounds:
         n = az.n if hasattr(az, "n") else len(az)
         self.n = n                       # fixed device size
         self.live = n                    # live prefix length (halves per round)
-        self.az = jnp.asarray(_ingest(az))
-        self.bz = jnp.asarray(_ingest(bz))
+        self.az = _ingest(az)
+        self.bz = _ingest(bz)
         self.se = None
         self._fr = None                  # (az, bz) FrVecs once on the tail
         if se is not None:
@@ -189,10 +192,12 @@ class DeviceOuterRounds:
     def _maybe_tail(self) -> None:
         from ..parallel.stage_engine import limbs_to_frvec, tail_n
 
+        from ..parallel.stage_engine import narrow_u16
+
         if self._fr is not None or self.live > tail_n():
             return
-        arr = np.asarray(jnp.stack([self.az[: self.live],
-                                    self.bz[: self.live]]))
+        arr = np.asarray(narrow_u16(jnp.stack([self.az[: self.live],
+                                               self.bz[: self.live]])))
         self._fr = (limbs_to_frvec(arr[0]), limbs_to_frvec(arr[1]))
         self.az = self.bz = None
 
@@ -300,8 +305,8 @@ class MeshOuterRounds:
         self.live = n
         self.eval_step, self.fold_step = _make_mesh_steps(mesh)
         sh = NamedSharding(mesh, PS(AXIS, None))
-        self.az = jax.device_put(jnp.asarray(_ingest(az)), sh)
-        self.bz = jax.device_put(jnp.asarray(_ingest(bz)), sh)
+        self.az = _ingest(az, sharding=sh)
+        self.bz = _ingest(bz, sharding=sh)
         self._host_az: list[int] | None = None
         self._host_bz: list[int] | None = None
         self.se = None
@@ -338,12 +343,14 @@ class MeshOuterRounds:
 
         if self._on_host:
             return
+        from ..parallel.stage_engine import narrow_u16
+
         loc = self.n // self.n_dev
         live_loc = max(1, self.live // self.n_dev)
         idx = jnp.asarray(np.concatenate(
             [s * loc + np.arange(live_loc) for s in range(self.n_dev)]))
-        az = np.asarray(jnp.take(self.az, idx, axis=0))[: self.live]
-        bz = np.asarray(jnp.take(self.bz, idx, axis=0))[: self.live]
+        az = np.asarray(narrow_u16(jnp.take(self.az, idx, axis=0)))[: self.live]
+        bz = np.asarray(narrow_u16(jnp.take(self.bz, idx, axis=0)))[: self.live]
         self._host_az = limbs_to_frvec(az)
         self._host_bz = limbs_to_frvec(bz)
         self.az = self.bz = None
