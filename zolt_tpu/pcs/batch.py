@@ -205,6 +205,18 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     g_cow = [False] * n_groups  # f-table shared with the caller: first fold
                                 #   must write a fresh buffer
 
+    # Many claims open at the SAME point (e.g. all stage-1 openings at
+    # r_outer): build each distinct point's eq table once and reuse it as
+    # the read side of the per-claim merges.
+    _eq_cache: dict = {}
+
+    def _eq_of(q: list[int]) -> FrVec:
+        key = tuple(q)
+        et = _eq_cache.get(key)
+        if et is None:
+            et = _eq_cache[key] = FrVec.eq_table_be(q)
+        return et
+
     def _activate(g: int) -> None:
         members = g_members[g]
         f = fs[members[0]]
@@ -230,9 +242,9 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                     f"claim {i} value != f(q) — inconsistent opening claim "
                     "(set ZOLT_TPU_CHECK=1 to check every claim)")
             if et is None:
-                et = FrVec.eq_table_be(q).scale(coeffs[i])
+                et = _eq_of(q).scale(coeffs[i])
             else:
-                et.axpy_(FrVec.eq_table_be(q), coeffs[i])
+                et.axpy_(_eq_of(q), coeffs[i])
         g_f[g] = fv
         g_e[g] = et
 
