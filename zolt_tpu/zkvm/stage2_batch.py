@@ -811,14 +811,20 @@ class OutputSumcheckProver:
                 return None
             return (addr - lowest) // 8
 
-        val_init = [0] * K
-        val_final = [0] * K
-        for k in range(K):
-            addr = lowest + k * 8
-            if addr in initial_ram:
-                val_init[k] = initial_ram[addr] % P
-            if addr in final_ram:
-                val_final[k] = final_ram[addr] % P
+        import numpy as np
+
+        # numpy scatter build over K (RAM words are u64 < p): the per-index
+        # Python loops here were a fixed ~30 ms of every prove
+        val_init = np.zeros(K, np.uint64)
+        val_final = np.zeros(K, np.uint64)
+        for addr, v in initial_ram.items():
+            k = remap(addr)
+            if k is not None and k < K:
+                val_init[k] = v
+        for addr, v in final_ram.items():
+            k = remap(addr)
+            if k is not None and k < K:
+                val_final[k] = v
 
         panic_idx = remap(layout.panic_addr) or 0
         term_idx = remap(layout.termination) or 0
@@ -829,18 +835,16 @@ class OutputSumcheckProver:
 
         io_start = remap(layout.input_start) or 0
         io_end = remap(0x80000000) or K
-        val_io = [0] * K
-        io_mask = [0] * K
-        for k in range(io_start, min(io_end, K)):
-            io_mask[k] = 1
+        val_io = np.zeros(K, np.uint64)
+        io_mask = np.zeros(K, bool)
+        io_mask[io_start:min(io_end, K)] = True
 
         def fill_words(data: bytes, start_idx: int):
-            idx = start_idx
-            for i in range(0, len(data), 8):
-                if idx >= K:
-                    break
-                val_io[idx] = int.from_bytes(data[i : i + 8].ljust(8, b"\x00"), "little") % P
-                idx += 1
+            nw = min((len(data) + 7) // 8, K - start_idx)
+            if nw <= 0:
+                return
+            padded = data[: 8 * nw].ljust(8 * nw, b"\x00")
+            val_io[start_idx:start_idx + nw] = np.frombuffer(padded, "<u8")
 
         if inputs:
             fill_words(inputs, remap(layout.input_start) or 0)
@@ -852,20 +856,21 @@ class OutputSumcheckProver:
             val_io[term_idx] = 1
 
         # unwritten-address reconciliation (output_check.zig:280-330)
-        for k in range(K):
-            if (k < io_start or k >= io_end) and k != term_idx and k != panic_idx:
-                if val_final[k] == 0 and val_init[k] != 0:
-                    val_final[k] = val_init[k]
-        for k in range(io_start, min(io_end, K)):
-            if k != term_idx:
-                val_init[k] = val_final[k]
+        outside = ~io_mask
+        outside[term_idx] = False
+        outside[panic_idx] = False
+        take = outside & (val_final == 0) & (val_init != 0)
+        val_final[take] = val_init[take]
+        inio = io_mask.copy()
+        inio[term_idx] = False
+        val_init[inio] = val_final[inio]
 
         from ..native.frvec import FrVec
 
-        self.val_init = FrVec.from_ints(val_init)
-        self.val_final = FrVec.from_ints(val_final)
-        self.val_io = FrVec.from_ints(val_io)
-        self.io_mask = FrVec.from_ints(io_mask)
+        self.val_init = FrVec.from_u64_array(val_init)
+        self.val_final = FrVec.from_u64_array(val_final)
+        self.val_io = FrVec.from_u64_array(val_io)
+        self.io_mask = FrVec.from_u64_array(io_mask.astype(np.uint64))
         self.eq = FrVec.eq_table_be([c % P for c in r_address])
         self.current_size = K
         self.current_claim = 0
