@@ -5,7 +5,8 @@ Mirrors the reference's benchmark surface (src/bench.zig:31-704: field
 arithmetic ns/op, batch operations, polynomial operations, MSM ms/op,
 HyperKZG commit us/op, emulator us/op, prover ms/op, proof size, verifier),
 re-expressed for a JAX device: kernels are jit-compiled once (warmup) and
-timed steady-state with `block_until_ready`, and batch throughput is the
+timed steady-state with forced downloads (block_until_ready returns early
+through the axon tunnel), and batch throughput is the
 headline number — per-element latency on an accelerator is meaningless
 without the batch axis.
 
@@ -47,11 +48,27 @@ def bench_field(report, quick: bool) -> None:
         "mont_sqr": jax.jit(lambda x, y: limb.mont_sqr(x, FR_C)),
         "batch_inverse": jax.jit(lambda x, y: limb.batch_inverse(x, FR_C)),
     }
+    # dispatch + tiny-download round trip: the latency floor every
+    # un-chained device call pays on this (tunneled) host
+    rtt = _time(lambda: np.asarray(ops["add"](a, b)[0]), 10)
     report("Field Arithmetic (BN254 Fr, batch n=%d):" % n)
+    report(f"  dispatch+download round trip   {rtt * 1e3:>7.2f} ms")
+    # chain length per op class: cheap elementwise ops need hundreds of
+    # chained applications for the scan-length delta to clear RTT noise
+    k_long = {"add": 512, "sub": 512, "mont_sqr": 256, "mont_mul": 64,
+              "batch_inverse": 4}
     for name, fn in ops.items():
-        sec = _time(lambda: fn(a, b).block_until_ready(), 3 if "inv" in name else 10)
-        report(f"  {name:<14} {sec / n * 1e9:>9.2f} ns/elem   "
-               f"({n / sec / 1e6:>8.2f} M elem/s)")
+        # chained steady-state (see _chain_time): the per-element rate with
+        # the round-trip latency amortized away
+        sec = _chain_time(lambda x: fn(x, b), a, k_long[name])
+        # ops cheaper than the tunnel's timing noise only get an upper bound
+        floor = 0.1 * rtt / (k_long[name] * n)
+        if sec <= floor:
+            report(f"  {name:<14}  < {floor * 1e9:>7.2f} ns/elem "
+                   "(below tunnel timing noise)")
+        else:
+            report(f"  {name:<14} {sec / n * 1e9:>9.2f} ns/elem   "
+                   f"({n / sec / 1e6:>8.2f} M elem/s)")
 
 
 def bench_poly(report, quick: bool) -> None:
@@ -70,7 +87,7 @@ def bench_poly(report, quick: bool) -> None:
         ev = jax.device_put(np.asarray(limb.encode(vals, FR_C)))
         r = jax.device_put(np.asarray(limb.encode([12345], FR_C)[0]))
         bind = jax.jit(lambda e, x: dense.bind_low(e, x, FR_C))
-        sec = _time(lambda: bind(ev, r).block_until_ready(), 10)
+        sec = _time(lambda: np.asarray(bind(ev, r)[0]), 10)
         report(f"  bind_low (n=2^{log_n:<2})  {sec * 1e6:>9.1f} us/op")
         point = [int.from_bytes(rng.bytes(16), "little") % FR.p for _ in range(log_n)]
         sec = _time(lambda: np.asarray(dense.evaluate(ev, point, FR_C)), 3)
@@ -204,7 +221,7 @@ def bench_scaling(report, quick: bool) -> None:
         tables = jax.device_put(np.stack([
             np.asarray(limb.encode(vals[:n], FR_C)),
             np.asarray(limb.encode(vals[n:], FR_C))]))
-        sec = _time(lambda: jax.block_until_ready(step(tables, r)), 5, warmup=2)
+        sec = _time(lambda: np.asarray(step(tables, r)[0][0]), 5, warmup=2)
         report(f"  round (T=2^{log_n:<2})  {sec * 1e3:>8.2f} ms "
                f"({n / sec / 1e6:>7.2f} M eval-pairs/s)")
 
@@ -419,7 +436,10 @@ def bench_mesh(report, quick: bool) -> None:
         def step():
             e = ev(dt)
             f = fold(dt, rv)
-            jax.block_until_ready((e, f))
+            # force completion with real downloads: block_until_ready
+            # returns early through the axon tunnel (see bench_roofline)
+            np.asarray(e[0, 0])
+            np.asarray(f[0, 0, 0])
 
         sec = _time(step, 5, warmup=2)
         eff = (t1 / (nd * sec) * 100) if t1 is not None else 100.0
