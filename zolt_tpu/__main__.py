@@ -80,12 +80,13 @@ def cmd_prove(args) -> int:
         from .zkvm.pipeline import prove_jolt
 
         mesh = None
-        if args.stage1_backend == "mesh":
+        if "mesh" in (args.stage1_backend, args.backend):
             from .parallel import make_mesh
 
             mesh = make_mesh()
         res = prove_jolt(args.elf, with_joint_proof=True, sound=args.sound,
-                         stage1_backend=args.stage1_backend, mesh=mesh)
+                         stage1_backend=args.stage1_backend, mesh=mesh,
+                         backend=args.backend)
         t1 = time.time()
         data = res.conv.proof.serialize_with_dory()
         if args.gzip:
@@ -408,6 +409,11 @@ def main(argv=None) -> int:
                     help="where the stage-1 remaining-round hot loops run "
                     "(proof bytes are identical; device/mesh pay per-size "
                     "kernel compiles on first use)")
+    pp.add_argument("--backend", choices=("host", "device", "mesh"),
+                    default=None,
+                    help="run ALL wide sumcheck instances (stages 1/2/4) on "
+                    "the device or sharded over a mesh; proof bytes are "
+                    "identical to the host tier")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")
