@@ -334,10 +334,12 @@ def _steps_to_arrays(steps):
             return out
     cols = {k: np.zeros(n, dtype=np.uint64)
             for k in ("instruction", "pc", "unexpanded_pc", "rs1_value",
-                      "rs2_value", "rd_value", "memory_value",
-                      "memory_pre_value")}
+                      "rs2_value", "rd_value", "rd_pre_value",
+                      "memory_value", "memory_pre_value", "memory_addr")}
     comp = np.zeros(n, dtype=np.uint8)
     has_pre = np.zeros(n, dtype=np.uint8)
+    has_addr = np.zeros(n, dtype=np.uint8)
+    is_write = np.zeros(n, dtype=np.uint8)
     for i, s in enumerate(steps):
         cols["instruction"][i] = s.instruction
         cols["pc"][i] = s.pc
@@ -345,11 +347,19 @@ def _steps_to_arrays(steps):
         cols["rs1_value"][i] = s.rs1_value
         cols["rs2_value"][i] = s.rs2_value
         cols["rd_value"][i] = s.rd_value
+        cols["rd_pre_value"][i] = s.rd_pre_value
         cols["memory_value"][i] = s.memory_value or 0
         if s.memory_pre_value is not None:
             cols["memory_pre_value"][i] = s.memory_pre_value
             has_pre[i] = 1
+        if s.memory_addr is not None:
+            cols["memory_addr"][i] = s.memory_addr
+            has_addr[i] = 1
+        if s.is_memory_write:
+            is_write[i] = 1
         comp[i] = 1 if s.is_compressed else 0
+    cols["_has_addr"] = has_addr
+    cols["_is_write"] = is_write
     out = (cols, comp, has_pre)
     if steps:
         _ARR_MEMO[:] = [(steps[0], n, out)]

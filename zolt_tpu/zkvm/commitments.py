@@ -209,30 +209,49 @@ def _remw_signed(rs1: int, rs2: int) -> int:
 # Committed polynomial builders
 # ---------------------------------------------------------------------------
 
-def build_rd_inc(steps, size: int) -> list[int]:
-    poly = [0] * size
-    for i, s in enumerate(steps):
-        if i >= size:
-            break
-        opcode = s.instruction & 0x7F
-        if opcode in (0x23, 0x63):  # stores/branches: imm bits alias rd
-            continue
-        rd = (s.instruction >> 7) & 0x1F
-        if rd != 0 and not getattr(s, "is_noop", False):
-            poly[i] = (s.rd_value - s.rd_pre_value) % P
-    return poly
+def _real_arrays(steps, size: int):
+    """(arrays, n) over the real-trace prefix clipped to `size` — the
+    memoized numpy scan shared with witness gen (r1cs.inputs)."""
+    from ..r1cs.inputs import _steps_to_arrays
+
+    n_real = next((i for i, s in enumerate(steps)
+                   if getattr(s, "is_noop", False)), len(steps))
+    arrs, _c, _hp = _steps_to_arrays(steps[:n_real])
+    return arrs, min(n_real, size)
 
 
-def build_ram_inc(steps, size: int) -> list[int]:
-    poly = [0] * size
-    for i, s in enumerate(steps):
-        if i >= size:
-            break
-        if getattr(s, "is_memory_write", False):
-            pre = s.memory_pre_value or 0
-            post = s.memory_value or 0
-            poly[i] = (post - pre) % P
-    return poly
+def build_rd_inc(steps, size: int):
+    """RdInc as an FrVec (wrap-signed u64 deltas ingest as i128 lanes)."""
+    from ..native.frvec import FrVec
+
+    arrs, n = _real_arrays(steps, size)
+    u = np.uint64
+    instr = arrs["instruction"][:n]
+    opcode = instr & u(0x7F)
+    rd = (instr >> u(7)) & u(0x1F)
+    keep = (opcode != u(0x23)) & (opcode != u(0x63)) & (rd != u(0))
+    post = np.where(keep, arrs["rd_value"][:n], u(0))
+    pre = np.where(keep, arrs["rd_pre_value"][:n], u(0))
+    lo = np.zeros(size, u)
+    hi = np.zeros(size, np.int64)
+    lo[:n] = post - pre                      # u64 wrap; sign via hi
+    hi[:n] = np.where(post < pre, np.int64(-1), np.int64(0))
+    return FrVec.from_i128_arrays(lo, hi)
+
+
+def build_ram_inc(steps, size: int):
+    from ..native.frvec import FrVec
+
+    arrs, n = _real_arrays(steps, size)
+    u = np.uint64
+    w = arrs["_is_write"][:n] != 0
+    post = np.where(w, arrs["memory_value"][:n], u(0))
+    pre = np.where(w, arrs["memory_pre_value"][:n], u(0))
+    lo = np.zeros(size, u)
+    hi = np.zeros(size, np.int64)
+    lo[:n] = post - pre
+    hi[:n] = np.where(post < pre, np.int64(-1), np.int64(0))
+    return FrVec.from_i128_arrays(lo, hi)
 
 
 def jolt_lookup_indices(steps) -> list[int]:
@@ -395,16 +414,17 @@ def build_instruction_ra_lohi(lo, hi, size: int, d: int) -> list[list[int]]:
     return out
 
 
-def build_ram_ra(steps, size: int, shift: int) -> list[int]:
-    mask = (1 << LOG_K_CHUNK) - 1
-    poly = [0] * size
-    for i, s in enumerate(steps):
-        if i >= size:
-            break
-        addr = getattr(s, "memory_addr", None)
-        if addr is not None:
-            poly[i] = (addr >> shift) & mask
-    return poly
+def build_ram_ra(steps, size: int, shift: int):
+    from ..native.frvec import FrVec
+
+    arrs, n = _real_arrays(steps, size)
+    u = np.uint64
+    out = np.zeros(size, u)
+    ha = arrs["_has_addr"][:n] != 0
+    out[:n] = np.where(
+        ha, (arrs["memory_addr"][:n] >> u(shift)) & u((1 << LOG_K_CHUNK) - 1),
+        u(0))
+    return FrVec.from_u64_array(out)
 
 
 def build_ram_ra_onehot(steps, size: int, shift: int, start_address: int,
@@ -430,14 +450,18 @@ def build_ram_ra_onehot(steps, size: int, shift: int, start_address: int,
     return poly
 
 
-def build_bytecode_ra(steps, size: int, shift: int) -> list[int]:
+def build_bytecode_ra(steps, size: int, shift: int):
+    """Bytecode chunk poly. NOTE: unlike the other builders, noop padding
+    rows carry the halt pc, so this one spans the PADDED trace."""
+    from ..native.frvec import FrVec
+
     mask = (1 << LOG_K_CHUNK) - 1
-    poly = [0] * size
-    for i, s in enumerate(steps):
-        if i >= size:
-            break
-        poly[i] = (s.pc >> shift) & mask
-    return poly
+    n = min(len(steps), size)
+    pcs = np.fromiter(((s.pc >> shift) & mask for s in steps[:n]),
+                      np.uint64, n)
+    out = np.zeros(size, np.uint64)
+    out[:n] = pcs
+    return FrVec.from_u64_array(out)
 
 
 # ---------------------------------------------------------------------------
