@@ -191,3 +191,23 @@ def test_device_tail_crossover_byte_identical(monkeypatch):
     monkeypatch.setenv("ZOLT_TPU_DEVICE_TAIL", "64")
     dev = prove_jolt(FIB, backend="device").conv.proof.serialize_with_dory()
     assert dev == host
+
+
+def test_u16_wire_format_round_trip():
+    """frvec_to_u16 / widen_u16 / narrow_u16 / limbs_to_frvec preserve the
+    Montgomery bytes exactly (the device upload/download wire path)."""
+    import numpy as np
+
+    from zolt_tpu.field import FR
+    from zolt_tpu.native.frvec import FrVec
+    from zolt_tpu.parallel.stage_engine import (frvec_to_u16, limbs_to_frvec,
+                                                narrow_u16, widen_u16)
+
+    rng = np.random.default_rng(17)
+    xs = [int.from_bytes(rng.bytes(40), "little") % FR.p for _ in range(64)]
+    v = FrVec.from_ints(xs)
+    u16 = frvec_to_u16(v)
+    wide = widen_u16(u16)
+    back = limbs_to_frvec(np.asarray(narrow_u16(wide)))
+    assert back.to_ints() == xs
+    assert limbs_to_frvec(np.asarray(wide)).to_ints() == xs  # u32 input path
