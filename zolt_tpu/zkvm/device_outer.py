@@ -14,14 +14,16 @@ matching the reference's hot-loop structure
 
 Shape discipline (the XLA-facing design decision): tables never change shape.
 az/bz stay at their initial power-of-two size with the live prefix shrinking
-by half each round and a zero tail behind it; the eq tables arrive as
-fixed-size zero-padded buffers and are combined by a dynamic gather
+by half each round and a zero tail behind it, masked by a traced live bound;
+the Gruen eq prefix-table STACKS upload once per prover as flat buffers and
+each round passes only level offsets into a fixed-shape gather
 (`i >> h_in`, `i & mask` with h_in a traced scalar). Every round therefore
 reuses the same two compiled programs (one eval, one fold) instead of
-recompiling per shrinking shape — zeros contribute nothing to the sums, so
-the results are exactly the live-prefix sums. Per-round host↔device traffic:
-two O(√n) eq-table uploads and the two evaluation sums down (the Fiat-Shamir
-sync point, SURVEY §5.8).
+recompiling per shrinking shape. Per-round host↔device traffic: a handful
+of scalars up and the two evaluation sums down (the Fiat-Shamir sync point,
+SURVEY §5.8) — ~28 ms of tunnel latency on this box, which is why rounds
+whose live prefix is at most ZOLT_TPU_DEVICE_TAIL finish on the host FrVec
+tier instead.
 
 The mesh backend shards az/bz over a 1-D device mesh. The live prefix lives
 shard-locally (each shard's live chunk is its local prefix), global live
