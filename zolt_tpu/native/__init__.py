@@ -129,6 +129,7 @@ def _build_and_load():
     lib.frv_s4_phase3.argtypes = [C, C, PP, PP, PP, I, L, C]
     lib.frv_triple_inner.argtypes = [C, C, C, L, C]
     lib.frv_cat_wsum.argtypes = [C, C, ctypes.c_void_p, C, L, I, C]
+    lib.frv_moment.argtypes = [C, PP, PP, I, I, L, C]
     lib.frv_scale_by_cat.argtypes = [C, C, L, C]
     lib.frv_add_by_cat.argtypes = [C, C, L, C]
     lib.frv_init(_fr_constants_blob())

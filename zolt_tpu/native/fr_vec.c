@@ -1038,3 +1038,79 @@ void frv_add_by_cat(uint8_t *buf, const uint16_t *cat, long n,
         fr_add(v, v, (const fr *)(consts + (long)cat[i] * 32));
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Moment matrix for the UniSkip first round (zkvm/streaming_outer):   */
+/* out[a*kb + b] = Σ_i e[i]·A_a[i]·B_b[i].  The 19 extended-domain     */
+/* targets are quadratic forms w_jᵀ·M·w_j in the Lagrange coefficient  */
+/* vectors, so computing M once replaces 2 column combinations + one   */
+/* triple inner product per target (each column read once, ~2x fewer   */
+/* multiplications overall).                                           */
+/* ------------------------------------------------------------------ */
+
+void frv_moment(const uint8_t *e, const uint8_t *const *colsA,
+                const uint8_t *const *colsB, int ka, int kb, long n,
+                uint8_t *out) {
+    int cells = ka * kb;
+#ifdef _OPENMP
+    int nthreads = omp_get_max_threads();
+    if (n < 4096) nthreads = 1;
+    fr *parts = (fr *)calloc((size_t)nthreads * cells, sizeof(fr));
+    #pragma omp parallel num_threads(nthreads)
+    {
+        int tid = omp_get_thread_num();
+        fr *acc = parts + (size_t)tid * cells;
+        fr *ea = (fr *)malloc((size_t)ka * sizeof(fr));
+        #pragma omp for schedule(static)
+        for (long i = 0; i < n; i++) {
+            fr ev;
+            fr_load(&ev, e + i * 32);
+            for (int a = 0; a < ka; a++) {
+                fr av;
+                fr_load(&av, colsA[a] + i * 32);
+                fr_mul(&ea[a], &ev, &av);
+            }
+            for (int b = 0; b < kb; b++) {
+                fr bv;
+                fr_load(&bv, colsB[b] + i * 32);
+                for (int a = 0; a < ka; a++) {
+                    fr t;
+                    fr_mul(&t, &ea[a], &bv);
+                    fr_add(&acc[a * kb + b], &acc[a * kb + b], &t);
+                }
+            }
+        }
+        free(ea);
+    }
+    for (int c = 0; c < cells; c++) {
+        fr acc = {{0, 0, 0, 0}};
+        for (int t = 0; t < nthreads; t++)
+            fr_add(&acc, &acc, &parts[(size_t)t * cells + c]);
+        fr_store(&acc, out + (long)c * 32);
+    }
+    free(parts);
+#else
+    fr *acc = (fr *)calloc((size_t)cells, sizeof(fr));
+    fr *ea = (fr *)malloc((size_t)ka * sizeof(fr));
+    for (long i = 0; i < n; i++) {
+        fr ev;
+        fr_load(&ev, e + i * 32);
+        for (int a = 0; a < ka; a++) {
+            fr av;
+            fr_load(&av, colsA[a] + i * 32);
+            fr_mul(&ea[a], &ev, &av);
+        }
+        for (int b = 0; b < kb; b++) {
+            fr bv;
+            fr_load(&bv, colsB[b] + i * 32);
+            for (int a = 0; a < ka; a++) {
+                fr t;
+                fr_mul(&t, &ea[a], &bv);
+                fr_add(&acc[a * kb + b], &acc[a * kb + b], &t);
+            }
+        }
+    }
+    for (int c = 0; c < cells; c++) fr_store(&acc[c], out + (long)c * 32);
+    free(acc); free(ea);
+#endif
+}

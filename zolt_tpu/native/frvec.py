@@ -703,6 +703,35 @@ class FrVec:
         lib.frv_mle_eval_be(_buf(scratch), 1 << nv, _buf(pm), nv, _buf(out))
         return _from_mont_list(out, 1)[0]
 
+    @staticmethod
+    def moment(e: "FrVec", cols_a: list, cols_b: list) -> list[int]:
+        """M[a][b] = Σ_i e[i]·A_a[i]·B_b[i], returned flat (ka·kb ints) —
+        the UniSkip first round's quadratic-form kernel."""
+        lib = _get_lib()
+        ka, kb = len(cols_a), len(cols_b)
+        n = e.n
+        if lib is None or e._mont is None or any(
+                c._mont is None for c in cols_a + cols_b):
+            ei = e._ints if e._ints is not None else e.to_ints()
+            ai = [c._ints if c._ints is not None else c.to_ints()
+                  for c in cols_a]
+            bi = [c._ints if c._ints is not None else c.to_ints()
+                  for c in cols_b]
+            out = [0] * (ka * kb)
+            for i in range(n):
+                ev = ei[i]
+                for a in range(ka):
+                    ea = ev * ai[a][i] % P
+                    for b in range(kb):
+                        out[a * kb + b] = (out[a * kb + b]
+                                           + ea * bi[b][i]) % P
+            return out
+        pa = (ctypes.c_char_p * ka)(*[_bufp(c._mont) for c in cols_a])
+        pb = (ctypes.c_char_p * kb)(*[_bufp(c._mont) for c in cols_b])
+        out = bytearray(32 * ka * kb)
+        lib.frv_moment(_buf(e._mont), pa, pb, ka, kb, n, _buf(out))
+        return _from_mont_list(out, ka * kb)
+
     # -- stage-8 category primitives (zkvm/lookups_raf.py phase A) ---------
 
     @staticmethod

@@ -197,16 +197,44 @@ class StreamingOuterProver:
         e_odd = e_half.scale(tau_g)
 
         az_cols, bz_cols = self._cols()
-        extended = []
-        for j, _target in enumerate(us.OUTER_TARGETS):
-            coeffs = us.OUTER_COEFFS_PER_J[j]
-            total = 0
+        if T >= (1 << 12):
+            # quadratic-form path: extended[j] = Σ_g w_jᵀ·M_g·w_j with the
+            # per-group moment matrix M_g[a,b] = Σ_i e_g[i]·Az_a[i]·Bz_b[i]
+            # computed ONCE — every column is read once instead of once per
+            # target (~2x fewer multiplications; bit-identical sums mod p)
+            moments = []
+            sizes = []
             for g, e_g in ((0, e_even), (1, e_odd)):
                 gsize = FIRST_GROUP_SIZE if g == 0 else SECOND_GROUP_SIZE
-                az_y = _combine_cols(az_cols[g], coeffs[:gsize])
-                bz_y = _combine_cols(bz_cols[g], coeffs[:gsize])
-                total = (total + FrVec.triple_inner(e_g, az_y, bz_y)) % P
-            extended.append(total)
+                ca = az_cols[g][:gsize]
+                cb = bz_cols[g][:gsize]
+                moments.append(FrVec.moment(e_g, ca, cb))
+                sizes.append(gsize)
+            extended = []
+            for j, _target in enumerate(us.OUTER_TARGETS):
+                coeffs = us.OUTER_COEFFS_PER_J[j]
+                total = 0
+                for g in (0, 1):
+                    gsize = sizes[g]
+                    M = moments[g]
+                    w = [c % P for c in coeffs[:gsize]]
+                    for a in range(gsize):
+                        v = 0
+                        for b in range(gsize):
+                            v += w[b] * M[a * gsize + b]
+                        total = (total + w[a] * (v % P)) % P
+                extended.append(total)
+        else:
+            extended = []
+            for j, _target in enumerate(us.OUTER_TARGETS):
+                coeffs = us.OUTER_COEFFS_PER_J[j]
+                total = 0
+                for g, e_g in ((0, e_even), (1, e_odd)):
+                    gsize = FIRST_GROUP_SIZE if g == 0 else SECOND_GROUP_SIZE
+                    az_y = _combine_cols(az_cols[g], coeffs[:gsize])
+                    bz_y = _combine_cols(bz_cols[g], coeffs[:gsize])
+                    total = (total + FrVec.triple_inner(e_g, az_y, bz_y)) % P
+                extended.append(total)
 
         return us.build_uniskip_first_round_poly(
             us.OUTER_DOMAIN, us.OUTER_DEGREE, extended, self.tau_high)
