@@ -152,11 +152,17 @@ def get_trace_lib():
     if os.environ.get("ZOLT_TPU_NO_NATIVE"):
         return None
     try:
+        import sys
         import sysconfig
 
         src_dir = os.path.dirname(os.path.abspath(__file__))
         src = os.path.join(src_dir, "trace_mat.c")
-        so = os.path.join(src_dir, "libtrace_mat.so")
+        # The ABI tag in the filename guarantees a prebuilt .so from a
+        # different CPython (this library pokes PyTupleObject internals)
+        # is never loaded — the mtime check alone can't catch a fresh
+        # checkout where src and a stale binary share a timestamp.
+        so = os.path.join(
+            src_dir, f"libtrace_mat.{sys.implementation.cache_tag}.so")
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             cc = os.environ.get("CC", "cc")

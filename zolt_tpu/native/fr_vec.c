@@ -967,12 +967,36 @@ void frv_mle_eval_be(uint8_t *tab, long n, const uint8_t *point, int n_vars,
 /* out[cat[i]] += wt[i] * x[i]  (x_fr Montgomery; or x_u64 canonical;   */
 /* or neither -> just wt sums). out holds ncat Montgomery elements and  */
 /* must be zeroed by the caller.                                        */
+static void frv_cat_wsum_serial(const uint8_t *wt, const uint8_t *x_fr,
+                                const u64 *x_u64, const uint16_t *cat,
+                                long n, uint8_t *out) {
+    for (long i = 0; i < n; i++) {
+        fr v;
+        fr_load(&v, wt + i * 32);
+        if (x_fr) {
+            fr x;
+            fr_load(&x, x_fr + i * 32);
+            fr_mul(&v, &v, &x);
+        } else if (x_u64) {
+            fr x = {{x_u64[i], 0, 0, 0}};
+            fr_mul(&x, &x, &FR_R2);
+            fr_mul(&v, &v, &x);
+        }
+        fr *slot = (fr *)(out + (long)cat[i] * 32);
+        fr_add(slot, slot, &v);
+    }
+}
+
 void frv_cat_wsum(const uint8_t *wt, const uint8_t *x_fr, const u64 *x_u64,
                   const uint16_t *cat, long n, int ncat, uint8_t *out) {
 #ifdef _OPENMP
     int nthreads = omp_get_max_threads();
     if (n < 4096) nthreads = 1;
     fr *parts = (fr *)calloc((size_t)nthreads * ncat, sizeof(fr));
+    if (!parts) {           /* allocation failure: serial path, no crash */
+        frv_cat_wsum_serial(wt, x_fr, x_u64, cat, n, out);
+        return;
+    }
     #pragma omp parallel num_threads(nthreads)
     {
         int tid = omp_get_thread_num();
@@ -1001,21 +1025,7 @@ void frv_cat_wsum(const uint8_t *wt, const uint8_t *x_fr, const u64 *x_u64,
     }
     free(parts);
 #else
-    for (long i = 0; i < n; i++) {
-        fr v;
-        fr_load(&v, wt + i * 32);
-        if (x_fr) {
-            fr x;
-            fr_load(&x, x_fr + i * 32);
-            fr_mul(&v, &v, &x);
-        } else if (x_u64) {
-            fr x = {{x_u64[i], 0, 0, 0}};
-            fr_mul(&x, &x, &FR_R2);
-            fr_mul(&v, &v, &x);
-        }
-        fr *slot = (fr *)(out + (long)cat[i] * 32);
-        fr_add(slot, slot, &v);
-    }
+    frv_cat_wsum_serial(wt, x_fr, x_u64, cat, n, out);
 #endif
 }
 
@@ -1048,6 +1058,31 @@ void frv_add_by_cat(uint8_t *buf, const uint16_t *cat, long n,
 /* multiplications overall).                                           */
 /* ------------------------------------------------------------------ */
 
+/* Allocation-free fallback (direct accumulation into out; recomputes   */
+/* ev*A per (a,b) cell — only used when the heap is exhausted).         */
+static void frv_moment_noalloc(const uint8_t *e, const uint8_t *const *colsA,
+                               const uint8_t *const *colsB, int ka, int kb,
+                               long n, uint8_t *out) {
+    fr zero = {{0, 0, 0, 0}};
+    for (int c = 0; c < ka * kb; c++) fr_store(&zero, out + (long)c * 32);
+    for (long i = 0; i < n; i++) {
+        fr ev;
+        fr_load(&ev, e + i * 32);
+        for (int a = 0; a < ka; a++) {
+            fr av;
+            fr_load(&av, colsA[a] + i * 32);
+            fr_mul(&av, &av, &ev);
+            for (int b = 0; b < kb; b++) {
+                fr bv, t;
+                fr_load(&bv, colsB[b] + i * 32);
+                fr_mul(&t, &av, &bv);
+                fr *slot = (fr *)(out + ((long)a * kb + b) * 32);
+                fr_add(slot, slot, &t);
+            }
+        }
+    }
+}
+
 void frv_moment(const uint8_t *e, const uint8_t *const *colsA,
                 const uint8_t *const *colsB, int ka, int kb, long n,
                 uint8_t *out) {
@@ -1056,11 +1091,17 @@ void frv_moment(const uint8_t *e, const uint8_t *const *colsA,
     int nthreads = omp_get_max_threads();
     if (n < 4096) nthreads = 1;
     fr *parts = (fr *)calloc((size_t)nthreads * cells, sizeof(fr));
+    fr *eas = (fr *)malloc((size_t)nthreads * ka * sizeof(fr));
+    if (!parts || !eas) {   /* allocation failure: no-alloc path, no crash */
+        free(parts); free(eas);
+        frv_moment_noalloc(e, colsA, colsB, ka, kb, n, out);
+        return;
+    }
     #pragma omp parallel num_threads(nthreads)
     {
         int tid = omp_get_thread_num();
         fr *acc = parts + (size_t)tid * cells;
-        fr *ea = (fr *)malloc((size_t)ka * sizeof(fr));
+        fr *ea = eas + (size_t)tid * ka;
         #pragma omp for schedule(static)
         for (long i = 0; i < n; i++) {
             fr ev;
@@ -1080,7 +1121,6 @@ void frv_moment(const uint8_t *e, const uint8_t *const *colsA,
                 }
             }
         }
-        free(ea);
     }
     for (int c = 0; c < cells; c++) {
         fr acc = {{0, 0, 0, 0}};
@@ -1088,10 +1128,15 @@ void frv_moment(const uint8_t *e, const uint8_t *const *colsA,
             fr_add(&acc, &acc, &parts[(size_t)t * cells + c]);
         fr_store(&acc, out + (long)c * 32);
     }
-    free(parts);
+    free(parts); free(eas);
 #else
     fr *acc = (fr *)calloc((size_t)cells, sizeof(fr));
     fr *ea = (fr *)malloc((size_t)ka * sizeof(fr));
+    if (!acc || !ea) {
+        free(acc); free(ea);
+        frv_moment_noalloc(e, colsA, colsB, ka, kb, n, out);
+        return;
+    }
     for (long i = 0; i < n; i++) {
         fr ev;
         fr_load(&ev, e + i * 32);

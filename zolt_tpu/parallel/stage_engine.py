@@ -211,19 +211,22 @@ class DeviceProductTables:
     def __init__(self, factor_vecs, passenger_vecs=(), degree=None, mesh=None):
         self.k = len(factor_vecs)
         self.degree = degree if degree is not None else self.k
-        self.mesh = mesh
-        self.n_dev = int(mesh.devices.size) if mesh is not None else 1
         all_vecs = list(factor_vecs) + list(passenger_vecs)
         self.n = all_vecs[0].n
         assert all(v.n == self.n for v in all_vecs)
+        if mesh is not None and self.n % (2 * int(mesh.devices.size)) != 0:
+            # A tiny table (e.g. ValFinal at small trace lengths) can't give
+            # every shard an even pair count — run it on one device instead
+            # of refusing the prove.
+            mesh = None
+        self.mesh = mesh
+        self.n_dev = int(mesh.devices.size) if mesh is not None else 1
         self.live = self.n
         # upload the minimal 32-byte wire form; widen to u32 limbs on device
         stack = np.stack([frvec_to_u16(v) for v in all_vecs])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
 
-            assert self.n % (2 * self.n_dev) == 0, \
-                "table must give every shard an even pair count"
             self._eval_step, self._fold_step = _make_mesh_steps(mesh, self.degree)
             self.tables = widen_u16(jax.device_put(
                 stack, NamedSharding(mesh, PS(None, AXIS, None))))

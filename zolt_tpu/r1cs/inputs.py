@@ -360,6 +360,12 @@ def _steps_to_arrays(steps):
         comp[i] = 1 if s.is_compressed else 0
     cols["_has_addr"] = has_addr
     cols["_is_write"] = is_write
+    # The memoized arrays are shared by several consumers (witness gen,
+    # stage-4 registers prover, commitment builders); freeze them so an
+    # accidental in-place edit raises instead of corrupting another
+    # consumer's view of the trace.
+    for a in list(cols.values()) + [comp, has_pre]:
+        a.setflags(write=False)
     out = (cols, comp, has_pre)
     if steps:
         _ARR_MEMO[:] = [(steps[0], n, out)]
