@@ -324,7 +324,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         with metrics.stage("stage3"):
             conv.stage3 = prove_stage3(transcript, None, n_cycle_vars,
                                        r_spartan, r_product, oc,
-                                       wcols=conv.stage1.wcols)
+                                       wcols=conv.stage1.wcols,
+                                       backend=backend, mesh=mesh)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
         _insert_stage3_claims(conv.proof.opening_claims, conv.stage3)
 

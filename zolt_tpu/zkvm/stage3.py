@@ -59,8 +59,17 @@ class Stage3Result:
 
 def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
                  r_outer: list[int], r_product: list[int],
-                 opening_claims, wcols=None) -> Stage3Result:
-    """opening_claims: callable (poly_name, sumcheck_name, index) -> int."""
+                 opening_claims, wcols=None,
+                 backend: str | None = None, mesh=None) -> Stage3Result:
+    """opening_claims: callable (poly_name, sumcheck_name, index) -> int.
+
+    backend "device"/"mesh" runs the wide rounds' product sums and folds on
+    the TPU tier (parallel/stage_engine): 7 dense product instances — the
+    two Shift terms, the four InstructionInput 3-factor sums (their shared
+    weight eq_outer + γ²·eq_prod precombined once; folding is linear so
+    binding the combined table is identical to recombining each round), and
+    the Registers instance — with per-round evals drained in ONE download.
+    Proof bytes are identical to the host path."""
     res = Stage3Result()
     T = 1 << n_cycle_vars
 
@@ -146,28 +155,66 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
 
     instr_arrays = [l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm]
 
+    engines = None
+    if backend in ("device", "mesh") and T >= 4:
+        from ..parallel.stage_engine import DeviceProductTables, drain_futures
+
+        mm = mesh if backend == "mesh" else None
+        eqw0 = eq_outer.copy().axpy_(eq_prod, g_instr2)
+        engines = [
+            DeviceProductTables([eqp1_outer, combo],
+                                [upc, pc, virt, first, noop],
+                                degree=2, mesh=mm),
+            DeviceProductTables([eqp1_prod, one_minus_noop], degree=2, mesh=mm),
+            DeviceProductTables([eqw0, r_rs2, rs2], degree=3, mesh=mm),
+            DeviceProductTables([eqw0, r_imm, imm], degree=3, mesh=mm),
+            DeviceProductTables([eqw0, l_rs1, rs1], degree=3, mesh=mm),
+            DeviceProductTables([eqw0, l_pc, i_upc], degree=3, mesh=mm),
+            DeviceProductTables([eq_outer, reg_combo],
+                                [rd, r_rs1v, r_rs2v], degree=2, mesh=mm),
+        ]
+
     for rnd in range(n_cycle_vars):
-        # Shift (deg 2): evals at 0, 2 (p1 from claim)
-        ab = FrVec.prod_evals_adj([eqp1_outer, combo], 2)
-        cd = FrVec.prod_evals_adj([eqp1_prod, one_minus_noop], 2)
+        if engines is not None:
+            evs: list = [None] * len(engines)
+            futs, fut_ids = [], []
+            for i, e in enumerate(engines):
+                d = e.round_evals_device()
+                if d is None:
+                    evs[i] = e.round_evals()
+                else:
+                    futs.append(d)
+                    fut_ids.append(i)
+            for i, vals in zip(fut_ids, drain_futures(futs)):
+                evs[i] = vals
+            ab, cd = evs[0], evs[1]
+            rr_r2, ri_im, lr_r1, lp_up = evs[2], evs[3], evs[4], evs[5]
+            gg = evs[6]
+        else:
+            # Shift (deg 2): evals at 0, 2 (p1 from claim)
+            ab = FrVec.prod_evals_adj([eqp1_outer, combo], 2)
+            cd = FrVec.prod_evals_adj([eqp1_prod, one_minus_noop], 2)
+
+            # InstrInput (deg 3): evals at 0, 2, 3 (p1 from claim); the weight
+            # eq_outer + γ²·eq_prod folds linearly, so it is kept combined and
+            # the product splits into four 3-factor sums
+            eqw = eq_outer.copy().axpy_(eq_prod, g_instr2)
+            rr_r2 = FrVec.prod_evals_adj([eqw, r_rs2, rs2], 3)
+            ri_im = FrVec.prod_evals_adj([eqw, r_imm, imm], 3)
+            lr_r1 = FrVec.prod_evals_adj([eqw, l_rs1, rs1], 3)
+            lp_up = FrVec.prod_evals_adj([eqw, l_pc, i_upc], 3)
+
+            # Registers (deg 2)
+            gg = FrVec.prod_evals_adj([eq_outer, reg_combo], 2)
+
         s0 = (ab[0] + gp[4] * cd[0]) % P
         s2 = (ab[2] + gp[4] * cd[2]) % P
         shift_evals = [s0, (shift_claim - s0) % P, s2]
 
-        # InstrInput (deg 3): evals at 0, 2, 3 (p1 from claim); the weight
-        # eq_outer + γ²·eq_prod folds linearly, so it is kept combined and
-        # the product splits into four 3-factor sums
-        eqw = eq_outer.copy().axpy_(eq_prod, g_instr2)
-        rr_r2 = FrVec.prod_evals_adj([eqw, r_rs2, rs2], 3)
-        ri_im = FrVec.prod_evals_adj([eqw, r_imm, imm], 3)
-        lr_r1 = FrVec.prod_evals_adj([eqw, l_rs1, rs1], 3)
-        lp_up = FrVec.prod_evals_adj([eqw, l_pc, i_upc], 3)
         iev = [(rr_r2[t] + ri_im[t] + g_instr * (lr_r1[t] + lp_up[t])) % P
                for t in range(4)]
         instr_evals = [iev[0], (instr_claim - iev[0]) % P, iev[2], iev[3]]
 
-        # Registers (deg 2)
-        gg = FrVec.prod_evals_adj([eq_outer, reg_combo], 2)
         g0, g2 = gg[0], gg[2]
         reg_evals = [g0, (reg_claim - g0) % P, g2]
 
@@ -198,32 +245,53 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
         reg_claim = unipoly.horner_eval(unipoly.interpolate(reg_evals), r)
 
         # bind everything low-to-high
-        eqp1_outer = eqp1_outer.fold_adj(r)
-        eqp1_prod = eqp1_prod.fold_adj(r)
-        combo = combo.fold_adj(r)
-        one_minus_noop = one_minus_noop.fold_adj(r)
-        upc, pc, virt, first, noop = (a.fold_adj(r)
-                                      for a in (upc, pc, virt, first, noop))
-        for k in range(len(instr_arrays)):
-            instr_arrays[k] = instr_arrays[k].fold_adj(r)
-        (l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm) = instr_arrays
-        eq_outer = eq_outer.fold_adj(r)
-        eq_prod = eq_prod.fold_adj(r)
-        reg_combo = reg_combo.fold_adj(r)
-        rd, r_rs1v, r_rs2v = (a.fold_adj(r) for a in (rd, r_rs1v, r_rs2v))
+        if engines is not None:
+            for e in engines:
+                e.bind(r)
+        else:
+            eqp1_outer = eqp1_outer.fold_adj(r)
+            eqp1_prod = eqp1_prod.fold_adj(r)
+            combo = combo.fold_adj(r)
+            one_minus_noop = one_minus_noop.fold_adj(r)
+            upc, pc, virt, first, noop = (a.fold_adj(r)
+                                          for a in (upc, pc, virt, first, noop))
+            for k in range(len(instr_arrays)):
+                instr_arrays[k] = instr_arrays[k].fold_adj(r)
+            (l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm) = instr_arrays
+            eq_outer = eq_outer.fold_adj(r)
+            eq_prod = eq_prod.fold_adj(r)
+            reg_combo = reg_combo.fold_adj(r)
+            rd, r_rs1v, r_rs2v = (a.fold_adj(r) for a in (rd, r_rs1v, r_rs2v))
 
     res.final_claim = combined_claim
     res.instance_final_claims = [shift_claim, instr_claim, reg_claim]
-    res.shift_claims = {"unexpanded_pc": upc.first(), "pc": pc.first(),
-                        "is_virtual": virt.first(),
-                        "is_first_in_sequence": first.first(),
-                        "is_noop": noop.first()}
-    res.instr_claims = {"left_is_rs1": l_rs1.first(), "rs1_value": rs1.first(),
-                        "left_is_pc": l_pc.first(), "unexpanded_pc": i_upc.first(),
-                        "right_is_rs2": r_rs2.first(), "rs2_value": rs2.first(),
-                        "right_is_imm": r_imm.first(), "imm": imm.first()}
-    res.reg_claims = {"rd_write_value": rd.first(), "rs1_value": r_rs1v.first(),
-                      "rs2_value": r_rs2v.first()}
+    if engines is not None:
+        fa = engines[0].finals()     # eqp1_outer, combo, upc..noop
+        f_rr = engines[2].finals()   # eqw, r_rs2, rs2
+        f_ri = engines[3].finals()   # eqw, r_imm, imm
+        f_lr = engines[4].finals()   # eqw, l_rs1, rs1
+        f_lp = engines[5].finals()   # eqw, l_pc, i_upc
+        fd = engines[6].finals()     # eq_outer, reg_combo, rd, rs1v, rs2v
+        res.shift_claims = {"unexpanded_pc": fa[2], "pc": fa[3],
+                            "is_virtual": fa[4],
+                            "is_first_in_sequence": fa[5], "is_noop": fa[6]}
+        res.instr_claims = {"left_is_rs1": f_lr[1], "rs1_value": f_lr[2],
+                            "left_is_pc": f_lp[1], "unexpanded_pc": f_lp[2],
+                            "right_is_rs2": f_rr[1], "rs2_value": f_rr[2],
+                            "right_is_imm": f_ri[1], "imm": f_ri[2]}
+        res.reg_claims = {"rd_write_value": fd[2], "rs1_value": fd[3],
+                          "rs2_value": fd[4]}
+    else:
+        res.shift_claims = {"unexpanded_pc": upc.first(), "pc": pc.first(),
+                            "is_virtual": virt.first(),
+                            "is_first_in_sequence": first.first(),
+                            "is_noop": noop.first()}
+        res.instr_claims = {"left_is_rs1": l_rs1.first(), "rs1_value": rs1.first(),
+                            "left_is_pc": l_pc.first(), "unexpanded_pc": i_upc.first(),
+                            "right_is_rs2": r_rs2.first(), "rs2_value": rs2.first(),
+                            "right_is_imm": r_imm.first(), "imm": imm.first()}
+        res.reg_claims = {"rd_write_value": rd.first(), "rs1_value": r_rs1v.first(),
+                          "rs2_value": r_rs2v.first()}
 
     # cache_openings absorption (stage3_prover.zig:703-726)
     for v in (res.shift_claims["unexpanded_pc"], res.shift_claims["pc"],
