@@ -20,25 +20,34 @@ def _index_for(builder):
 
 
 def test_static_cols_match_witness():
-    import pytest
-
     from golden_programs import _golden_array, _golden_sum
 
-    for (name, steps), builder in zip(
-            [t for t in TRACES if t[0] in ("sum", "array", "mixed")],
-            [_golden_sum, lambda: _golden_array(LAY), _golden_mixed]):
-        idx = _index_for(builder)
+    from zolt_tpu.r1cs.inputs import witness_matrix
+    from zolt_tpu.vm import pad_with_noop, run_elf
+
+    for name, builder in (("sum", _golden_sum),
+                          ("array", lambda: _golden_array(LAY)),
+                          ("mixed", _golden_mixed)):
+        a = builder()
+        a.halt(LAY, tmp=30, one=31, provable=True)
+        elf = elf_mod.write_minimal_elf(a.bytes())
+        idx = BytecodeIndex.from_elf(elf)
         cols = idx.static_cols()
+        # the trace the sound pipeline proves: expanded when the program
+        # contains div-family instructions, slot-PC indexing to match
+        steps = pad_with_noop(run_elf(elf, expand_virtual=True).trace)
+        slots = idx.slots_per_cycle(steps)
+        rows = witness_matrix(steps, sound=True,
+                              slots=slots if idx.expanded else None)
         for i, step in enumerate(steps):
-            slot = idx.slot_of_step(step)
+            slot = slots[i]
             if step.is_noop:
                 assert slot == 0
                 w = noop_witness()
             else:
                 assert idx.entries[slot].instruction == step.instruction, \
                     f"{name} cycle {i}: bytecode desync"
-                nxt = steps[i + 1] if i + 1 < len(steps) else None
-                w = cycle_witness(step, nxt, sound=True)
+                w = rows[i]
             for c in STATIC_COLS:
                 assert cols[c][slot] == w[c] % P, \
                     f"{name} cycle {i} slot {slot} col {c.name}"
@@ -50,7 +59,13 @@ def test_lookup_indicator_tables():
     val = idx.has_validity_table()
     assert has[0] == 0 and val[0] == 0           # noop sentinel
     assert sum(has) > 10
-    assert sum(val) >= 3                         # div/divu/remu in mixed
+    # div-family slots expand into virtual sequences whose validity checks
+    # are ASSERT rows with their own lookup tables, so no valid_table
+    # side-instances remain in the expanded index — but the expansion
+    # itself must be present
+    assert idx.expanded
+    assert sum(1 for e in idx.entries
+               if (e.instruction & 0x7F) == 0x0B) >= 4 * 11
 
 
 def test_mle_eval_table_binary_points():

@@ -31,11 +31,13 @@ def _setup():
     a = _golden_mixed()
     a.halt(LAY, tmp=30, one=31, provable=True)
     blob = elf_mod.write_minimal_elf(a.bytes())
-    emu = run_elf(blob)
+    # the sound pipeline expands div-family rows into virtual sequences;
+    # the index and the trace must agree (vm/virtual.py)
+    emu = run_elf(blob, expand_virtual=True)
     steps = pad_with_noop(emu.trace)
     bc = BytecodeIndex.from_elf(blob)
     n = (len(steps)).bit_length() - 1
-    rows = witness_matrix(steps, sound=True)
+    rows = witness_matrix(steps, sound=True, slots=bc.slots_per_cycle(steps))
     rc1_be = [RNG.randrange(P) for _ in range(n)]
     # claimed input evals at rc1 (big-endian eq weights)
     from zolt_tpu.native.frvec import FrVec

@@ -44,7 +44,8 @@ static inline PyObject *alloc_row(PyTypeObject *tp, Py_ssize_t n) {
 
 /* TraceStep(cycle, pc, unexpanded_pc, instruction, rs1_value, rs2_value,
  *           rd_pre_value, rd_value, memory_addr, memory_pre_value,
- *           memory_value, is_memory_write, next_pc, is_compressed, is_noop) */
+ *           memory_value, is_memory_write, next_pc, is_compressed, is_noop,
+ *           seq_pos) — native rows are never virtual: seq_pos = 0 */
 PyObject *trace_materialize(PyObject *cls, const uint8_t *buf, Py_ssize_t n) {
     PyTypeObject *tp = (PyTypeObject *)cls;
     PyObject *list = PyList_New(n);
@@ -52,7 +53,7 @@ PyObject *trace_materialize(PyObject *cls, const uint8_t *buf, Py_ssize_t n) {
     const RvTraceRec *recs = (const RvTraceRec *)buf;
     for (Py_ssize_t i = 0; i < n; i++) {
         const RvTraceRec *r = &recs[i];
-        PyObject *t = alloc_row(tp, 15);
+        PyObject *t = alloc_row(tp, 16);
         if (!t) { Py_DECREF(list); return NULL; }
         PyObject **it = ((PyTupleObject *)t)->ob_item;
         PyObject *pc = u64(r->pc);
@@ -75,6 +76,7 @@ PyObject *trace_materialize(PyObject *cls, const uint8_t *buf, Py_ssize_t n) {
         it[12] = u64(r->next_pc);
         it[13] = PyBool_FromLong(r->is_compressed);
         it[14] = PyBool_FromLong(0);    /* is_noop */
+        it[15] = u64(0);                /* seq_pos */
         PyList_SET_ITEM(list, i, t);
     }
     return list;

@@ -143,10 +143,101 @@ def noop_witness() -> list[int]:
     return w
 
 
+def _virtual_cycle_witness(step, next_step) -> list[int]:
+    """Witness row for one virtual-sequence row (vm/virtual.py). Every kind
+    is one lookup-table operation; flags follow the same uniform-constraint
+    conventions as the real opcodes below (MUL/ADD/SUB rows reuse the
+    native operand-fusion flags; asserts set FlagAssert so constraint #11
+    pins LookupOutput == 1; ADVICE rows are excluded from the
+    RightLookupOperand binding by constraint #10 and range-check their
+    value instead)."""
+    from ..vm import virtual as vi
+
+    kind, rd, rs1, rs2, first, last = vi.fields(step.instruction)
+    w = [0] * NUM_INPUTS
+    w[Inp.FlagVirtualInstruction] = 1
+    w[Inp.FlagIsFirstInSequence] = 1 if first else 0
+    w[Inp.FlagDoNotUpdateUnexpandedPC] = 0 if last else 1
+    imm = vi.VIRT_IMM.get(kind, 0)
+    w[Inp.Imm] = imm % P
+
+    left_is_rs1 = 0 if kind == vi.VK.ADVICE else 1
+    right_is_rs2 = 1 if (kind in (vi.VK.MUL, vi.VK.MULHU, vi.VK.ADD,
+                                  vi.VK.SUB, vi.VK.XOR)
+                         or kind in vi.ASSERT_KINDS) else 0
+    right_is_imm = 1 if kind in (vi.VK.ANDI32, vi.VK.SRAI63) else 0
+    w[Inp.FlagLeftOperandIsRs1] = left_is_rs1
+    w[Inp.FlagRightOperandIsRs2] = right_is_rs2
+    w[Inp.FlagRightOperandIsImm] = right_is_imm
+    if left_is_rs1:
+        w[Inp.Rs1Value] = step.rs1_value % P
+    if right_is_rs2:
+        w[Inp.Rs2Value] = step.rs2_value % P
+    left = w[Inp.Rs1Value] if left_is_rs1 else 0
+    right = (w[Inp.Rs2Value] if right_is_rs2 else 0) + right_is_imm * w[Inp.Imm]
+    right %= P
+    w[Inp.LeftInstructionInput] = left
+    w[Inp.RightInstructionInput] = right
+    w[Inp.Product] = left * right % P
+
+    adv = step.rd_value if kind == vi.VK.ADVICE else 0
+    out = vi.row_result(kind, step.rs1_value,
+                        0 if kind in vi.IMM_KINDS else step.rs2_value, adv)
+    w[Inp.LookupOutput] = out % P
+
+    if kind in (vi.VK.MUL, vi.VK.MULHU):
+        # mul-operand fusion (constraint #9 pins RightLookupOperand to the
+        # R1CS Product, which in turn pins the committed full-product index
+        # exactly — the MULHU output gadget reads its high word)
+        w[Inp.FlagMultiplyOperands] = 1
+        w[Inp.RightLookupOperand] = w[Inp.Product]
+        w[Inp.FlagWriteLookupOutputToRD] = 1
+    elif kind in (vi.VK.ADD, vi.VK.MOVE):
+        # MOVE is an add-class row with right = 0: index = value,
+        # RangeCheck output = value
+        w[Inp.FlagAddOperands] = 1
+        w[Inp.RightLookupOperand] = (left + right) % P
+        w[Inp.FlagWriteLookupOutputToRD] = 1
+    elif kind == vi.VK.SUB:
+        w[Inp.FlagSubtractOperands] = 1
+        w[Inp.RightLookupOperand] = (left - right + TWO64) % P
+        w[Inp.FlagWriteLookupOutputToRD] = 1
+    elif kind == vi.VK.ADVICE:
+        w[Inp.FlagAdvice] = 1
+        w[Inp.RightLookupOperand] = out % P
+        w[Inp.FlagWriteLookupOutputToRD] = 1
+    elif kind in vi.ASSERT_KINDS:
+        w[Inp.FlagAssert] = 1
+        w[Inp.LeftLookupOperand] = left
+        w[Inp.RightLookupOperand] = right
+    else:  # XOR, ANDI32, SRAI63, SEXT32: plain two-operand lookups
+        w[Inp.LeftLookupOperand] = left
+        w[Inp.RightLookupOperand] = right
+        w[Inp.FlagWriteLookupOutputToRD] = 1
+
+    w[Inp.PC] = step.pc % P
+    w[Inp.UnexpandedPC] = step.unexpanded_pc % P
+    if next_step is not None and not next_step.is_noop:
+        w[Inp.NextPC] = next_step.pc % P
+        w[Inp.NextUnexpandedPC] = next_step.unexpanded_pc % P
+        if (next_step.instruction & 0x7F) == 0x0B:
+            w[Inp.NextIsVirtual] = 1
+            w[Inp.NextIsFirstInSequence] = \
+                1 if (next_step.instruction >> 25) & 1 else 0
+
+    is_rd_not_zero = 1 if rd != 0 else 0
+    w[Inp.WriteLookupOutputToRD] = is_rd_not_zero * w[Inp.FlagWriteLookupOutputToRD]
+    w[Inp.FlagIsRdNotZero] = is_rd_not_zero
+    w[Inp.RdWriteValue] = step.rd_value % P if is_rd_not_zero else 0
+    return w
+
+
 def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     """Build the 43 witness values for one real trace step (canonical ints)."""
     if step.is_noop:
         return noop_witness()
+    if (step.instruction & 0x7F) == 0x0B:
+        return _virtual_cycle_witness(step, next_step)
 
     w = [0] * NUM_INPUTS
     instr = step.instruction
@@ -238,7 +329,11 @@ def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     if next_step is not None and not next_step.is_noop:
         w[Inp.NextPC] = next_step.pc % P
         w[Inp.NextUnexpandedPC] = next_step.unexpanded_pc % P
-    # NextIsVirtual / NextIsFirstInSequence stay 0 (no virtual sequences)
+        if (next_step.instruction & 0x7F) == 0x0B:
+            # next row opens a virtual sequence (vm/virtual.py)
+            w[Inp.NextIsVirtual] = 1
+            w[Inp.NextIsFirstInSequence] = \
+                1 if (next_step.instruction >> 25) & 1 else 0
 
     # flags + lookup operands per opcode (constraints.zig setFlagsFromInstruction)
     if opcode in (0x03, 0x23, 0x63):
@@ -304,13 +399,25 @@ def cycle_witness(step, next_step, sound: bool = False) -> list[int]:
     return w
 
 
-def witness_matrix(padded_steps, sound: bool = False) -> list[list[int]]:
-    """Per-cycle witness rows for the whole (padded) trace."""
+def witness_matrix(padded_steps, sound: bool = False,
+                   slots: list[int] | None = None) -> list[list[int]]:
+    """Per-cycle witness rows for the whole (padded) trace.
+
+    slots: when the trace contains virtual-sequence rows, the PC column
+    must be the bytecode SLOT index (constraint #17 chains PC by +1 through
+    a sequence and into the following real row — only slot indexing makes
+    that contiguous). The pipeline passes bc_index.slots_per_cycle(...)
+    here; address-PC traces (reference-compat, no sequences) pass None."""
     out = []
     n = len(padded_steps)
     for i, step in enumerate(padded_steps):
         nxt = padded_steps[i + 1] if i + 1 < n else None
-        out.append(cycle_witness(step, nxt, sound=sound))
+        w = cycle_witness(step, nxt, sound=sound)
+        if slots is not None and not step.is_noop:
+            w[Inp.PC] = slots[i] % P
+            if nxt is not None and not nxt.is_noop:
+                w[Inp.NextPC] = slots[i + 1] % P
+        out.append(w)
     return out
 
 
@@ -372,12 +479,17 @@ def _steps_to_arrays(steps):
     return out
 
 
-def witness_columns(padded_steps, sound: bool = False):
+def witness_columns(padded_steps, sound: bool = False,
+                    slots: list[int] | None = None):
     """The 43 witness COLUMNS as FrVec, built vectorized (numpy masks + the
     native from_u64/from_i128 ingest) — same values as `witness_matrix`
     transposed (differential-tested in tests/test_witness_columns.py), but
     O(T) numpy work instead of 43·T Python int ops and no 43xT Python-int
-    matrix in memory (SURVEY §5.7 long-trace requirement)."""
+    matrix in memory (SURVEY §5.7 long-trace requirement).
+
+    Traces containing virtual-sequence rows (vm/virtual.py) take the scalar
+    witness_matrix path (the virtual kinds are a tiny fraction of real
+    workloads; vectorizing them is deferred until a profile demands it)."""
     import numpy as np
 
     from ..native.frvec import FrVec
@@ -385,6 +497,10 @@ def witness_columns(padded_steps, sound: bool = False):
     T = len(padded_steps)
     n = next((i for i, s in enumerate(padded_steps) if s.is_noop), T)
     real = padded_steps[:n]
+    if any(s.seq_pos for s in real):
+        rows = witness_matrix(padded_steps, sound=sound, slots=slots)
+        return [FrVec.from_ints([rows[j][i] for j in range(T)])
+                for i in range(NUM_INPUTS)]
     cols_np, comp, has_pre = _steps_to_arrays(real)
 
     instr = cols_np["instruction"]
@@ -633,4 +749,18 @@ def witness_columns(padded_steps, sound: bool = False):
                            np.ones(T - n, dtype=np.uint64)])
     out[Inp.FlagDoNotUpdateUnexpandedPC] = FrVec.from_u64_array(tail)
     out[Inp.FlagIsNoop] = FrVec.from_u64_array(tail.copy())
+
+    if slots is not None:
+        # slot-PC indexing (expanded bytecode, no virtual rows executed):
+        # replace the address-based PC/NextPC columns with slot indices
+        sl = np.asarray(slots[:n], dtype=np.uint64)
+        out[Inp.PC] = pad_u64(sl)
+        nxt = np.zeros(n, dtype=np.uint64)
+        if n > 1:
+            nxt[:-1] = sl[1:]
+        if n < T:
+            nxt[-1] = 0          # successor is the noop tail
+        elif n == T and n > 0:
+            nxt[-1] = 0
+        out[Inp.NextPC] = pad_u64(nxt)
     return out

@@ -26,6 +26,7 @@ class Opcode(Enum):
     OP_32 = 0x3B
     SYSTEM = 0x73
     MISC_MEM = 0x0F
+    VIRTUAL = 0x0B   # custom-0: virtual-sequence rows (vm/virtual.py)
     UNKNOWN = -1
 
     @classmethod
@@ -66,6 +67,13 @@ def decode(instr: int) -> DecodedInstruction:
 
 def _decode_uncached(instr: int) -> DecodedInstruction:
     opcode = Opcode.from_instruction(instr)
+    if opcode is Opcode.VIRTUAL:
+        from . import virtual as vi
+
+        kind, rd, rs1, rs2, _, _ = vi.fields(instr)
+        return DecodedInstruction(instr, opcode, rd, rs1, rs2,
+                                  (instr >> 12) & 0x7, (instr >> 25) & 0x7F,
+                                  vi.VIRT_IMM.get(kind, 0), "V")
     rd = (instr >> 7) & 0x1F
     funct3 = (instr >> 12) & 0x7
     rs1 = (instr >> 15) & 0x1F

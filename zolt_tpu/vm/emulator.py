@@ -58,9 +58,13 @@ class TraceStep(NamedTuple):
     next_pc: int
     is_compressed: bool
     is_noop: bool = False
+    # position within a virtual sequence (vm/virtual.py): 0 for real rows,
+    # 0..L-1 for the L expanded rows of a div-family instruction. The
+    # bytecode slot of a row is slot_of(address) + seq_pos.
+    seq_pos: int = 0
 
 
-NOOP_STEP = TraceStep(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, False, 0, False, True)
+NOOP_STEP = TraceStep(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, False, 0, False, True, 0)
 
 
 def pad_with_noop(steps: list[TraceStep], min_pad: int = 256) -> list[TraceStep]:
@@ -94,6 +98,10 @@ class Emulator:
     trace: list[TraceStep] = field(default_factory=list)
     is_compressed: bool = False
     prev_pc: int = 0
+    # expand div-family instructions into virtual sequences (vm/virtual.py).
+    # Sound-mode proves turn this on; reference-compat traces keep the
+    # reference's direct div/rem rows (no sequences, like the reference).
+    expand_virtual: bool = False
 
     def __post_init__(self):
         self.device = JoltDevice(MemoryLayout.create(self.config))
@@ -171,6 +179,13 @@ class Emulator:
         instruction = self._fetch()
         d = dec.decode(instruction)
 
+        if self.expand_virtual:
+            from . import virtual as vi
+
+            if vi.is_div_family(instruction):
+                self._step_virtual_sequence(instruction)
+                return True
+
         rs1_value = self.registers.read(d.rs1)
         rs2_value = self.registers.read(d.rs2)
         rd_pre_value = self.registers.read(d.rd)
@@ -211,6 +226,48 @@ class Emulator:
         self.cycle += 1
         self.registers.tick()
         return True
+
+    def _step_virtual_sequence(self, instruction: int) -> None:
+        """Execute a div-family instruction as its virtual sequence: one
+        trace row per virtual word, scratch in x32.., untrusted advice
+        pinned by the in-sequence asserts (vm/virtual.py module doc)."""
+        from . import virtual as vi
+
+        d = dec.decode(instruction)
+        q, r = vi.advice_values(instruction, self.registers.read(d.rs1),
+                                self.registers.read(d.rs2))
+        words = vi.expand(instruction)
+        advice_iter = iter((q, r))
+        for pos, w in enumerate(words):
+            kind, rd, rs1, rs2, _, last = vi.fields(w)
+            rs1_value = self.registers.read(rs1)
+            rs2_value = self.registers.read(rs2)
+            rd_pre_value = self.registers.read(rd)
+            adv = next(advice_iter) if kind == vi.VK.ADVICE else 0
+            if kind in vi.IMM_KINDS:
+                rs2_value = 0          # operand comes from the static imm
+            rd_value = vi.row_result(kind, rs1_value, rs2_value, adv)
+            if kind in vi.ASSERT_KINDS:
+                if rd_value != 1:
+                    raise RuntimeError(
+                        f"virtual assert {kind.name} failed at pc="
+                        f"{self.pc:#x} ({rs1_value:#x}, {rs2_value:#x})")
+                out = 0
+            else:
+                self.registers.write(rd, rd_value)
+                out = rd_value if rd != 0 else 0
+            self.trace.append(TraceStep(
+                cycle=self.cycle, pc=self.pc, unexpanded_pc=self.pc,
+                instruction=w, rs1_value=rs1_value, rs2_value=rs2_value,
+                rd_pre_value=rd_pre_value, rd_value=out,
+                memory_addr=None, memory_pre_value=None, memory_value=None,
+                is_memory_write=False,
+                next_pc=self.pc + 4 if last else self.pc,
+                is_compressed=False, seq_pos=pos))
+            self.cycle += 1
+            self.registers.tick()
+        self.prev_pc = self.pc
+        self.pc += 4
 
     def run(self, max_cycles: int = 1 << 24) -> None:
         from .native_emu import run_native
@@ -485,7 +542,7 @@ def _sext(v: int, bits: int) -> int:
 
 
 def run_elf(path_or_bytes, inputs: bytes = b"", config: MemoryConfig | None = None,
-            max_cycles: int = 1 << 24) -> Emulator:
+            max_cycles: int = 1 << 24, expand_virtual: bool = False) -> Emulator:
     """Load an ELF, run to termination, return the emulator with full traces."""
     from . import elf as elfmod
 
@@ -497,7 +554,7 @@ def run_elf(path_or_bytes, inputs: bytes = b"", config: MemoryConfig | None = No
     config = config or MemoryConfig(program_size=max(1024, len(image)))
     if config.program_size is None:
         config.program_size = max(1024, len(image))
-    emu = Emulator(config)
+    emu = Emulator(config, expand_virtual=expand_virtual)
     emu.load_program_at(image, base)
     emu.pc = parsed.entry
     if inputs:

@@ -186,6 +186,27 @@ class LazyList(list):
         super().reverse()
 
 
+def _program_has_div(emu) -> bool:
+    """Static scan of the loaded image for div-family words (RV64M divide /
+    remainder, incl. the C-extension — RVC has no div encodings, so only
+    4-byte words can match). Conservative: a data word that happens to look
+    like a div also routes to the Python tier, which is merely slower."""
+    mem = emu.ram.memory
+    for a, w in mem.items():
+        for half in (w & 0xFFFFFFFF, w >> 32):
+            if (half & 0x7F) in (0x33, 0x3B) and ((half >> 25) & 0x7F) == 1 \
+                    and ((half >> 12) & 0x7) >= 4:
+                return True
+        # 4-byte instructions can straddle word boundaries after a 2-byte
+        # compressed one; check the middle alignment too
+        nxt = mem.get(a + 8, 0)
+        mid = ((w >> 16) | (nxt << 48)) & 0xFFFFFFFF
+        if (mid & 0x7F) in (0x33, 0x3B) and ((mid >> 25) & 0x7F) == 1 \
+                and ((mid >> 12) & 0x7) >= 4:
+            return True
+    return False
+
+
 def run_native(emu, max_cycles: int) -> bool:
     """Run `emu` to termination with the C stepper. Returns False when the
     native tier is unavailable or the program needs the Python fallback
@@ -196,6 +217,10 @@ def run_native(emu, max_cycles: int) -> bool:
         return False
     if emu.trace or emu.cycle:
         return False  # mid-run resume not supported; Python path handles it
+    if emu.expand_virtual and _program_has_div(emu):
+        # virtual-sequence expansion (vm/virtual.py) is Python-tier only;
+        # div-free programs still take the native stepper
+        return False
 
     lay = emu.device.layout
     lowest = lay.lowest_address()
@@ -226,7 +251,7 @@ def run_native(emu, max_cycles: int) -> bool:
         ram_base=base, ram_nwords=nwords, max_cycles=max_cycles)
 
     st = _RvState()
-    for i, v in enumerate(emu.registers.registers):
+    for i, v in enumerate(emu.registers.registers[:32]):
         st.regs[i] = v
     st.pc = emu.pc
     st.prev_pc = emu.prev_pc
@@ -337,7 +362,7 @@ def run_native(emu, max_cycles: int) -> bool:
     final_words = ram[((waddrs - base) >> np.uint64(3)).astype(np.int64)]
     emu.ram.memory.update(zip(waddrs.tolist(), final_words.tolist()))
 
-    emu.registers.registers = [int(st.regs[i]) for i in range(32)]
+    emu.registers.registers = [int(st.regs[i]) for i in range(32)] + [0] * 96
     emu.registers.timestamp = int(st.cycle)
     emu.pc = int(st.pc)
     emu.prev_pc = int(st.prev_pc)

@@ -81,7 +81,10 @@ class RegisterAccess:
 
 @dataclass
 class RegisterFile:
-    registers: list[int] = field(default_factory=lambda: [0] * 32)
+    # 32 architectural + 96 virtual registers (reference
+    # common/constants.zig:7-19; the virtual half is scratch for the
+    # virtual instruction sequences, vm/virtual.py)
+    registers: list[int] = field(default_factory=lambda: [0] * 128)
     trace: list[RegisterAccess] = field(default_factory=list)
     timestamp: int = 0
 

@@ -71,12 +71,21 @@ class BytecodeIndex:
             self.entries.append(BytecodeEntry(0, 0, False))
         self.size = size
         self.log_k = size.bit_length() - 1
-        self.pc_to_slot = {e.pc: i for i, e in enumerate(self.entries)
-                           if e.instruction != 0}
+        # first slot at each address (virtual-sequence entries share their
+        # parent's address; slot_of_step adds the step's seq_pos)
+        self.pc_to_slot: dict[int, int] = {}
+        self.expanded = False
+        for i, e in enumerate(self.entries):
+            if e.instruction != 0:
+                self.pc_to_slot.setdefault(e.pc, i)
+                if (e.instruction & 0x7F) == 0x0B:
+                    self.expanded = True
         self._cols: dict[Inp, list[int]] | None = None
 
     @classmethod
     def from_code(cls, code: bytes, base_address: int) -> "BytecodeIndex":
+        from ..vm import virtual as vi
+
         entries = [BytecodeEntry(0, 0, False)]          # NoOp sentinel
         off = 0
         while off < len(code):
@@ -89,7 +98,14 @@ class BytecodeIndex:
                 if off + 4 > len(code):
                     break
                 word = int.from_bytes(code[off:off + 4], "little")
-                entries.append(BytecodeEntry(addr, word, False))
+                if vi.is_div_family(word):
+                    # div-family expands to its virtual sequence: the
+                    # expanded rows ARE the bytecode (the tracer derives the
+                    # identical sequence, vm/virtual.py)
+                    for vw in vi.expand(word):
+                        entries.append(BytecodeEntry(addr, vw, False))
+                else:
+                    entries.append(BytecodeEntry(addr, word, False))
                 off += 4
         return cls(entries)
 
@@ -112,7 +128,7 @@ class BytecodeIndex:
         slot = self.pc_to_slot.get(step.pc)
         if slot is None:
             raise ValueError(f"pc 0x{step.pc:x} not in the bytecode index")
-        return slot
+        return slot + getattr(step, "seq_pos", 0)
 
     def slots_per_cycle(self, padded_steps) -> list[int]:
         return [self.slot_of_step(s) for s in padded_steps]
@@ -130,6 +146,12 @@ class BytecodeIndex:
                 cycle_witness(_fake_step(e), None, sound=True)
             for c in STATIC_COLS:
                 cols[c][i] = w[c] % P
+            if self.expanded and e.instruction != 0:
+                # slot-PC indexing: with virtual sequences in the bytecode
+                # the PC witness column is the slot index (constraint #17
+                # chains PC by +1 through sequences), so the static PC
+                # table is the identity over slots
+                cols[Inp.PC][i] = i
         self._cols = cols
         return cols
 

@@ -228,7 +228,8 @@ def build_rd_inc(steps, size: int):
     u = np.uint64
     instr = arrs["instruction"][:n]
     opcode = instr & u(0x7F)
-    rd = (instr >> u(7)) & u(0x1F)
+    # 7-bit rd: virtual rows (vm/virtual.py) write scratch registers x32..
+    rd = ((instr >> u(7)) & u(0x1F)) | (((instr >> u(32)) & u(3)) << u(5))
     keep = (opcode != u(0x23)) & (opcode != u(0x63)) & (rd != u(0))
     post = np.where(keep, arrs["rd_value"][:n], u(0))
     pre = np.where(keep, arrs["rd_pre_value"][:n], u(0))

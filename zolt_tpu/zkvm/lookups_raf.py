@@ -88,6 +88,7 @@ _CHAINS = {Table.UnsignedLessThan: (1, 0, 0, False),
            Table.SignedLessThan: (1, 0, 0, True),
            Table.UnsignedGreaterThanEqual: (-1, 0, 1, False),
            Table.SignedGreaterThanEqual: (-1, 0, 1, True),
+           Table.UnsignedLessThanEqual: (1, 1, 0, False),
            Table.Equal: (0, 1, 0, False),
            Table.NotEqual: (0, -1, 1, False)}
 
@@ -131,12 +132,12 @@ class ClassGroup:
         self.chain = None       # (b_lt, b_eq, signed) coeff-scaled
         self.bitop = None       # (coeff, kind)
         self.shift = None       # (coeff, kind)
-        self.valid = None       # (coeff, table)
+        self.valids = []        # [(coeff, table)] generic per-entry tables
         for slot, g in ((spec.out, gammas[0]), (spec.left, gammas[1]),
                         (spec.right, gammas[2])):
             self._add_slot(slot, g)
         if spec.valid_table is not None:
-            self.valid = (gammas[3], spec.valid_table)
+            self.valids.append((gammas[3], spec.valid_table))
         # entry collection (vectorized into numpy/FrVec state by finalize())
         self.cyc: list[int] = []
         self.idx: list[int] = []
@@ -160,6 +161,8 @@ class ClassGroup:
             self._add_lin(((i, 1 << i) for i in range(64)), g)
         elif k == G.IDENT_LOW64_NO0:
             self._add_lin(((i, 1 << i) for i in range(1, 64)), g)
+        elif k == G.IDENT_HIGH64:
+            self._add_lin(((64 + i, 1 << i) for i in range(64)), g)
         elif k == G.ODDS:
             self._add_lin(((2 * i + 1, 1 << i) for i in range(64)), g)
         elif k == G.EVENS:
@@ -188,6 +191,15 @@ class ClassGroup:
                 assert self.chain is None
                 self.chain = (g * bl % P, g * be % P, signed)
                 self.cc = (self.cc + g * c) % P
+            elif t == Table.SignExtend32:
+                # linear over the RAW index bits: low 31 as-is, bit 31
+                # replicated into bits 31..63 (virtual SEXT32 rows)
+                self._add_lin(((i, 1 << i) for i in range(31)), g)
+                self._add_lin(((31, TWO64 - (1 << 31)),), g)
+            elif t in (Table.ValidUnsignedRemainder, Table.ValidDiv0):
+                # rare: generic per-entry MLE evaluation (same path as the
+                # compat div/rem validity side tables)
+                self.valids.append((g % P, t))
             else:
                 raise ValueError(f"no phase-A machinery for table {t}")
         else:
@@ -460,7 +472,7 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
         round_bits = []    # per-group bit arrays, reused by the fold pass
         for grp in grouplist:
             wp = grp.lin_w[pos]
-            ch, bo, sh, va = grp.chain, grp.bitop, grp.shift, grp.valid
+            ch, bo, sh, va = grp.chain, grp.bitop, grp.shift, grp.valids
             bit = grp.bit(pos)
             round_bits.append(bit)
             # remove this position from the per-entry linear suffix state
@@ -584,22 +596,22 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
             S0 += A0 * Wb[0] + L[0]
             S2m += (A0 + 2 * wp) * Wb[0] + L[0]
             S2p += (A0 + 2 * wp) * Wb[1] + L[1]
-            if va is not None:
+            if va:
                 # rare validity tables: generic per-entry evaluation
-                coeff, vt = va
                 wt_ints = grp.wt.to_ints()
-                for t in range(grp.n):
-                    idx = grp.idx[t]
-                    b = (idx >> pos) & 1
-                    pt = _mixed_point(r_bound, idx, pos, 0)
-                    val0 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
-                    pt[pos] = 2
-                    val2 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
-                    if b:
-                        S2p += wt_ints[t] * (coeff * val2 % P)
-                    else:
-                        S0 += wt_ints[t] * (coeff * val0 % P)
-                        S2m += wt_ints[t] * (coeff * val2 % P)
+                for coeff, vt in va:
+                    for t in range(grp.n):
+                        idx = grp.idx[t]
+                        b = (idx >> pos) & 1
+                        pt = _mixed_point(r_bound, idx, pos, 0)
+                        val0 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
+                        pt[pos] = 2
+                        val2 = tb.evaluate_mle(vt, list(reversed(pt)), 64)
+                        if b:
+                            S2p += wt_ints[t] * (coeff * val2 % P)
+                        else:
+                            S0 += wt_ints[t] * (coeff * val0 % P)
+                            S2m += wt_ints[t] * (coeff * val2 % P)
             e0 += S0
             e2 += 2 * S2p - S2m
         e0 %= P
@@ -691,11 +703,11 @@ def prove_stage8(transcript, padded_steps, bc_index, lo_claim: int,
         low_cat = (grp._lo & np.uint64(size - 1)).astype(np.uint16)
         A = FrVec.cat_wsum(grp.wt, None, low_cat, size)
         dense.append((A, V))
-        if grp.valid is not None:
-            coeff, vt = grp.valid
+        if grp.valids:
             wt_ints = grp.wt.to_ints()
-            for t in range(grp.n):
-                endgame_valid.append((coeff, vt, grp.idx[t], wt_ints[t]))
+            for coeff, vt in grp.valids:
+                for t in range(grp.n):
+                    endgame_valid.append((coeff, vt, grp.idx[t], wt_ints[t]))
 
     eg_challenges: list[int] = []
     for pos in range(ENDGAME_VARS - 1, -1, -1):

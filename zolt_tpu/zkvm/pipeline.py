@@ -44,7 +44,10 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
     """Full Jolt-format proof for an ELF. `golden_commitments` replaces the
     commitment phase with externally-provided GT bytes (for differential
     testing against a proof produced with a different SRS)."""
-    emu = run_elf(elf_path)
+    # sound mode traces div-family instructions as virtual sequences
+    # (vm/virtual.py) so every lookup is index-bound; reference-compat
+    # traces keep the reference's direct div/rem rows
+    emu = run_elf(elf_path, expand_virtual=sound)
     padded = pad_with_noop(list(emu.trace))
     trace_length = len(padded)
     n_cycle_vars = trace_length.bit_length() - 1

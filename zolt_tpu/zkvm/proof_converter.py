@@ -226,7 +226,12 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
 
     conv = JoltConversion()
     with metrics.stage("witness_gen"):
-        wcols = ri.witness_columns(padded_steps, sound=sound)
+        # expanded bytecode (virtual sequences) switches the PC column to
+        # slot indexing — constraint #17 chains PC by +1 through sequences
+        slots = (bc_index.slots_per_cycle(padded_steps)
+                 if bc_index is not None and getattr(bc_index, "expanded", False)
+                 else None)
+        wcols = ri.witness_columns(padded_steps, sound=sound, slots=slots)
 
     with metrics.stage("stage1"):
         s1_backend = backend if backend is not None else stage1_backend

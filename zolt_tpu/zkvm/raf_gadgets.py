@@ -55,6 +55,7 @@ class G(IntEnum):
     IDENT128 = 1       # sum 2^i k_i over all 128 bits
     IDENT_LOW64 = 2    # sum over low 64 bits
     IDENT_LOW64_NO0 = 3  # low 64 bits with bit 0 dropped (JALR ~1 mask)
+    IDENT_HIGH64 = 9   # sum 2^i k_{64+i} (high word of a 128-bit product)
     ODDS = 4           # x-half: sum 2^i k_{2i+1}
     EVENS = 5          # y-half: sum 2^i k_{2i}
     EVENS_PLUS_ODDS = 6
@@ -98,6 +99,8 @@ def gadget_eval_bits(slot: Slot, idx: int) -> int:
         v = idx & M64
     elif g == G.IDENT_LOW64_NO0:
         v = idx & M64 & ~1
+    elif g == G.IDENT_HIGH64:
+        v = (idx >> 64) & M64
     elif g == G.ODDS:
         v = tb.uninterleave_bits(idx, 64)[0]
     elif g == G.EVENS:
@@ -126,6 +129,8 @@ def gadget_eval_point(slot: Slot, r: list[int]) -> int:
         v = sum((1 << i) * r[i] for i in range(64)) % P
     elif g == G.IDENT_LOW64_NO0:
         v = sum((1 << i) * r[i] for i in range(1, 64)) % P
+    elif g == G.IDENT_HIGH64:
+        v = sum((1 << i) * r[64 + i] for i in range(64)) % P
     elif g == G.ODDS:
         v = sum((1 << i) * r[2 * i + 1] for i in range(64)) % P
     elif g == G.EVENS:
@@ -181,6 +186,9 @@ def entry_spec(instr: int) -> RafSpec | None:
     opcode = instr & 0x7F
     f3 = (instr >> 12) & 0x7
     f7 = (instr >> 25) & 0x7F
+
+    if opcode == 0x0B:  # virtual-sequence rows (vm/virtual.py)
+        return _virtual_spec(instr)
 
     if opcode == 0x33:  # OP
         if f7 == 0x01:  # M extension
@@ -271,6 +279,46 @@ def entry_spec(instr: int) -> RafSpec | None:
     return None  # SYSTEM / FENCE / anything else: no lookup
 
 
+def _virtual_spec(instr: int) -> RafSpec:
+    """RAF specs for the virtual-sequence kinds (vm/virtual.py). Every kind
+    is fully index-bound: operand columns are linear gadgets of the
+    committed 128-bit index (interleaved pairs for table kinds, unreduced
+    sums for the add-class kinds, the full product for MUL/MULHU — whose
+    mul-operand fusion, constraint #9, pins idx = rs1*rs2 exactly since
+    both fit far below p)."""
+    from ..vm import virtual as vi
+
+    kind = vi.fields(instr)[0]
+    VK = vi.VK
+    if kind == VK.ADVICE:
+        return RafSpec("VAdvice", Slot(G.IDENT_LOW64), ZERO_SLOT,
+                       Slot(G.IDENT_LOW64))
+    if kind == VK.MUL:
+        return RafSpec("VMul", Slot(G.IDENT_LOW64), ZERO_SLOT,
+                       Slot(G.IDENT128))
+    if kind == VK.MULHU:
+        return RafSpec("VMulhu", Slot(G.IDENT_HIGH64), ZERO_SLOT,
+                       Slot(G.IDENT128))
+    if kind == VK.ADD:
+        return RafSpec("VAdd", Slot(G.IDENT_LOW64), ZERO_SLOT,
+                       Slot(G.IDENT128))
+    if kind == VK.MOVE:
+        return RafSpec("VMove", Slot(G.IDENT_LOW64), ZERO_SLOT,
+                       Slot(G.IDENT128))
+    if kind == VK.SUB:
+        return RafSpec("VSub", Slot(G.TABLE, 0, Table.Sub), ZERO_SLOT,
+                       Slot(G.SUB_COMBO))
+    if kind == VK.SEXT32:
+        # SignExtend32 reads the RAW index (low 32 bits), so idx = rs1
+        # un-interleaved; the left operand is the identity of the index
+        return RafSpec("VSext32", Slot(G.TABLE, 0, Table.SignExtend32),
+                       Slot(G.IDENT_LOW64), ZERO_SLOT)
+    # plain two-operand table kinds: idx = interleave(rs1, y)
+    table = vi.VIRT_TABLE[kind]
+    return RafSpec("VTable", Slot(G.TABLE, 0, table), Slot(G.ODDS),
+                   Slot(G.EVENS))
+
+
 def needs_witness_adjust(instr: int) -> tuple[bool, bool, bool]:
     """(zero_left_flag, zero_right_flag, zero_output) for the sound witness.
     W-family and system opcodes (spec None) zero everything unbindable."""
@@ -292,6 +340,24 @@ def sound_lookup_index(step) -> int | None:
     f7 = (instr >> 25) & 0x7F
     rs1 = step.rs1_value & M64
     rs2 = step.rs2_value & M64
+
+    if opcode == 0x0B:  # virtual-sequence rows (vm/virtual.py)
+        from ..vm import virtual as vi
+
+        kind = vi.fields(instr)[0]
+        VK = vi.VK
+        if kind == VK.ADVICE:
+            return step.rd_value & M64
+        if kind in (VK.MUL, VK.MULHU):
+            return rs1 * rs2                          # full 128-bit product
+        if kind == VK.ADD:
+            return rs1 + rs2                          # unreduced
+        if kind in (VK.MOVE, VK.SEXT32):
+            return rs1                                # raw-index tables
+        if kind == VK.SUB:
+            return tb.interleave_bits(rs1, rs2)
+        y = vi.VIRT_IMM[kind] if kind in vi.IMM_KINDS else rs2
+        return tb.interleave_bits(rs1, y & M64)
 
     if opcode == 0x33:
         if f7 == 0x01:

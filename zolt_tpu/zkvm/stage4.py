@@ -112,6 +112,7 @@ def compute_initial_ram_eval(initial_ram: dict[int, int], start_address: int,
 _READS_RS1 = {0x13, 0x03, 0x67, 0x1B, 0x33, 0x3B, 0x23, 0x63}
 _READS_RS2 = {0x33, 0x3B, 0x23, 0x63}
 _NO_RD = {0x23, 0x63}
+NO_READ = K          # per-cycle "reads no register" sentinel (> any reg)
 
 
 class Stage4RegistersProver:
@@ -154,20 +155,32 @@ class Stage4RegistersProver:
         instr = arrs["instruction"]
         rdv = arrs["rd_value"]
         opcode = (instr & np.uint64(0x7F)).astype(np.uint32)
-        rd_f = ((instr >> np.uint64(7)) & np.uint64(0x1F)).astype(np.int64)
-        rs1_f = ((instr >> np.uint64(15)) & np.uint64(0x1F)).astype(np.int64)
-        rs2_f = ((instr >> np.uint64(20)) & np.uint64(0x1F)).astype(np.int64)
+        u = np.uint64
+        # 7-bit register fields: virtual-sequence rows (vm/virtual.py) carry
+        # the two high bits in the synthetic word's extension byte; real
+        # instructions have zero there, so the OR is uniform
+        rd_f = (((instr >> u(7)) & u(0x1F))
+                | (((instr >> u(32)) & u(3)) << u(5))).astype(np.int64)
+        rs1_f = (((instr >> u(15)) & u(0x1F))
+                 | (((instr >> u(34)) & u(3)) << u(5))).astype(np.int64)
+        rs2_f = (((instr >> u(20)) & u(0x1F))
+                 | (((instr >> u(36)) & u(3)) << u(5))).astype(np.int64)
 
         def pad_to_T(a, fill):
             if n_real == T:
                 return a
             return np.concatenate([a, np.full(T - n_real, fill, a.dtype)])
 
-        # per-cycle read registers (32 = "no read"; selector gathers below)
-        rs1_reg = pad_to_T(np.where(np.isin(opcode, tuple(_READS_RS1)),
-                                    rs1_f, np.int64(32)), 32)
-        rs2_reg = pad_to_T(np.where(np.isin(opcode, tuple(_READS_RS2)),
-                                    rs2_f, np.int64(32)), 32)
+        # per-cycle read registers (sentinel 128 = "no read")
+        is_virt = opcode == np.uint32(0x0B)
+        vkind = (((instr >> u(12)) & u(7))
+                 | (((instr >> u(27)) & u(3)) << u(3))).astype(np.int64)
+        v_reads_rs1 = is_virt & (vkind != 0)             # all but ADVICE
+        v_reads_rs2 = is_virt & np.isin(vkind, (1, 2, 3, 4, 5, 10, 11, 12, 13))
+        reads1 = np.isin(opcode, tuple(_READS_RS1)) | v_reads_rs1
+        reads2 = np.isin(opcode, tuple(_READS_RS2)) | v_reads_rs2
+        rs1_reg = pad_to_T(np.where(reads1, rs1_f, np.int64(NO_READ)), NO_READ)
+        rs2_reg = pad_to_T(np.where(reads2, rs2_f, np.int64(NO_READ)), NO_READ)
         self._rs1_reg = rs1_reg
         self._rs2_reg = rs2_reg
         # challenge log for the deferred rs1/rs2 final-claim evals
@@ -198,9 +211,12 @@ class Stage4RegistersProver:
         # (the row build dominated stage-4 init at T=2^20); fold passes
         # dedupe by object identity so the shared row folds once
         used = set(np.unique(rd_w[rd_w >= 0]).tolist())
-        used |= set(np.unique(rs1_reg[rs1_reg < 32]).tolist())
-        used |= set(np.unique(rs2_reg[rs2_reg < 32]).tolist())
-        for k in range(32):
+        used |= set(np.unique(rs1_reg[rs1_reg < NO_READ]).tolist())
+        used |= set(np.unique(rs2_reg[rs2_reg < NO_READ]).tolist())
+        # traces without virtual sequences only ever touch x0..x31; with
+        # them, the scratch registers x32.. come live (vm/virtual.py)
+        self.reg_span = 32 if (not used or max(used) < 32) else K
+        for k in range(self.reg_span):
             if k not in used:
                 self.val.append(self._zero_row)
                 self.rd_wa.append(self._zero_row)
@@ -227,8 +243,8 @@ class Stage4RegistersProver:
         self.merged_eq: object | None = None
         self.current_T = T
         self.current_K = K
-        # only registers 0..31 are ever nonzero; the bound shrinks in phase 2
-        self.active_K = 32
+        # registers beyond reg_span are all-zero; the bound shrinks in phase 2
+        self.active_K = self.reg_span
 
     def _row(self, rows, k):
         return rows[k] if k < len(rows) else self._zero_row
@@ -431,13 +447,15 @@ class Stage4RegistersProver:
         # fold_adj binds the LSB each round: both challenge logs are
         # little-endian points; eq_LE(r, x) = eq_BE(reversed(r), x)
         eq_cycle = FrVec.eq_table_be(list(reversed(self._r_cycle_bound)))
-        w = [1] * 32
+        span = self.reg_span
+        w = [1] * span
         for i, rk in enumerate(self._r_k_bound):
-            for k in range(32):
+            for k in range(span):
                 w[k] = w[k] * (rk if (k >> i) & 1 else (1 - rk)) % P
         wmat = np.frombuffer(bytes(_mont_scalars(w + [0])),
-                             dtype=np.uint8).reshape(33, 32)
-        v = FrVec(self.T, mont=bytearray(wmat[reg_per_cycle].tobytes()))
+                             dtype=np.uint8).reshape(span + 1, 32)
+        idx = np.minimum(reg_per_cycle, span)   # NO_READ -> the zero row
+        v = FrVec(self.T, mont=bytearray(wmat[idx].tobytes()))
         return v.inner(eq_cycle)
 
     def final_claims(self) -> dict[str, int]:

@@ -74,13 +74,14 @@ def prove_stage5(transcript, padded_steps, s4_res,
 
     wa = [0] * T
     inc = [0] * T
-    regs = [0] * 32
+    regs = [0] * 128
     for j, step in enumerate(padded_steps):
         if getattr(step, "is_noop", False):
             continue
         instr = step.instruction
         opcode = instr & 0x7F
-        rd = (instr >> 7) & 0x1F
+        # 7-bit rd: virtual rows (vm/virtual.py) write scratch x32..
+        rd = ((instr >> 7) & 0x1F) | (((instr >> 32) & 0x3) << 5)
         if opcode not in _NO_RD and rd != 0:
             wa[j] = _eq_le(r_k_le, rd)
             inc[j] = (step.rd_value - regs[rd]) % P
