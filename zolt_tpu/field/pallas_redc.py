@@ -1,0 +1,555 @@
+"""Fused Pallas sumcheck-fold kernel: MXU byte-Toeplitz products with the
+whole Montgomery REDC resident in VMEM, carried in 16-bit digit space.
+
+This is the production successor to the XLA shared-scalar tier
+(field/mxu.py). The XLA kernels are algebraically identical but XLA
+materializes the byte-plumbing passes between the matmuls to HBM (limb
+split, lazy-carry normalization, the strict divide-by-R chain, conditional
+subtract) — ~8-15 HBM round trips of 32-64 B per element. Here each grid
+block reads its table tile from HBM exactly once, runs the three REDC
+matmuls on the MXU from VMEM, and writes the folded tile.
+
+Fold algebra (one REDC instead of mxu.fold_shared's sub+mul+add):
+
+    new[i] = lo[i] + r·(hi[i]−lo[i]) = (1−r)·lo[i] + r·hi[i]
+           = REDC( [bytes(lo[i]) ‖ bytes(hi[i])] @ [T[(1−r)·R] ; T[r·R]] )
+
+with T[s] the (32, 64) byte-Toeplitz of a Montgomery scalar
+(mxu.scalar_toeplitz) — ONE (B,64)@(64,64) MXU dot for both terms. All
+dots run bf16×bf16→f32 (single MXU pass): operands are bytes ≤ 256
+(exact in bf16) and column sums < 2^21 (exact in f32 accumulation).
+
+Everything after a dot lives in 16-BIT DIGIT space, not bytes: the dot's
+output columns are pre-permuted to [even bytes ‖ odd bytes] plane order
+(a column permutation of the band matrices, free at setup), so the
+byte-pair combine `digit[j] = col[2j] + 256·col[2j+1]` is one wide add of
+two contiguous lane halves — no deinterleave, no per-lane extraction.
+Digits halve the lane volume of every carry pass vs the byte form and
+eliminate the final byte→limb pairing step (digits ARE the output format).
+
+Carry structures are all wide log-depth passes:
+  - lazy digit normalization: two shift-add passes bound digits by 65536;
+  - the low half (≡ 0 mod 2^256 by the REDC guarantee) contributes
+    `accumulated pass spills + any(digit ≠ 0)` as its exact carry-out;
+  - exact canonicalization and the conditional subtract use Kogge–Stone
+    carry lookahead (4 shift-combine levels for 16 lanes) instead of a
+    16-step sequential ripple (per-lane extraction is a cross-lane shuffle
+    on the VPU — the v1 kernel's mistake, 10× slower than XLA).
+
+REDC bound audit (u32 never overflows, one conditional subtract lands
+canonical — outputs bit-identical to limb.mont_mul / mxu.fold_shared):
+  product columns  c < 2·32·255²            < 2^22
+  digits d = c_even + 256·c_odd             < 1.07·2^30
+  q columns < 32·256·255 ⇒ q digits         < 0.55·2^30
+  t = d + q                                 < 1.62·2^30 < 2^31  ✓
+  lazy passes: 65535 + (2^31 >> 16) pass 1, 65535 + 1 pass 2    ✓
+  m' (lazy digits ≤ 65536) < R·65536/65535 ⇒ t/R < 1.2p         ✓
+
+Mosaic lowering notes (probed on the real chip; the gaps that blocked the
+round-2 attempt, now routed around): u32→f32 `astype` doesn't lower
+(bitcast int32 first); `.at[].add` is scatter-add (use concat shifts);
+unsigned reductions unsupported (bitcast int32, values < 2^31); reshapes
+across the tiled dims don't lower (the (2n,16)→(n,32) pair view happens
+outside the kernel — a zero-copy row-major view); f32×f32 dots lower to
+the multi-pass HIGHEST decomposition (cast to bf16, exact for bytes).
+
+Reference hot loops this carries: the bindLow folds driving every sumcheck
+instance (src/poly/mod.zig:160-175) via zkvm/device_outer._fold_fixed and
+parallel/stage_engine._fold_fixed_stack.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limb import FR_C, FieldConst
+from .params import N_LIMBS
+from . import mxu
+
+_U32 = jnp.uint32
+N8 = 2 * N_LIMBS      # 32 bytes per element
+W8 = 2 * N8           # 64 product columns
+
+# Byte-position plane order: [0,2,4,…,30, 1,3,…,31] (even bytes ‖ odd).
+_PLANE_PERM = np.concatenate([np.arange(0, N8, 2), np.arange(1, N8, 2)])
+# Product-column plane order over 64 columns.
+_COL_PERM = np.concatenate([np.arange(0, W8, 2), np.arange(1, W8, 2)])
+
+
+def scalar_toeplitz_planes(s_mont: int) -> np.ndarray:
+    """(32, 64) f32 byte-Toeplitz of a Montgomery scalar: rows in the
+    kernel's [lo-plane ‖ hi-plane] byte order, columns in plane order."""
+    return mxu.scalar_toeplitz(s_mont)[_PLANE_PERM][:, _COL_PERM]
+
+
+def _consts_planes(f: FieldConst) -> tuple[np.ndarray, np.ndarray]:
+    """(N' band, p band), rows AND columns in plane order."""
+    np_band, p_band = mxu._consts(f)
+    np_pl = np_band[_PLANE_PERM][:, _PLANE_PERM]
+    p_pl = p_band[_PLANE_PERM][:, _COL_PERM]
+    return np_pl.astype(np.float32), p_pl.astype(np.float32)
+
+
+_CONST_CACHE: dict = {}
+
+
+def _get_consts(f: FieldConst):
+    if f.name not in _CONST_CACHE:
+        np_band, p_band = _consts_planes(f)
+        p_limbs = np.asarray(f.p_limbs, dtype=np.uint32).reshape(1, N_LIMBS)
+        _CONST_CACHE[f.name] = (np_band, p_band, p_limbs)
+    return _CONST_CACHE[f.name]
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side helpers (pure jnp; shapes (B, lanes))
+# ---------------------------------------------------------------------------
+
+def _f32(x_u32):
+    """u32 (< 2^31) -> f32, via the int32 bitcast route Mosaic lowers."""
+    return pltpu.bitcast(x_u32, jnp.int32).astype(jnp.float32)
+
+
+def _u32_of_f32(x_f32):
+    """exact-integer f32 (< 2^31) -> u32."""
+    return pltpu.bitcast(x_f32.astype(jnp.int32), _U32)
+
+
+def _shiftd(c, d):
+    """Lane-axis shift right by d with zero fill."""
+    z = jnp.zeros(c.shape[:-1] + (d,), c.dtype)
+    return jnp.concatenate([z, c[..., :-d]], axis=-1)
+
+
+def _bytes_planes(x):
+    """(B, 16) u32 16-bit limbs -> (B, 32) f32 [lo-plane ‖ hi-plane]."""
+    xi = pltpu.bitcast(x, jnp.int32)
+    lo = (xi & 0xFF).astype(jnp.float32)
+    hi = ((xi >> 8) & 0xFF).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _dot_bf16(a_f32, b_f32):
+    """Exact single-pass MXU product: operands are integers ≤ 256 (exact in
+    bf16), column sums < 2^24 (exact in f32 accumulation). f32 operands
+    would make Mosaic emit the multi-pass HIGHEST decomposition."""
+    return jnp.dot(a_f32.astype(jnp.bfloat16), b_f32.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _digits_of_cols(cols_pl):
+    """Plane-ordered product columns (B, 2k) -> (B, k) 16-bit digits
+    d[j] = col[2j] + 256·col[2j+1] (one wide shift-add; the plane order
+    makes the byte pair two contiguous lane halves)."""
+    k = cols_pl.shape[-1] // 2
+    return cols_pl[..., :k] + (cols_pl[..., k:] << 8)
+
+
+def _lazy2(d):
+    """Two lazy digit passes: in d < 2^31  ⇒  out ≤ 65536. Carries out of
+    the top lane DROP (callers use this only where mod 2^{16·lanes} is the
+    intended semantics)."""
+    for _ in range(2):
+        d = (d & _U32(0xFFFF)) + _shiftd(d >> 16, 1)
+    return d
+
+
+def _ks_carries(g, p):
+    """Kogge–Stone carry lookahead: per-lane generate g∈{0,1} and propagate
+    p∈{0,1} -> carry INTO each lane, in log₂(lanes) wide steps."""
+    n = g.shape[-1]
+    d = 1
+    while d < n:
+        gs, ps = _shiftd(g, d), _shiftd(p, d)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    return _shiftd(g, 1)
+
+
+def _ks_normalize16(d):
+    """Exact canonicalization of 16-bit digits d ≤ 65536 (one deferred
+    carry): out = (d + c) & 0xFFFF with lookahead carries; the caller
+    guarantees zero final carry-out."""
+    g = d >> 16
+    p = jnp.where((d & _U32(0xFFFF)) == 0xFFFF, _U32(1), _U32(0))
+    c = _ks_carries(g, p)
+    return ((d & _U32(0xFFFF)) + c) & _U32(0xFFFF)
+
+
+def _mbytes(d16):
+    """Lazy digits ≤ 65536 -> (B, 32) f32 byte planes [lo8 ‖ hi8] for the
+    REDC band matmuls (hi8 ≤ 256, still bf16-exact)."""
+    di = pltpu.bitcast(d16, jnp.int32)
+    lo = (di & 0xFF).astype(jnp.float32)
+    hi = (di >> 8).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _redc_digits(cols_pl, np_band, p_band, p_limbs):
+    """(B, 64) u32 plane-ordered product columns (< 2^22) -> (B, 16) u32
+    canonical Montgomery limbs. Same algebra as mxu.redc_cols, executed in
+    16-bit digit space (see module docstring for the bound audit)."""
+    d = _digits_of_cols(cols_pl)                    # (B, 32), < 1.07·2^30
+    m16 = _lazy2(_digits_of_cols(
+        _u32_of_f32(_dot_bf16(_mbytes(_lazy2(d[..., :N_LIMBS])), np_band))))
+    q = _digits_of_cols(_u32_of_f32(_dot_bf16(_mbytes(m16), p_band)))
+    t = d + q                                       # (B, 32), < 1.62·2^30
+
+    # carry out of the (≡ 0 mod 2^256) low half: lazy-pass spills plus
+    # `any(digit ≠ 0)` on the < 1.00002·2^256 normalized remainder
+    # (signed max: Mosaic has no unsigned reductions; values < 2^31).
+    t_lo = t[..., :N_LIMBS]
+    spill = jnp.zeros(t.shape[:-1] + (1,), _U32)
+    for _ in range(2):
+        cy = t_lo >> 16
+        spill = spill + cy[..., -1:]
+        t_lo = (t_lo & _U32(0xFFFF)) + _shiftd(cy, 1)
+    any_nz = jnp.max(pltpu.bitcast(t_lo, jnp.int32), axis=-1, keepdims=True)
+    carry = spill + jnp.where(any_nz > 0, _U32(1), _U32(0))   # (B, 1)
+
+    pad = jnp.zeros(t.shape[:-1] + (N_LIMBS - 1,), _U32)
+    t_hi = t[..., N_LIMBS:] + jnp.concatenate([carry, pad], axis=-1)
+    res = _ks_normalize16(_lazy2(t_hi))             # exact limbs, < 1.2p
+
+    # conditional subtract p: borrow lookahead over the 16 limbs
+    pl_row = p_limbs[0:1, :]
+    g = jnp.where(res < pl_row, _U32(1), _U32(0))
+    pr = jnp.where(res == pl_row, _U32(1), _U32(0))
+    brw = _ks_carries(g, pr)
+    diff = (res - pl_row - brw) & _U32(0xFFFF)
+    # res >= p  ⇔  no borrow out of the top limb
+    top = g[..., -1:] | (pr[..., -1:] & brw[..., -1:])
+    return jnp.where(top == 0, diff, res)
+
+
+# ---------------------------------------------------------------------------
+# Transposed (dense-lane) kernel bodies
+#
+# The package's (…, 16)-limb layout puts limbs on the LANE axis: every VPU
+# op and HBM tile then uses 16/32 of 128 lanes — an 8×/4× density loss that
+# caps even a pure-copy pallas kernel at ~310 M elem/s (~50 GB/s useful).
+# The kernel therefore computes TRANSPOSED: the HBM pair array is viewed as
+# (n/4, 128) — four [lo16‖hi16] pair-slots per row — each tile is
+# transposed once in VMEM, the four (32, blk) slots are processed as fully
+# dense tiles (limbs/digits on sublanes: carry shifts are cheap sublane
+# concats, every lane carries a distinct element), and the four (16, blk)
+# results transpose back to the row-major (…, 16) output view.
+# ---------------------------------------------------------------------------
+
+def _shiftd0(c, d):
+    """Sublane-axis shift down by d with zero fill."""
+    z = jnp.zeros((d,) + c.shape[1:], c.dtype)
+    return jnp.concatenate([z, c[:-d, :]], axis=0)
+
+
+def _ks_carries_t(g, p):
+    """Kogge–Stone lookahead along the SUBLANE axis."""
+    n = g.shape[0]
+    d = 1
+    while d < n:
+        gs, ps = _shiftd0(g, d), _shiftd0(p, d)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    return _shiftd0(g, 1)
+
+
+def _bytes_planes_t(y):
+    """(16, B) u32 limbs -> (32, B) f32 [lo-plane ; hi-plane] (sublanes)."""
+    yi = pltpu.bitcast(y, jnp.int32)
+    lo = (yi & 0xFF).astype(jnp.float32)
+    hi = ((yi >> 8) & 0xFF).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _mbytes_t(d16):
+    di = pltpu.bitcast(d16, jnp.int32)
+    lo = (di & 0xFF).astype(jnp.float32)
+    hi = (di >> 8).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _lazy2_t(d):
+    for _ in range(2):
+        d = (d & _U32(0xFFFF)) + _shiftd0(d >> 16, 1)
+    return d
+
+
+def _digits_of_cols_t(cols_pl):
+    k = cols_pl.shape[0] // 2
+    return cols_pl[:k, :] + (cols_pl[k:, :] << 8)
+
+
+def _redc_digits_t(cols_pl, np_band_t, p_band_t, p_col):
+    """Transposed _redc_digits: (64, B) plane-ordered columns -> (16, B)
+    canonical limbs. Band matmuls take the form Wᵀ @ x (stationary Wᵀ)."""
+    d = _digits_of_cols_t(cols_pl)                  # (32, B) < 1.62·2^30
+    m16 = _lazy2_t(_digits_of_cols_t(_u32_of_f32(
+        _dot_bf16(np_band_t, _mbytes_t(_lazy2_t(d[:N_LIMBS, :]))))))
+    q = _digits_of_cols_t(_u32_of_f32(_dot_bf16(p_band_t, _mbytes_t(m16))))
+    t = d + q
+
+    t_lo = t[:N_LIMBS, :]
+    spill = jnp.zeros((1,) + t.shape[1:], _U32)
+    for _ in range(2):
+        cy = t_lo >> 16
+        spill = spill + cy[-1:, :]
+        t_lo = (t_lo & _U32(0xFFFF)) + _shiftd0(cy, 1)
+    any_nz = jnp.max(pltpu.bitcast(t_lo, jnp.int32), axis=0, keepdims=True)
+    carry = spill + jnp.where(any_nz > 0, _U32(1), _U32(0))   # (1, B)
+
+    pad = jnp.zeros((N_LIMBS - 1,) + t.shape[1:], _U32)
+    t_hi = t[N_LIMBS:, :] + jnp.concatenate([carry, pad], axis=0)
+    d16 = _lazy2_t(t_hi)
+    g = d16 >> 16
+    p = jnp.where((d16 & _U32(0xFFFF)) == 0xFFFF, _U32(1), _U32(0))
+    res = ((d16 & _U32(0xFFFF)) + _ks_carries_t(g, p)) & _U32(0xFFFF)
+
+    g = jnp.where(res < p_col, _U32(1), _U32(0))
+    pr = jnp.where(res == p_col, _U32(1), _U32(0))
+    brw = _ks_carries_t(g, pr)
+    diff = (res - p_col - brw) & _U32(0xFFFF)
+    top = g[-1:, :] | (pr[-1:, :] & brw[-1:, :])
+    return jnp.where(top == 0, diff, res)
+
+
+_SLOTS = 4            # pair-slots per 128-lane row
+_ROW = _SLOTS * 2 * N_LIMBS
+
+
+def _fold_kernel(rows_ref, tcat_ref, np_ref, p_ref, plimb_ref, out_ref):
+    xt = rows_ref[:].T                        # (128, B): 4 × [lo16 ‖ hi16]
+    tcat_t = tcat_ref[:]                      # (64, 64) pre-transposed
+    np_t, p_t = np_ref[:], p_ref[:]
+    p_col = plimb_ref[:]                      # (16, 1)
+    outs = []
+    for s in range(_SLOTS):
+        xs = xt[N8 * s: N8 * (s + 1), :]      # (32, B)
+        b = jnp.concatenate([_bytes_planes_t(xs[:N_LIMBS, :]),
+                             _bytes_planes_t(xs[N_LIMBS:, :])], axis=0)
+        cols = _u32_of_f32(_dot_bf16(tcat_t, b))
+        outs.append(_redc_digits_t(cols, np_t, p_t, p_col))
+    out_ref[:] = jnp.concatenate(outs, axis=0).T
+
+
+_BLOCK = 512          # (…, 128) rows per grid block = 4·_BLOCK pairs
+
+
+@partial(jax.jit, static_argnames="f")
+def fold_shared(tab, t_cat, f: FieldConst = FR_C):
+    """Adjacent-pair fold new[i] = t[2i] + r·(t[2i+1] − t[2i]) as ONE fused
+    Pallas pass. `tab` is (2n, 16) u32 Montgomery limbs (n a power of two,
+    2n ≥ 8 rows of 128); `t_cat` is fold_toeplitz(r). Bit-identical to
+    mxu.fold_shared(tab, mxu.scalar_toeplitz(r), f)."""
+    np_band, p_band, p_limbs = _get_consts(f)
+    n2 = tab.shape[0] // 2
+    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    rows = tab.reshape(n2 // _SLOTS, _ROW)    # zero-copy row-major view
+    blk = min(_BLOCK, n2 // _SLOTS)
+    grid = ((n2 // _SLOTS) // blk,)
+    out = pl.pallas_call(
+        _fold_kernel,
+        out_shape=jax.ShapeDtypeStruct((n2 // _SLOTS, _SLOTS * N_LIMBS),
+                                       _U32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, _ROW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, N8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, N8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, _SLOTS * N_LIMBS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(rows, jnp.asarray(t_cat.T.copy()), jnp.asarray(np_band.T.copy()),
+      jnp.asarray(p_band.T.copy()), jnp.asarray(p_limbs.reshape(N_LIMBS, 1)))
+    return out.reshape(n2, N_LIMBS)
+
+
+def _fold_tail_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
+                      plimb_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i < live_ref[0])
+    def _():
+        _fold_kernel(rows_ref, tcat_ref, np_ref, p_ref, plimb_ref, out_ref)
+
+    @pl.when(i >= live_ref[0])
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@partial(jax.jit, static_argnames="f")
+def fold_tail(tab, t_cat, live_pairs, f: FieldConst = FR_C):
+    """Production fold round under the fixed-shape discipline: `tab` is the
+    FULL fixed-size (n, 16) table whose first `live_pairs`·2 rows are live
+    (zero tail behind them); returns the same-shape table with the folded
+    live prefix and a zero tail — the concat in the XLA tier's
+    device_outer._fold_fixed, fused away. `live_pairs` is a TRACED scalar:
+    one compiled program serves every round, and blocks past the live
+    prefix skip both compute and their input DMA (the per-round fold work
+    shrinks with the live prefix — ~2n total over a stage instead of
+    n·rounds)."""
+    np_band, p_band, p_limbs = _get_consts(f)
+    n = tab.shape[0]
+    n2 = n // 2
+    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    rows = tab.reshape(n2 // _SLOTS, _ROW)
+    blk = min(_BLOCK, n2 // _SLOTS)
+    nblocks = (n2 // _SLOTS) // blk
+    # traced scalar (a Python int would bake into the program and force a
+    # recompile per round); ceil-div: a partially-live block computes
+    # normally (its input tail is zeros, which fold to zeros)
+    live_pairs = jnp.asarray(live_pairs, dtype=jnp.int32)
+    live_blocks = (live_pairs + _SLOTS * blk - 1) // (_SLOTS * blk)
+    live_arr = jnp.asarray([live_blocks], dtype=jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2 * nblocks,),
+        in_specs=[
+            pl.BlockSpec((blk, _ROW),
+                         lambda i, live: (jnp.where(i < live[0], i, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, W8), lambda i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, N8), lambda i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, N8), lambda i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LIMBS, 1), lambda i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, _SLOTS * N_LIMBS),
+                               lambda i, live: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _fold_tail_kernel,
+        out_shape=jax.ShapeDtypeStruct((n // _SLOTS, _SLOTS * N_LIMBS),
+                                       _U32),
+        grid_spec=grid_spec,
+    )(live_arr, rows, jnp.asarray(t_cat.T.copy()),
+      jnp.asarray(np_band.T.copy()), jnp.asarray(p_band.T.copy()),
+      jnp.asarray(p_limbs.reshape(N_LIMBS, 1)))
+    return out.reshape(n, N_LIMBS)
+
+
+def _fold_tail_stack_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
+                            plimb_ref, out_ref):
+    i = pl.program_id(1)
+
+    @pl.when(i < live_ref[0])
+    def _():
+        xt = rows_ref[0].T
+        outs = []
+        for s in range(_SLOTS):
+            xs = xt[N8 * s: N8 * (s + 1), :]
+            b = jnp.concatenate([_bytes_planes_t(xs[:N_LIMBS, :]),
+                                 _bytes_planes_t(xs[N_LIMBS:, :])], axis=0)
+            cols = _u32_of_f32(_dot_bf16(tcat_ref[:], b))
+            outs.append(_redc_digits_t(cols, np_ref[:], p_ref[:],
+                                       plimb_ref[:]))
+        out_ref[0] = jnp.concatenate(outs, axis=0).T
+
+    @pl.when(i >= live_ref[0])
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref)[0]
+
+
+@partial(jax.jit, static_argnames="f")
+def fold_tail_stack(tabs, t_cat, live_pairs, f: FieldConst = FR_C):
+    """fold_tail over a (k, n, 16) stack of fixed-size tables sharing one
+    challenge and one live prefix — ONE dispatch per round for a whole
+    sumcheck instance (parallel/stage_engine._fold_fixed_stack's shape)."""
+    np_band, p_band, p_limbs = _get_consts(f)
+    k, n = tabs.shape[0], tabs.shape[1]
+    n2 = n // 2
+    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    rows = tabs.reshape(k, n2 // _SLOTS, _ROW)
+    blk = min(_BLOCK, n2 // _SLOTS)
+    nblocks = (n2 // _SLOTS) // blk
+    live_pairs = jnp.asarray(live_pairs, dtype=jnp.int32)
+    live_blocks = (live_pairs + _SLOTS * blk - 1) // (_SLOTS * blk)
+    live_arr = jnp.asarray([live_blocks], dtype=jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k, 2 * nblocks),
+        in_specs=[
+            pl.BlockSpec((1, blk, _ROW),
+                         lambda j, i, live: (j, jnp.where(i < live[0], i, 0),
+                                             0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, W8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, N8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, N8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LIMBS, 1), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, _SLOTS * N_LIMBS),
+                               lambda j, i, live: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _fold_tail_stack_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (k, n // _SLOTS, _SLOTS * N_LIMBS), _U32),
+        grid_spec=grid_spec,
+    )(live_arr, rows, jnp.asarray(t_cat.T.copy()),
+      jnp.asarray(np_band.T.copy()), jnp.asarray(p_band.T.copy()),
+      jnp.asarray(p_limbs.reshape(N_LIMBS, 1)))
+    return out.reshape(k, n, N_LIMBS)
+
+
+_AVAIL: bool | None = None
+
+
+def available() -> bool:
+    """True when the Mosaic TPU backend is the default jax device and the
+    Pallas tier is not disabled via ZOLT_TPU_PALLAS=0."""
+    global _AVAIL
+    import os
+
+    if os.environ.get("ZOLT_TPU_PALLAS", "").lower() in ("0", "false"):
+        return False
+    if _AVAIL is None:
+        try:
+            plat = jax.devices()[0].platform.lower()
+        except Exception:
+            plat = "none"
+        _AVAIL = plat in ("tpu", "axon")
+    return _AVAIL
+
+
+def fold_toeplitz(r_mont: int, f: FieldConst = FR_C) -> np.ndarray:
+    """Host-side per-round constant for fold_shared: the (64, 64) stacked
+    [T[(1−r)·R] ; T[r·R]] plane-Toeplitz of a Montgomery challenge."""
+    p = f.p_int
+    r_int = from_mont(r_mont, f)
+    one_minus = (1 - r_int) % p
+    return np.concatenate([scalar_toeplitz_planes(to_mont(one_minus, f)),
+                           scalar_toeplitz_planes(r_mont % (1 << 256))])
+
+
+def to_mont(x: int, f: FieldConst = FR_C) -> int:
+    return (x << 256) % f.p_int
+
+
+def from_mont(x_mont: int, f: FieldConst = FR_C) -> int:
+    return (x_mont * pow(1 << 256, -1, f.p_int)) % f.p_int

@@ -301,12 +301,20 @@ class DeviceProductTables:
             self._host = [v.fold_adj(r) for v in self._host]
             self.live //= 2
             return
-        from ..field import mxu
+        from ..field import mxu, pallas_redc as predc
 
-        rt = jnp.asarray(mxu.scalar_toeplitz(FR.mont(r % P)))
         if self.mesh is not None:
+            rt = jnp.asarray(mxu.scalar_toeplitz(FR.mont(r % P)))
             self.tables = self._fold_step(self.tables, rt)
+        elif predc.available() and self.n >= 64:
+            # fused Pallas fold: whole stack in one dispatch, dead-tail
+            # blocks skipped (field/pallas_redc.fold_tail_stack);
+            # bit-identical to the XLA tier
+            tp = jnp.asarray(predc.fold_toeplitz(FR.mont(r % P)))
+            self.tables = predc.fold_tail_stack(self.tables, tp,
+                                                self.live // 2)
         else:
+            rt = jnp.asarray(mxu.scalar_toeplitz(FR.mont(r % P)))
             self.tables = _fold_fixed_stack(self.tables, rt)
         self.live //= 2
 

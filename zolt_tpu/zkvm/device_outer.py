@@ -230,11 +230,20 @@ class DeviceOuterRounds:
                 self._fr = (self._fr[0].fold_adj(r), self._fr[1].fold_adj(r))
                 self.live //= 2
             return
-        from ..field import mxu
+        from ..field import mxu, pallas_redc as predc
         from ..field.params import FR as _FR
 
-        rt = jnp.asarray(mxu.scalar_toeplitz(_FR.mont(r % P)))
-        self.az, self.bz = _fold_fixed(self.az, self.bz, rt)
+        if predc.available() and self.n >= 64:
+            # fused Pallas fold: one VMEM-resident pass per table, dead-tail
+            # blocks skipped (field/pallas_redc.fold_tail); bit-identical to
+            # the XLA tier
+            tp = jnp.asarray(predc.fold_toeplitz(_FR.mont(r % P)))
+            lp = self.live // 2
+            self.az = predc.fold_tail(self.az, tp, lp)
+            self.bz = predc.fold_tail(self.bz, tp, lp)
+        else:
+            rt = jnp.asarray(mxu.scalar_toeplitz(_FR.mont(r % P)))
+            self.az, self.bz = _fold_fixed(self.az, self.bz, rt)
         self.live //= 2
 
     def final_values(self) -> tuple[int, int]:
