@@ -107,3 +107,25 @@ def test_fold_stack_interpret_bit_exact(monkeypatch):
         h = mxu.fold_shared(tabs[j], rt, FR_C)
         ref = jnp.concatenate([h, jnp.zeros_like(h)])
         assert np.array_equal(np.asarray(ref), np.asarray(out[j]))
+
+
+def test_evals_mxu_matches_mont_path():
+    """The MXU inner-product round-eval (stage_engine._evals_mxu +
+    _decode_mxu) must equal the native prod_evals_adj values exactly."""
+    import jax.numpy as jnp
+
+    from zolt_tpu.native.frvec import FrVec
+    from zolt_tpu.parallel import stage_engine as se
+
+    n = 1 << 8
+    f = FrVec.from_ints([pr.from_mont(x) for x in _rand_mont(n)])
+    e = FrVec.from_ints([pr.from_mont(x) for x in _rand_mont(n)])
+    from zolt_tpu.parallel.stage_engine import frvec_to_limbs
+
+    tabs = jnp.stack([jnp.asarray(frvec_to_limbs(f)),
+                      jnp.asarray(frvec_to_limbs(e))])
+    for deg in (2, 3):
+        flat = np.asarray(se._evals_mxu(tabs, deg)).reshape(-1)
+        got = se._decode_mxu(flat, deg)
+        ref = FrVec.prod_evals_adj([f, e], deg)
+        assert got == ref

@@ -104,23 +104,48 @@ def limbs_to_frvec(arr) -> "object":
     return FrVec(a.shape[0], mont=bytearray(np.ascontiguousarray(a).tobytes()))
 
 
+class EvalFuture:
+    """A pending device round-eval with its own decode: `arr` is any-shape
+    u32 device data; `decode(np_flat)` turns the downloaded flat u32 segment
+    into the round's eval ints. Bare (k, 16) mont-limb arrays remain the
+    default wire format (decoded by limb.decode); the MXU inner-product
+    path returns raw product-plane sums instead."""
+
+    __slots__ = ("arr", "_decode")
+
+    def __init__(self, arr, decode):
+        self.arr = arr
+        self._decode = decode
+
+    def decode(self, flat: np.ndarray) -> list[int]:
+        return self._decode(flat)
+
+
 def drain_futures(futures: list) -> list[list[int]]:
-    """Download several instances' round-eval device arrays ((k_i, 16) limb
-    rows) in ONE host transfer — each round trip through the tunneled chip
-    costs ~30 ms, so a batched stage must not pay it once per instance."""
+    """Download several instances' round-eval device arrays in ONE host
+    transfer — each round trip through the tunneled chip costs ~30 ms, so a
+    batched stage must not pay it once per instance. Entries are (k_i, 16)
+    mont-limb arrays or EvalFuture wrappers; everything concatenates as one
+    flat u32 transfer and decodes per segment."""
     if not futures:
         return []
-    if len(futures) == 1:
-        big = np.asarray(futures[0])
-        sizes = [big.shape[0]]
+    arrs = [f.arr if isinstance(f, EvalFuture) else f for f in futures]
+    if len(arrs) == 1:
+        big = np.asarray(arrs[0]).reshape(-1)
     else:
-        big = np.asarray(jnp.concatenate(futures, axis=0))
-        sizes = [int(a.shape[0]) for a in futures]
-    vals = [int(v) for v in np.atleast_1d(limb.decode(big, FR_C))]
+        big = np.asarray(jnp.concatenate(
+            [a.reshape(-1) for a in arrs], axis=0))
     out, off = [], 0
-    for k in sizes:
-        out.append(vals[off: off + k])
-        off += k
+    for f, a in zip(futures, arrs):
+        size = int(np.prod(a.shape))
+        seg = big[off: off + size]
+        off += size
+        if isinstance(f, EvalFuture):
+            out.append(f.decode(seg))
+        else:
+            rows = seg.reshape(-1, 16)
+            out.append([int(v)
+                        for v in np.atleast_1d(limb.decode(rows, FR_C))])
     return out
 
 
@@ -164,6 +189,65 @@ def _fold_fixed_stack(tables, rt):
         nb = mxu.fold_shared(tables[j], rt, FR_C)
         out.append(jnp.concatenate([nb, jnp.zeros_like(nb)]))
     return jnp.stack(out)
+
+
+@partial(jax.jit, static_argnames="degree")
+def _evals_mxu(tables2, degree: int):
+    """Two-factor round evals as MXU byte-plane contractions: for each
+    t ∈ 0..degree, Σ_i vf_t[i]·ve_t[i] is an inner product over elements —
+    expressed on byte planes it is Σ_{u,v} 2^{8(u+v)}·(VF8ᵀ·VE8)[u,v], so
+    the whole elementwise Montgomery-multiply + sum tree collapses into
+    chunked (CH, 32)ᵀ@(CH, 32) bf16 matmuls (CH = 256 keeps f32
+    accumulation exact: 256·255² < 2^24). Returns raw (degree+1, 2, 32, 32)
+    u32 product-plane sums [lo16, hi16]; the host finishes with the tiny
+    63-column bigint combine and one ·R⁻² (see _decode_mxu). Values are
+    identical to the mont path — same terms, different summation order."""
+    f = FR_C
+    lo0, d0 = _split_pairs(tables2[0])
+    lo1, d1 = _split_pairs(tables2[1])
+    n2 = lo0.shape[0]
+    ch = min(256, n2)
+    nc = n2 // ch
+    outs = []
+    v0, v1 = lo0, lo1
+    for t in range(degree + 1):
+        if t > 0:
+            v0 = limb.add(v0, d0, f)
+            v1 = limb.add(v1, d1, f)
+        from ..field import mxu
+
+        b0 = mxu.to_bytes8(v0).reshape(nc, ch, 32).astype(jnp.bfloat16)
+        b1 = mxu.to_bytes8(v1).reshape(nc, ch, 32).astype(jnp.bfloat16)
+        m = jax.lax.dot_general(
+            b0, b1, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (nc, 32, 32)
+        mu = m.astype(jnp.uint32)
+        acc_lo = jnp.sum(mu & jnp.uint32(0xFFFF), axis=0, dtype=jnp.uint32)
+        acc_hi = jnp.sum(mu >> 16, axis=0, dtype=jnp.uint32)
+        outs.append(jnp.stack([acc_lo, acc_hi]))
+    return jnp.stack(outs)
+
+
+_R_INV2 = pow(1 << 512, -1, P)
+_W8C = np.arange(32)
+
+
+def _decode_mxu(flat: np.ndarray, degree: int) -> list[int]:
+    """Host finish for _evals_mxu: flat u32 of shape (degree+1, 2, 32, 32)
+    -> eval ints. Collapses the (u, v) planes onto the 63 byte-column
+    anti-diagonals in u64, then one bigint combine per t."""
+    planes = flat.reshape(degree + 1, 2, 32, 32).astype(np.uint64)
+    vals = []
+    for t in range(degree + 1):
+        m = planes[t, 0] + (planes[t, 1] << np.uint64(16))   # (32, 32) u64
+        cols = np.zeros(63, dtype=np.uint64)
+        for u in range(32):
+            cols[u: u + 32] += m[u]
+        tot = 0
+        for c in range(62, -1, -1):
+            tot = (tot << 8) + int(cols[c])
+        vals.append(tot * _R_INV2 % P)
+    return vals
 
 
 def _make_mesh_steps(mesh, degree: int):
@@ -277,6 +361,16 @@ class DeviceProductTables:
             return None
         if self.mesh is not None:
             return self._eval_step(self.tables[: self.k])
+        if self.k == 2:
+            from ..field import pallas_redc as predc
+
+            # real-chip only: the XLA-CPU backend takes ~16 s to COMPILE
+            # this program per shape (the mont path compiles much faster),
+            # which would swamp the CPU test env for zero benefit
+            if predc.available():
+                deg = self.degree
+                return EvalFuture(_evals_mxu(self.tables[:2], deg),
+                                  lambda flat: _decode_mxu(flat, deg))
         return _evals_fixed(self.tables[: self.k], self.degree)
 
     def _tail_round_evals(self) -> list[int]:
@@ -290,7 +384,7 @@ class DeviceProductTables:
         dev = self.round_evals_device()
         if dev is None:
             return self._tail_round_evals()
-        return [int(v) for v in limb.decode(np.asarray(dev), FR_C)]
+        return drain_futures([dev])[0]
 
     def bind(self, r: int) -> None:
         if self._needs_tail():

@@ -135,8 +135,42 @@ def _absorb_round(transcript, evals3: list[int]) -> int:
 # Prover
 # ---------------------------------------------------------------------------
 
+def _bitrev_perm(nv: int):
+    """Index permutation j -> bit-reverse_nv(j) as an int64 array."""
+    import numpy as np
+
+    n = 1 << nv
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(nv):
+        rev |= ((idx >> b) & 1) << (nv - 1 - b)
+    return rev
+
+
+def _bitrev_frvec(v, nv: int):
+    """FrVec with rows permuted to bit-reversed index order (one numpy row
+    gather on the Montgomery bytes)."""
+    import numpy as np
+
+    from ..native.frvec import FrVec, _mont_scalars
+
+    n = 1 << nv
+    if v._mont is not None:
+        rows = np.frombuffer(memoryview(v._mont), dtype=np.uint8,
+                             count=32 * v.n).reshape(v.n, 32)
+    else:
+        rows = np.frombuffer(_mont_scalars([x % P for x in v._ints]),
+                             dtype=np.uint8).reshape(v.n, 32)
+    if v.n < n:
+        rows = np.concatenate(
+            [rows, np.zeros((n - v.n, 32), dtype=np.uint8)])
+    out = rows[_bitrev_perm(nv)]
+    return FrVec(n, mont=bytearray(out.tobytes()))
+
+
 def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
-                        num_vars: int) -> BatchOpeningProof:
+                        num_vars: int, backend: str | None = None,
+                        mesh=None) -> BatchOpeningProof:
     """Run the reduction + joint Dory opening. `num_vars` must be even and
     ≥ every claim's point length; srs must cover num_vars.
 
@@ -149,7 +183,19 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     just multiplies both tables by (1−r). Only when its own variables start
     binding does the claim materialize size-2^{n_i} tables — total work
     O(Σ_i 2^{n_i}) instead of O(claims·N·2^N). Table work runs on the native
-    Fr runtime (FrVec) when available."""
+    Fr runtime (FrVec) when available.
+
+    backend="device"/"mesh" runs each active group's wide rounds on the
+    chip (mesh: sharded with ICI reductions) through the shared product
+    engine (parallel/stage_engine): a group is a 2-factor degree-2
+    instance over its f-table and merged-eq table. The engine folds
+    ADJACENT pairs (LSB binding) while this protocol binds the MSB first,
+    so device tables upload in BIT-REVERSED index order — f via one row
+    gather, the merged eq for free as eq_table_be(reversed(q)) — making
+    the two schedules element-for-element identical; round sums are the
+    same terms in a different order, so the transcript (and proof bytes)
+    are unchanged. Narrow tails hand back to the host FrVec tier inside
+    the engine."""
     from ..native.frvec import FrVec
 
     assert num_vars % 2 == 0, "pad to an even num_vars (square Dory layout)"
@@ -204,6 +250,16 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     g_e: list[FrVec | None] = [None] * n_groups
     g_cow = [False] * n_groups  # f-table shared with the caller: first fold
                                 #   must write a fresh buffer
+    use_dev = backend in ("device", "mesh")
+    g_eng: dict[int, object] = {}   # group -> DeviceProductTables
+    g_fin: dict[int, int] = {}      # device groups' fully-bound f(r*)
+
+    def _dev_min() -> int:
+        # groups at or below the narrow-tail threshold would go straight to
+        # the engine's host tail — keep them on the direct host path
+        from ..parallel.stage_engine import tail_n
+
+        return tail_n()
 
     # Many claims open at the SAME point (e.g. all stage-1 openings at
     # r_outer): build each distinct point's eq table once and reuse it as
@@ -241,10 +297,23 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                 assert fv.mle_eval_be(q) == vals[i], (
                     f"claim {i} value != f(q) — inconsistent opening claim "
                     "(set ZOLT_TPU_CHECK=1 to check every claim)")
+            dev = use_dev and (1 << n_i) > max(_dev_min(), 4)
+            qk = tuple(reversed(q)) if dev else tuple(q)
             if et is None:
-                et = _eq_of(q).scale(coeffs[i])
+                et = _eq_of(qk).scale(coeffs[i])
             else:
-                et.axpy_(_eq_of(q), coeffs[i])
+                et.axpy_(_eq_of(qk), coeffs[i])
+        if use_dev and (1 << n_i) > max(_dev_min(), 4):
+            # device group: bit-reversed f (one row gather); the merged eq
+            # was built from REVERSED points, which IS the bit-reversed
+            # eq table (eq factors per bit commute)
+            from ..parallel.stage_engine import DeviceProductTables
+
+            g_eng[g] = DeviceProductTables([_bitrev_frvec(fv, n_i), et],
+                                           degree=2, mesh=mesh)
+            g_f[g] = fv      # "active" marker; the engine owns the state
+            g_e[g] = None
+            return
         g_f[g] = fv
         g_e[g] = et
 
@@ -256,6 +325,21 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     r_star: list[int] = []
     cur = claim_sum
     for k in range(num_vars):
+        # device groups: enqueue every engine's round evals, then ONE
+        # batched download (the engines hand narrow tails back to host
+        # internally, signalled by a None device array)
+        dev_vals: dict[int, list[int]] = {}
+        if g_eng:
+            from ..parallel.stage_engine import drain_futures
+
+            pend = {g: eng.round_evals_device() for g, eng in g_eng.items()}
+            host_side = {g: g_eng[g].round_evals()
+                         for g, arr in pend.items() if arr is None}
+            on_dev = [(g, arr) for g, arr in pend.items() if arr is not None]
+            for (g, _), vals_g in zip(on_dev,
+                                      drain_futures([a for _, a in on_dev])):
+                dev_vals[g] = vals_g
+            dev_vals.update(host_side)
         e0 = e2 = 0
         for g in range(n_groups):
             f, e = g_f[g], g_e[g]
@@ -266,7 +350,10 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                     e0 = (e0 + a) % P
                     e2 = (e2 + a) % P
                 continue
-            a0, a2 = FrVec.quad_sums_half(f, e)
+            if g in g_eng:
+                a0, _, a2 = dev_vals[g]
+            else:
+                a0, a2 = FrVec.quad_sums_half(f, e)
             scale = g_sf[g] * g_se[g] % P
             e0 = (e0 + scale * a0) % P
             e2 = (e2 + scale * a2) % P
@@ -285,6 +372,9 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                 if num_vars - (k + 1) == g_n[g]:
                     _activate(g)
                 continue
+            if g in g_eng:
+                g_eng[g].bind(r)
+                continue
             if g_cow[g]:
                 g_f[g] = f.fold_half_fresh(r)
                 g_cow[g] = False
@@ -292,9 +382,14 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
                 g_f[g] = f.fold_half(r)
             g_e[g] = g_e[g].fold_half(r)
 
+    for g, eng in g_eng.items():
+        g_fin[g] = eng.finals()[0]
+
     # per-claim finals (fold scalars back in; claims sharing a table share
     # the fully-bound value f(r*))
-    proof.finals = [g_f[group_of[i]].first() * g_sf[group_of[i]] % P
+    proof.finals = [(g_fin[group_of[i]] if group_of[i] in g_eng
+                     else g_f[group_of[i]].first())
+                    * g_sf[group_of[i]] % P
                     for i in range(n_claims)]
     for v in proof.finals:
         transcript.append_scalar(v)

@@ -167,7 +167,8 @@ def prove_jolt(elf_path: str, *, memory_size: int = 32768,
                   for (_, ci, pt), v in zip(specs, values)]
         with metrics.stage("batch_opening"):
             bproof = batch.prove_batch_opening(transcript, claims, phase.srs,
-                                               phase.global_num_vars)
+                                               phase.global_num_vars,
+                                               backend=backend, mesh=mesh)
         proof.batch_opening = batch.serialize_batch_opening(bproof)
     if with_joint_proof:
         proof.joint_opening_proof = build_joint_opening_proof(
