@@ -235,8 +235,15 @@ def _sum_loop_elf(iters: int) -> bytes:
     a = Asm()
     a.addi(10, 0, 0)
     a.addi(1, 0, 1)
-    a.lui(2, iters >> 12)
-    a.addi(2, 2, iters & 0xFFF)
+    # li rs2 = iters: lui sign-extends the addi immediate, so round up the
+    # upper part when the low 12 bits land in the negative addi range
+    lo = iters & 0xFFF
+    hi = iters >> 12
+    if lo >= 0x800:
+        hi += 1
+        lo -= 0x1000
+    a.lui(2, hi)
+    a.addi(2, 2, lo)
     a.label("loop")
     a.add(10, 10, 1)
     a.addi(1, 1, 1)
@@ -378,6 +385,37 @@ def bench_roofline(report, quick: bool) -> None:
     bw = (64.0 + 64.0) * n / sec
     report(f"  fold_shared (sumcheck fold)     {n / sec / 1e6:>8.2f} M elem/s"
            f"   {bw / 1e9:>6.1f} GB/s = {bw / hbm_bw * 100:>5.1f} % of HBM peak")
+
+    # fused Pallas fold (field/pallas_redc): one VMEM-resident pass —
+    # dense-lane transposed compute, Kogge–Stone carries, bf16 MXU REDC
+    from .field import pallas_redc as predc
+
+    if predc.available():
+        tp = jax.device_put(predc.fold_toeplitz(FR.mont(987654321)))
+
+        def pfold_restore(x):
+            h = predc.fold_shared(x, tp, FR_C)
+            return jnp.concatenate([h, h])
+
+        sec = _chain_time(pfold_restore, a, 16)
+        bw = (64.0 + 64.0) * n / sec
+        report(f"  fold (fused Pallas kernel)      {n / sec / 1e6:>8.2f} M"
+               f" elem/s   {bw / 1e9:>6.1f} GB/s = "
+               f"{bw / hbm_bw * 100:>5.1f} % of HBM peak")
+
+        # MXU inner-product round evals (2-factor engine instances):
+        # Σ_i f_i·e_i as chunked bf16 matmuls, no elementwise mont chain
+        from .parallel import stage_engine as se
+
+        tabs2 = jnp.stack([a, a])
+
+        def mxu_eval(x):
+            out = se._evals_mxu(jnp.stack([x, x]), 2)
+            return x + out[0, 0, 0, 0][None, None].astype(jnp.uint32)
+
+        sec = _chain_time(mxu_eval, a, 8)
+        report(f"  round eval (MXU inner-product)  {n / 2 / sec / 1e6:>8.2f}"
+               f" M pair/s  (3 eval points, 2 factors)")
 
     # general mont_mul (VPU + HIGHEST column matmuls): compute-bound
     sec = _chain_time(lambda x: limb.mont_mul(x, x, FR_C), a, 8)
