@@ -69,7 +69,7 @@ def test_fold_kernel_interpret_bit_exact(n, monkeypatch):
     r = int.from_bytes(RNG.bytes(16), "little") % P
     r_m = (r << 256) % P
     rt = jnp.asarray(mxu.scalar_toeplitz(r_m))
-    tp = jnp.asarray(pr.fold_toeplitz(r_m))
+    tp = jnp.asarray(pr.fold_toeplitz(r_m).T.copy())  # fold_tail takes the transposed form
 
     live = n
     tab_x = tab
@@ -101,7 +101,7 @@ def test_fold_stack_interpret_bit_exact(monkeypatch):
         [limb.ints_to_limbs(_rand_mont(n)) for _ in range(k)]))
     r_m = (424242 << 256) % P
     rt = jnp.asarray(mxu.scalar_toeplitz(r_m))
-    tp = jnp.asarray(pr.fold_toeplitz(r_m))
+    tp = jnp.asarray(pr.fold_toeplitz(r_m).T.copy())
     out = pr.fold_tail_stack(tabs, tp, n // 2, FR_C)
     for j in range(k):
         h = mxu.fold_shared(tabs[j], rt, FR_C)

@@ -107,6 +107,53 @@ def _get_consts(f: FieldConst):
     return _CONST_CACHE[f.name]
 
 
+_DEV_CONST_CACHE: dict = {}
+
+
+def _get_consts_dev(f: FieldConst):
+    """Device-resident transposed band constants — uploaded ONCE. Through
+    the tunneled chip every host→device transfer costs a visible round
+    trip, so per-call jnp.asarray(band.T) uploads were a large fraction of
+    a fold dispatch."""
+    if f.name not in _DEV_CONST_CACHE:
+        np_band, p_band, p_limbs = _get_consts(f)
+        _DEV_CONST_CACHE[f.name] = (
+            jax.device_put(np.ascontiguousarray(np_band.T)),
+            jax.device_put(np.ascontiguousarray(p_band.T)),
+            jax.device_put(p_limbs.reshape(N_LIMBS, 1)))
+    return _DEV_CONST_CACHE[f.name]
+
+
+_TOEPLITZ_CACHE: dict = {}
+
+
+def fold_toeplitz_dev(r_mont: int, f: FieldConst = FR_C):
+    """Device-resident TRANSPOSED fold Toeplitz for a challenge, shared by
+    every engine folding with the same r this round (stage batches run up
+    to ~10 instances — one upload instead of ten)."""
+    key = (f.name, r_mont)
+    t = _TOEPLITZ_CACHE.get(key)
+    if t is None:
+        if len(_TOEPLITZ_CACHE) > 64:
+            _TOEPLITZ_CACHE.clear()
+        t = jax.device_put(np.ascontiguousarray(fold_toeplitz(r_mont, f).T))
+        _TOEPLITZ_CACHE[key] = t
+    return t
+
+
+_LIVE_CACHE: dict = {}
+
+
+def _live_arr_dev(live_blocks: int):
+    a = _LIVE_CACHE.get(live_blocks)
+    if a is None:
+        if len(_LIVE_CACHE) > 256:
+            _LIVE_CACHE.clear()
+        a = jax.device_put(np.asarray([live_blocks], dtype=np.int32))
+        _LIVE_CACHE[live_blocks] = a
+    return a
+
+
 # ---------------------------------------------------------------------------
 # Kernel-side helpers (pure jnp; shapes (B, lanes))
 # ---------------------------------------------------------------------------
@@ -378,45 +425,8 @@ def fold_shared(tab, t_cat, f: FieldConst = FR_C):
     return out.reshape(n2, N_LIMBS)
 
 
-def _fold_tail_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
-                      plimb_ref, out_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i < live_ref[0])
-    def _():
-        _fold_kernel(rows_ref, tcat_ref, np_ref, p_ref, plimb_ref, out_ref)
-
-    @pl.when(i >= live_ref[0])
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-
-@partial(jax.jit, static_argnames="f")
-def fold_tail(tab, t_cat, live_pairs, f: FieldConst = FR_C):
-    """Production fold round under the fixed-shape discipline: `tab` is the
-    FULL fixed-size (n, 16) table whose first `live_pairs`·2 rows are live
-    (zero tail behind them); returns the same-shape table with the folded
-    live prefix and a zero tail — the concat in the XLA tier's
-    device_outer._fold_fixed, fused away. `live_pairs` is a TRACED scalar:
-    one compiled program serves every round, and blocks past the live
-    prefix skip both compute and their input DMA (the per-round fold work
-    shrinks with the live prefix — ~2n total over a stage instead of
-    n·rounds)."""
-    np_band, p_band, p_limbs = _get_consts(f)
-    n = tab.shape[0]
-    n2 = n // 2
-    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
-    rows = tab.reshape(n2 // _SLOTS, _ROW)
-    blk = min(_BLOCK, n2 // _SLOTS)
-    nblocks = (n2 // _SLOTS) // blk
-    # traced scalar (a Python int would bake into the program and force a
-    # recompile per round); ceil-div: a partially-live block computes
-    # normally (its input tail is zeros, which fold to zeros)
-    live_pairs = jnp.asarray(live_pairs, dtype=jnp.int32)
-    live_blocks = (live_pairs + _SLOTS * blk - 1) // (_SLOTS * blk)
-    live_arr = jnp.asarray([live_blocks], dtype=jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+def _fold_tail_grid(blk: int, nblocks: int):
+    return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(2 * nblocks,),
         in_specs=[
@@ -436,15 +446,58 @@ def fold_tail(tab, t_cat, live_pairs, f: FieldConst = FR_C):
                                lambda i, live: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    out = pl.pallas_call(
+
+
+def _fold_tail_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
+                      plimb_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i < live_ref[0])
+    def _():
+        _fold_kernel(rows_ref, tcat_ref, np_ref, p_ref, plimb_ref, out_ref)
+
+    @pl.when(i >= live_ref[0])
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+def fold_tail(tab, t_cat_t, live_pairs: int, f: FieldConst = FR_C):
+    """Production fold round under the fixed-shape discipline: `tab` is the
+    FULL fixed-size (n, 16) table whose first `live_pairs`·2 rows are live
+    (zero tail behind them); returns the same-shape table with the folded
+    live prefix and a zero tail — the concat in the XLA tier's
+    device_outer._fold_fixed, fused away. `t_cat_t` is the device-resident
+    transposed Toeplitz from fold_toeplitz_dev; the live mask arrives as a
+    tiny cached device array, so one compiled program serves every round
+    with NO per-call host→device transfers. Blocks past the live prefix
+    skip both compute and their input DMA (the per-round fold work shrinks
+    with the live prefix — ~2n total over a stage instead of n·rounds); a
+    partially-live block computes normally (its input tail is zeros, which
+    fold to zeros)."""
+    np_t, p_t, p_col = _get_consts_dev(f)
+    n = tab.shape[0]
+    n2 = n // 2
+    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    rows = tab.reshape(n2 // _SLOTS, _ROW)
+    blk = min(_BLOCK, n2 // _SLOTS)
+    nblocks = (n2 // _SLOTS) // blk
+    live_arr = _live_arr_dev(
+        (int(live_pairs) + _SLOTS * blk - 1) // (_SLOTS * blk))
+    out = _fold_tail_call(rows, live_arr, t_cat_t, np_t, p_t, p_col,
+                          n, blk, nblocks)
+    return out.reshape(n, N_LIMBS)
+
+
+@partial(jax.jit, static_argnames=("n", "blk", "nblocks"))
+def _fold_tail_call(rows, live_arr, t_cat_t, np_t, p_t, p_col,
+                    n: int, blk: int, nblocks: int):
+    grid_spec = _fold_tail_grid(blk, nblocks)
+    return pl.pallas_call(
         _fold_tail_kernel,
         out_shape=jax.ShapeDtypeStruct((n // _SLOTS, _SLOTS * N_LIMBS),
                                        _U32),
         grid_spec=grid_spec,
-    )(live_arr, rows, jnp.asarray(t_cat.T.copy()),
-      jnp.asarray(np_band.T.copy()), jnp.asarray(p_band.T.copy()),
-      jnp.asarray(p_limbs.reshape(N_LIMBS, 1)))
-    return out.reshape(n, N_LIMBS)
+    )(live_arr, rows, t_cat_t, np_t, p_t, p_col)
 
 
 def _fold_tail_stack_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
@@ -469,22 +522,27 @@ def _fold_tail_stack_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
         out_ref[0] = jnp.zeros_like(out_ref)[0]
 
 
-@partial(jax.jit, static_argnames="f")
-def fold_tail_stack(tabs, t_cat, live_pairs, f: FieldConst = FR_C):
+def fold_tail_stack(tabs, t_cat_t, live_pairs: int, f: FieldConst = FR_C):
     """fold_tail over a (k, n, 16) stack of fixed-size tables sharing one
     challenge and one live prefix — ONE dispatch per round for a whole
-    sumcheck instance (parallel/stage_engine._fold_fixed_stack's shape)."""
-    np_band, p_band, p_limbs = _get_consts(f)
+    sumcheck instance (parallel/stage_engine._fold_fixed_stack's shape).
+    `t_cat_t` from fold_toeplitz_dev; no per-call host→device transfers."""
+    np_t, p_t, p_col = _get_consts_dev(f)
     k, n = tabs.shape[0], tabs.shape[1]
     n2 = n // 2
     assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
     rows = tabs.reshape(k, n2 // _SLOTS, _ROW)
     blk = min(_BLOCK, n2 // _SLOTS)
     nblocks = (n2 // _SLOTS) // blk
-    live_pairs = jnp.asarray(live_pairs, dtype=jnp.int32)
-    live_blocks = (live_pairs + _SLOTS * blk - 1) // (_SLOTS * blk)
-    live_arr = jnp.asarray([live_blocks], dtype=jnp.int32)
+    live_arr = _live_arr_dev(
+        (int(live_pairs) + _SLOTS * blk - 1) // (_SLOTS * blk))
+    return _fold_tail_stack_call(rows, live_arr, t_cat_t, np_t, p_t, p_col,
+                                 k, n, blk, nblocks)
 
+
+@partial(jax.jit, static_argnames=("k", "n", "blk", "nblocks"))
+def _fold_tail_stack_call(rows, live_arr, t_cat_t, np_t, p_t, p_col,
+                          k: int, n: int, blk: int, nblocks: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k, 2 * nblocks),
@@ -511,9 +569,7 @@ def fold_tail_stack(tabs, t_cat, live_pairs, f: FieldConst = FR_C):
         out_shape=jax.ShapeDtypeStruct(
             (k, n // _SLOTS, _SLOTS * N_LIMBS), _U32),
         grid_spec=grid_spec,
-    )(live_arr, rows, jnp.asarray(t_cat.T.copy()),
-      jnp.asarray(np_band.T.copy()), jnp.asarray(p_band.T.copy()),
-      jnp.asarray(p_limbs.reshape(N_LIMBS, 1)))
+    )(live_arr, rows, t_cat_t, np_t, p_t, p_col)
     return out.reshape(k, n, N_LIMBS)
 
 

@@ -104,16 +104,27 @@ class FrVec:
 
     @classmethod
     def from_u64_array(cls, arr) -> "FrVec":
-        """From a numpy uint64 array (zero-copy ingest via frv_from_u64)."""
+        """From a numpy uint64 array (zero-copy ingest via frv_from_u64).
+        0/1 flag columns (roughly half the witness columns) skip the
+        per-element Montgomery multiply: a masked row write of the constant
+        one-in-Montgomery pattern is bit-identical and memcpy-fast."""
         import numpy as np
 
         lib = _get_lib()
         n = len(arr)
         if lib is None:
             return cls(n, ints=[int(v) for v in arr])
-        raw = np.ascontiguousarray(arr, dtype=np.uint64).tobytes()
+        arr = np.ascontiguousarray(arr, dtype=np.uint64)
+        if n and int(arr.max()) <= 1:
+            out = bytearray(32 * n)
+            pos = np.flatnonzero(arr)
+            if pos.size:
+                one = bytes(_mont_scalars([1]))
+                view = np.frombuffer(out, dtype=np.uint8).reshape(n, 32)
+                view[pos] = np.frombuffer(one, dtype=np.uint8)
+            return cls(n, mont=out)
         out = bytearray(32 * n)
-        lib.frv_from_u64(raw, n, _buf(out))
+        lib.frv_from_u64(arr.tobytes(), n, _buf(out))
         return cls(n, mont=out)
 
     @classmethod

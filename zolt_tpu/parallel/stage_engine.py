@@ -404,7 +404,7 @@ class DeviceProductTables:
             # fused Pallas fold: whole stack in one dispatch, dead-tail
             # blocks skipped (field/pallas_redc.fold_tail_stack);
             # bit-identical to the XLA tier
-            tp = jnp.asarray(predc.fold_toeplitz(FR.mont(r % P)))
+            tp = predc.fold_toeplitz_dev(FR.mont(r % P))
             self.tables = predc.fold_tail_stack(self.tables, tp,
                                                 self.live // 2)
         else:

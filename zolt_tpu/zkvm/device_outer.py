@@ -237,7 +237,7 @@ class DeviceOuterRounds:
             # fused Pallas fold: one VMEM-resident pass per table, dead-tail
             # blocks skipped (field/pallas_redc.fold_tail); bit-identical to
             # the XLA tier
-            tp = jnp.asarray(predc.fold_toeplitz(_FR.mont(r % P)))
+            tp = predc.fold_toeplitz_dev(_FR.mont(r % P))
             lp = self.live // 2
             self.az = predc.fold_tail(self.az, tp, lp)
             self.bz = predc.fold_tail(self.bz, tp, lp)
