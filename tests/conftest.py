@@ -28,3 +28,13 @@ os.environ.setdefault("ZOLT_TPU_DEVICE_TAIL", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The CPU suite must NOT share the default persistent cache with tunneled-TPU
+# sessions: the axon terminal's remote compile helper writes XLA:CPU AOT
+# artifacts built for ITS machine type, and loading those on this host
+# segfaults (cpu_aot_loader warns "could lead to execution errors such as
+# SIGILL"). A CPU-only cache dir keeps the cross-process speedup AND the
+# isolation.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "zolt_tpu_xla_cpu"))
