@@ -29,12 +29,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The CPU suite must NOT share the default persistent cache with tunneled-TPU
-# sessions: the axon terminal's remote compile helper writes XLA:CPU AOT
-# artifacts built for ITS machine type, and loading those on this host
-# segfaults (cpu_aot_loader warns "could lead to execution errors such as
-# SIGILL"). A CPU-only cache dir keeps the cross-process speedup AND the
-# isolation.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.expanduser("~"), ".cache", "zolt_tpu_xla_cpu"))
+# The CPU suite must NOT use the persistent compilation cache at all on this
+# box: XLA:CPU AOT artifacts written under the axon terminal target ITS
+# machine type, and loading one here segfaults inside
+# compilation_cache.get_executable_and_time (cpu_aot_loader warns "could
+# lead to execution errors such as SIGILL"; observed exit 139 mid-suite).
+# An isolated dir is not enough — the mismatched entries come from the same
+# processes that would share it. Cold compiles are slower but stable.
+jax.config.update("jax_compilation_cache_dir", None)
