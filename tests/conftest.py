@@ -29,11 +29,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The CPU suite must NOT use the persistent compilation cache at all on this
-# box: XLA:CPU AOT artifacts written under the axon terminal target ITS
-# machine type, and loading one here segfaults inside
-# compilation_cache.get_executable_and_time (cpu_aot_loader warns "could
-# lead to execution errors such as SIGILL"; observed exit 139 mid-suite).
-# An isolated dir is not enough — the mismatched entries come from the same
-# processes that would share it. Cold compiles are slower but stable.
-jax.config.update("jax_compilation_cache_dir", None)
+# Persistent compilation cache: NONE for CPU surfaces. XLA:CPU AOT entries
+# are unloadable on this box twice over — tunneled (axon) sessions write
+# entries compiled for the REMOTE machine type (loading one segfaults,
+# observed exit 139 mid-suite), and even self-written entries embed LLVM
+# tuning pseudo-features (+prefer-no-gather) that the loader's runtime
+# feature check rejects. zolt_tpu._default_cache_dir implements this policy
+# (CPU -> no cache; tunneled TPU -> its own dir); importing the package
+# after the platform pin above applies it, and the assert keeps it honest.
+import zolt_tpu  # noqa: E402, F401
+
+assert jax.config.jax_compilation_cache_dir is None, (
+    "CPU suite must not use a persistent XLA cache, got "
+    f"{jax.config.jax_compilation_cache_dir!r}"
+)

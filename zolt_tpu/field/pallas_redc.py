@@ -397,7 +397,8 @@ def fold_shared(tab, t_cat, f: FieldConst = FR_C):
     mxu.fold_shared(tab, mxu.scalar_toeplitz(r), f)."""
     np_band, p_band, p_limbs = _get_consts(f)
     n2 = tab.shape[0] // 2
-    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    assert n2 % _SLOTS == 0 and n2 >= 8 * _SLOTS, \
+        "need 2n >= 8 rows of 128 lanes (n2 >= 8*_SLOTS) for the dense-lane kernel"
     rows = tab.reshape(n2 // _SLOTS, _ROW)    # zero-copy row-major view
     blk = min(_BLOCK, n2 // _SLOTS)
     grid = ((n2 // _SLOTS) // blk,)
@@ -477,7 +478,8 @@ def fold_tail(tab, t_cat_t, live_pairs: int, f: FieldConst = FR_C):
     np_t, p_t, p_col = _get_consts_dev(f)
     n = tab.shape[0]
     n2 = n // 2
-    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    assert n2 % _SLOTS == 0 and n2 >= 8 * _SLOTS, \
+        "need 2n >= 8 rows of 128 lanes (n2 >= 8*_SLOTS) for the dense-lane kernel"
     rows = tab.reshape(n2 // _SLOTS, _ROW)
     blk = min(_BLOCK, n2 // _SLOTS)
     nblocks = (n2 // _SLOTS) // blk
@@ -530,7 +532,8 @@ def fold_tail_stack(tabs, t_cat_t, live_pairs: int, f: FieldConst = FR_C):
     np_t, p_t, p_col = _get_consts_dev(f)
     k, n = tabs.shape[0], tabs.shape[1]
     n2 = n // 2
-    assert n2 % _SLOTS == 0, "table too small for the dense-lane kernel"
+    assert n2 % _SLOTS == 0 and n2 >= 8 * _SLOTS, \
+        "need 2n >= 8 rows of 128 lanes (n2 >= 8*_SLOTS) for the dense-lane kernel"
     rows = tabs.reshape(k, n2 // _SLOTS, _ROW)
     blk = min(_BLOCK, n2 // _SLOTS)
     nblocks = (n2 // _SLOTS) // blk

@@ -94,6 +94,8 @@ def _build_and_load():
     lib.bn254_g1_msm_rows_u64.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                           ctypes.c_int, ctypes.c_int,
                                           ctypes.c_char_p]
+    lib.bn254_g1_subset_tables_mont.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                                ctypes.c_char_p, ctypes.c_char_p]
     lib.bn254_init(_constants_blob())
     C, L, I = ctypes.c_char_p, ctypes.c_long, ctypes.c_int
     lib.frv_init.argtypes = [C]
@@ -550,3 +552,38 @@ def g2_msm_native(points, scalars):
              int.from_bytes(out.raw[33:65], "little")),
             (int.from_bytes(out.raw[65:97], "little"),
              int.from_bytes(out.raw[97:129], "little")))
+
+
+def g1_subset_tables_mont(points):
+    """All-256 subset sums for each group of 8 consecutive affine points,
+    for the device row-MSM tier (msm/rows_device.py). Returns
+    (tables, valid) where tables is a (n/8*256, 64)-byte numpy u8 array of
+    Montgomery-residue x||y (u64[4] LE — byte-identical to the device's
+    16x16-bit limb Montgomery form) and valid is (n/8*256,) u8 with 0 for
+    identity entries; or None on fallback. len(points) % 8 == 0; None
+    entries are the identity."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(points)
+    assert n % 8 == 0 and n > 0
+    pb = bytearray(64 * n)
+    pmv = memoryview(pb)
+    for i, p in enumerate(points):
+        if p is None:
+            continue
+        pmv[i * 64:i * 64 + 32] = int(p[0]).to_bytes(32, "little")
+        pmv[i * 64 + 32:(i + 1) * 64] = int(p[1]).to_bytes(32, "little")
+    ntab = (n // 8) * 256
+    out = bytearray(64 * ntab)
+    valid = bytearray(ntab)
+    lib.bn254_g1_subset_tables_mont(
+        ctypes.cast((ctypes.c_char * len(pb)).from_buffer(pb), ctypes.c_char_p),
+        n,
+        ctypes.cast((ctypes.c_char * len(out)).from_buffer(out), ctypes.c_char_p),
+        ctypes.cast((ctypes.c_char * len(valid)).from_buffer(valid),
+                    ctypes.c_char_p))
+    return (np.frombuffer(bytes(out), dtype=np.uint8).reshape(ntab, 64),
+            np.frombuffer(bytes(valid), dtype=np.uint8))

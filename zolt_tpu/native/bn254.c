@@ -1757,3 +1757,82 @@ void bn254_g1_msm_rows(const uint8_t *pts, const uint8_t *scalars, int n,
 #endif
     free(px); free(py); free(inf);
 }
+
+/* ---- Device row-MSM support: 8-point subset-sum tables -----------------
+ *
+ * The TPU row-commitment tier (msm/rows_device.py, matching the reference's
+ * Dory commit hot loop, src/poly/commitment/dory.zig:989-1042) decomposes
+ * small-scalar row MSMs into bit-plane subset sums over the FIXED G1 basis:
+ * one precomputed table of all 256 subset sums per group of 8 consecutive
+ * basis points turns 8 columns into a single gather + tree-add on device.
+ * This builder runs once per SRS: Gray-code construction (one mixed add per
+ * entry) + one global Montgomery batch inversion.
+ *
+ * pts: n*64 canonical affine bytes (x||y LE, all-zero = infinity), n%8==0.
+ * out: (n/8)*256 entries * 64 bytes — x||y in MONTGOMERY residue bytes
+ *      (u64[4] LE, the same R=2^256 form the device limb arrays hold).
+ * valid: (n/8)*256 bytes, 0 where the subset sum is the identity. */
+void bn254_g1_subset_tables_mont(const uint8_t *pts, int n,
+                                 uint8_t *out, uint8_t *valid) {
+    int ng = n / 8;
+    long ntab = (long)ng * 256;
+    g1jac *tab = malloc((size_t)ntab * sizeof(g1jac));
+    fp *px = malloc((size_t)n * sizeof(fp));
+    fp *py = malloc((size_t)n * sizeof(fp));
+    uint8_t *pinf = malloc((size_t)n);
+    for (int i = 0; i < n; i++) {
+        const uint8_t *pb = pts + (long)i * 64;
+        int allz = 1;
+        for (int k = 0; k < 64; k++) if (pb[k]) { allz = 0; break; }
+        pinf[i] = (uint8_t)allz;
+        if (!allz) {
+            fp_from_bytes(&px[i], pb);
+            fp_from_bytes(&py[i], pb + 32);
+        }
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int g = 0; g < ng; g++) {
+        g1jac *base = tab + (long)g * 256;
+        memset(&base[0], 0, sizeof base[0]);
+        for (int m = 1; m < 256; m++) {
+            int low = m & -m;
+            int i = __builtin_ctz((unsigned)m);
+            if (pinf[g * 8 + i]) { base[m] = base[m ^ low]; continue; }
+            g1_add_affine(&base[m], &base[m ^ low],
+                          &px[g * 8 + i], &py[g * 8 + i]);
+        }
+    }
+    /* one global batch affine normalization */
+    fp *zs = malloc((size_t)ntab * sizeof(fp));
+    fp *pref = malloc((size_t)(ntab + 1) * sizeof(fp));
+    pref[0] = FP_ONE_;
+    for (long i = 0; i < ntab; i++) {
+        zs[i] = fp_is_zero(&tab[i].z) ? FP_ONE_ : tab[i].z;
+        fp_mul(&pref[i + 1], &pref[i], &zs[i]);
+    }
+    fp inv_all;
+    fp_inv(&inv_all, &pref[ntab]);
+    for (long i = ntab - 1; i >= 0; i--) {
+        fp zinv, t;
+        fp_mul(&zinv, &inv_all, &pref[i]);
+        fp_mul(&t, &inv_all, &zs[i]);
+        inv_all = t;
+        uint8_t *o = out + i * 64;
+        if (fp_is_zero(&tab[i].z)) {
+            memset(o, 0, 64);
+            valid[i] = 0;
+            continue;
+        }
+        fp zi2, zi3, ax, ay;
+        fp_sqr(&zi2, &zinv);
+        fp_mul(&zi3, &zi2, &zinv);
+        fp_mul(&ax, &tab[i].x, &zi2);
+        fp_mul(&ay, &tab[i].y, &zi3);
+        memcpy(o, ax.l, 32);        /* Montgomery residue bytes, u64 LE */
+        memcpy(o + 32, ay.l, 32);
+        valid[i] = 1;
+    }
+    free(tab); free(px); free(py); free(pinf); free(zs); free(pref);
+}

@@ -44,6 +44,19 @@ from .mesh import AXIS, _psum_field
 
 P = FR.p
 
+def stage_enabled(name: str) -> bool:
+    """Per-stage device/mesh opt-in: ZOLT_TPU_DEVICE_STAGES is a comma list
+    of stage tags ("stage1,stage2,stage3,stage4,opening"); unset means all.
+    Each distinct (tables, degree, size) engine shape compiles its own XLA
+    programs, so a cold CPU-mesh run (driver dryrun, fresh box) can scope
+    the device backend to representative instances and stay inside its
+    time budget — bit-identity to the host prover holds for any scope."""
+    scope = os.environ.get("ZOLT_TPU_DEVICE_STAGES")
+    if not scope:
+        return True
+    return name in {s.strip() for s in scope.split(",")}
+
+
 def tail_n() -> int:
     """Narrow-tail threshold: once the live prefix is at most this many
     entries the remaining rounds move to the host FrVec tier. Rationale:
@@ -229,7 +242,6 @@ def _evals_mxu(tables2, degree: int):
 
 
 _R_INV2 = pow(1 << 512, -1, P)
-_W8C = np.arange(32)
 
 
 def _decode_mxu(flat: np.ndarray, degree: int) -> list[int]:
@@ -366,8 +378,11 @@ class DeviceProductTables:
 
             # real-chip only: the XLA-CPU backend takes ~16 s to COMPILE
             # this program per shape (the mont path compiles much faster),
-            # which would swamp the CPU test env for zero benefit
-            if predc.available():
+            # which would swamp the CPU test env for zero benefit. The u32
+            # plane accumulators hold nc = n2/256 chunk sums of <= 65535
+            # each, so the path is exact only while nc <= 65536, i.e.
+            # n2 < 2^24 pairs — larger tables take the mont path.
+            if predc.available() and self.n < (1 << 25):
                 deg = self.degree
                 return EvalFuture(_evals_mxu(self.tables[:2], deg),
                                   lambda flat: _decode_mxu(flat, deg))

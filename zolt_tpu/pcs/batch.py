@@ -29,6 +29,8 @@ Dory point is q[ν:] + q[:ν].
 
 from __future__ import annotations
 
+from ..parallel.stage_engine import stage_enabled as _se
+
 import os
 
 from dataclasses import dataclass, field as dfield
@@ -250,7 +252,7 @@ def prove_batch_opening(transcript, claims: list[BatchClaim], srs: dory.DorySRS,
     g_e: list[FrVec | None] = [None] * n_groups
     g_cow = [False] * n_groups  # f-table shared with the caller: first fold
                                 #   must write a fresh buffer
-    use_dev = backend in ("device", "mesh")
+    use_dev = backend in ("device", "mesh") and _se("opening")
     g_eng: dict[int, object] = {}   # group -> DeviceProductTables
     g_fin: dict[int, int] = {}      # device groups' fully-bound f(r*)
 

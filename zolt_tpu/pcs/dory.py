@@ -12,9 +12,10 @@ plus the JOLT_DORY_SRS_V1 file loader.
 Open: the reduce-and-fold VMV protocol with Blake2b transcript challenges
 (dory.zig:1404-...): VMV message (C, D2, E1) → per-round FirstReduce
 (D1L/R, D2L/R, E1β, E2β) + β, SecondReduce (C±, E1±, E2±) + α folds → final
-scalar-product message. Verification of the folded relation is structural in
-round 1 (the reference's verify is also a placeholder, dory.zig:1381-1396);
-the full Dory verifier equations land in a later round.
+scalar-product message. verify_with_transcript REALLY checks the folded
+relation: it replays the transcript, folds the Γ generators with the χ/Δ
+ladders, and verifies the final pairing equations — going beyond the
+reference, whose verify is a placeholder returning true (dory.zig:1381-1396).
 
 Arkworks point compression follows the arkworks flag convention: 32-byte (G1) /
 64-byte (G2) little-endian x with infinity (0x40) and y-lexicographically-
@@ -601,8 +602,16 @@ def verify_with_transcript(srs: DorySRS, commitment, point: list[int],
     """
     sigma, nu = srs.sigma, srs.nu
     if sigma != nu:
+        # Odd num_vars gives the rectangular σ=ν+1 layout. The supported
+        # path is the square embedding: zero-pad the evals to 2^(n+1) (row
+        # padding preserves the GT commitment) and lift the point with
+        # square_embedding_point — see
+        # tests/test_dory.py::test_rectangular_claim_via_square_embedding.
+        # The batch-opening accumulator (pcs/batch.py) always reduces to an
+        # even-num-vars opening, so pipeline proofs never hit this.
         raise ValueError("algebraic Dory verification requires a square "
-                         "matrix layout (even num_vars); pad the polynomial")
+                         "matrix layout (even num_vars); zero-pad the evals "
+                         "and lift the point with square_embedding_point")
     num_rounds = max(nu, sigma)
     num_cols = 1 << sigma
 

@@ -20,6 +20,8 @@ their r vectors; RAF's eq is little-endian; all data folds are low-to-high.
 
 from __future__ import annotations
 
+from ..parallel.stage_engine import stage_enabled as _se
+
 from dataclasses import dataclass, field as dfield
 
 from ..field.params import FR
@@ -119,7 +121,7 @@ class ProductVirtualRemainderProver:
         self.current_round = 0
         self.current_claim = uni_skip_claim % P
         self._dev = None
-        if backend in ("device", "mesh") and padded >= 2:
+        if backend in ("device", "mesh") and padded >= 2 and _se("stage2"):
             from .device_outer import DeviceOuterRounds, MeshOuterRounds
 
             if backend == "mesh":
@@ -923,7 +925,7 @@ class InstructionLookupsProver:
             self.right, self.gamma_sqr)
         self.current_claim = initial_claim % P
         self._eng = None
-        if backend in ("device", "mesh") and T >= 2:
+        if backend in ("device", "mesh") and T >= 2 and _se("stage2"):
             from ..parallel.stage_engine import DeviceProductTables
 
             # factors [eq, comb] carry the round sums; lo/left/right ride as

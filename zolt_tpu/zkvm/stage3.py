@@ -21,6 +21,8 @@ in the reference order.
 
 from __future__ import annotations
 
+from ..parallel.stage_engine import stage_enabled as _se
+
 from dataclasses import dataclass, field as dfield
 
 from ..field.params import FR
@@ -156,7 +158,7 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
     instr_arrays = [l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm]
 
     engines = None
-    if backend in ("device", "mesh") and T >= 4:
+    if backend in ("device", "mesh") and T >= 4 and _se("stage3"):
         from ..parallel.stage_engine import DeviceProductTables, drain_futures
 
         mm = mesh if backend == "mesh" else None

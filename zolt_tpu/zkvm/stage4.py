@@ -19,6 +19,8 @@ chains (the wide data-parallel work lives in the device stage provers).
 
 from __future__ import annotations
 
+from ..parallel.stage_engine import stage_enabled as _se
+
 from dataclasses import dataclass, field as dfield
 
 from ..field.params import FR
@@ -587,7 +589,7 @@ class ValEvaluationProver:
         self.wa = wa
         self.lt = lt
         self._eng = None
-        if backend in ("device", "mesh") and n >= 2:
+        if backend in ("device", "mesh") and n >= 2 and _se("stage4"):
             from ..parallel.stage_engine import DeviceProductTables
 
             self._eng = DeviceProductTables(
@@ -663,7 +665,7 @@ class ValFinalProver:
         self.inc = inc
         self.wa = wa
         self._eng = None
-        if backend in ("device", "mesh") and n >= 2:
+        if backend in ("device", "mesh") and n >= 2 and _se("stage4"):
             from ..parallel.stage_engine import DeviceProductTables
 
             self._eng = DeviceProductTables(
