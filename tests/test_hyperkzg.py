@@ -96,3 +96,25 @@ def test_mock_commitment_roundtrip_and_binding():
     bad = list(proof)
     bad[0] += 1
     assert not mock.verify(c, point, value, bad)
+
+
+def test_batch_open_verify_roundtrip(small_srs):
+    """γ-RLC batch APIs (ref mod.zig:558-792, with Fiat-Shamir γ):
+    prover↔verifier round trip, tamper rejection, commitment homomorphism."""
+    x = rand_ints(3)
+    polys = [rand_ints(8) for _ in range(4)]
+    cs = hyperkzg.batch_commit(small_srs, polys)
+    bp = hyperkzg.batch_open(small_srs, polys, x, Blake2bTranscript(b"hb"))
+    assert bp.evaluations == [mle_eval(p, x) for p in polys]
+    assert hyperkzg.verify_batch_opening(
+        small_srs, cs, x, bp, Blake2bTranscript(b"hb"))
+    # tampered claim rejected
+    bad = hyperkzg.HyperKZGBatchProof(
+        evaluations=[(bp.evaluations[0] + 1) % P] + bp.evaluations[1:],
+        proof=bp.proof)
+    assert not hyperkzg.verify_batch_opening(
+        small_srs, cs, x, bad, Blake2bTranscript(b"hb"))
+    # wrong commitment rejected
+    cs_bad = [cs[1]] + cs[1:]
+    assert not hyperkzg.verify_batch_opening(
+        small_srs, cs_bad, x, bp, Blake2bTranscript(b"hb"))

@@ -146,3 +146,40 @@ def test_jolt_lookup_lo_hi_matches_oracle():
     lo, hi = jolt_lookup_lo_hi(padded)
     got = [(int(h) << 64) | int(l) for l, h in zip(lo, hi)]
     assert got == want and len(want) > 30
+
+
+def test_native_trace_seeds_arrays():
+    """The native emulator seeds r1cs.inputs._ARR_MEMO straight from its
+    structured trace buffer (vm/native_emu.py); every column must equal the
+    Python attribute-loop extraction over the same TraceStep objects."""
+    import numpy as np
+
+    def guest(a, lay):
+        a.li_addr(5, 0x80002000)
+        a.addi(1, 0, 7)
+        a.sd(5, 1, 0)
+        a.ld(2, 5, 0)
+        a.add(3, 1, 2)
+        a.sw(5, 3, 8)
+        a.lw(4, 5, 8)
+        a.bne(1, 0, "end")
+        a.label("end")
+        a.halt(lay, provable=True)
+
+    lay = MemoryLayout.create(MemoryConfig(program_size=1024))
+    a = Asm()
+    guest(a, lay)
+    emu = run_elf(elf_mod.write_minimal_elf(a.bytes()))
+    steps = list(emu.trace)
+    n = len(steps)
+    seeded = [e for e in ri._ARR_MEMO if e[1] == n and e[0] is steps[0]]
+    if not seeded:
+        pytest.skip("native emulator tier unavailable (no seeded memo)")
+    cols_s, comp_s, pre_s = seeded[0][2]
+    ri._ARR_MEMO[:] = []  # force the Python extraction path
+    cols_p, comp_p, pre_p = ri._steps_to_arrays(steps)
+    assert set(cols_s) == set(cols_p)
+    for k in cols_p:
+        assert np.array_equal(cols_s[k], cols_p[k]), k
+    assert np.array_equal(comp_s, comp_p)
+    assert np.array_equal(pre_s, pre_p)

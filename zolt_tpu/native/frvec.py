@@ -23,6 +23,28 @@ import ctypes
 
 from ..field.params import FR
 
+
+def _tune_malloc() -> None:
+    """Keep large FrVec buffers on the glibc heap instead of per-allocation
+    mmaps. Every fresh mmap'd buffer (a 2^22 column is 134 MB) pays a page
+    fault per 4 KiB on first touch, and on this Firecracker box a fault
+    costs ~20 us — 0.7 s per column allocation, superlinear witness-gen
+    growth (BENCH.md round 4). Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD
+    makes glibc serve and REUSE those chunks from the heap free list, so
+    pages fault once per process instead of once per op. Measured: 42 s ->
+    ~15 s witness build at T=2^22."""
+    import ctypes as _ct
+
+    try:
+        libc = _ct.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 P = FR.p
 
 
@@ -108,6 +130,8 @@ class FrVec:
         0/1 flag columns (roughly half the witness columns) skip the
         per-element Montgomery multiply: a masked row write of the constant
         one-in-Montgomery pattern is bit-identical and memcpy-fast."""
+        import ctypes
+
         import numpy as np
 
         lib = _get_lib()
@@ -124,7 +148,10 @@ class FrVec:
                 view[pos] = np.frombuffer(one, dtype=np.uint8)
             return cls(n, mont=out)
         out = bytearray(32 * n)
-        lib.frv_from_u64(arr.tobytes(), n, _buf(out))
+        # pass the numpy buffer directly: .tobytes() is a Python-level
+        # copy (~5 MB/s on this box) that dominated witness ingest
+        lib.frv_from_u64(ctypes.cast(arr.ctypes.data, ctypes.c_char_p),
+                         n, _buf(out))
         return cls(n, mont=out)
 
     @classmethod
@@ -779,7 +806,7 @@ class FrVec:
             xa = _np.ascontiguousarray(x, dtype=_np.uint64)
             x_u64 = xa.ctypes.data_as(_ct.c_void_p)
         lib.frv_cat_wsum(_buf(wt._mont), x_fr, x_u64,
-                         cat.tobytes(), wt.n, ncat, _buf(out))
+                         ctypes.cast(cat.ctypes.data, ctypes.c_char_p), wt.n, ncat, _buf(out))
         return _from_mont_list(out, ncat)
 
     def scale_by_cat_(self, cat, consts: list[int]) -> "FrVec":
@@ -793,7 +820,8 @@ class FrVec:
             self._ints = [a[i] * consts[cat[i]] % P for i in range(self.n)]
             self._mont = None
             return self
-        lib.frv_scale_by_cat(_buf(self._mont), cat.tobytes(), self.n,
+        lib.frv_scale_by_cat(_buf(self._mont),
+                             ctypes.cast(cat.ctypes.data, ctypes.c_char_p), self.n,
                              _buf(_mont_scalars([c % P for c in consts])))
         return self
 
@@ -808,7 +836,8 @@ class FrVec:
             self._ints = [(a[i] + consts[cat[i]]) % P for i in range(self.n)]
             self._mont = None
             return self
-        lib.frv_add_by_cat(_buf(self._mont), cat.tobytes(), self.n,
+        lib.frv_add_by_cat(_buf(self._mont),
+                           ctypes.cast(cat.ctypes.data, ctypes.c_char_p), self.n,
                            _buf(_mont_scalars([c % P for c in consts])))
         return self
 

@@ -271,19 +271,25 @@ def row_commitments(srs: DorySRS, evals, num_vars: int | None = None) -> list:
     return rows
 
 
-def commit(srs: DorySRS, evals, num_vars: int | None = None):
-    """GT commitment: Π_row e(rowMSM, g2_vec[row]). The G2 side is the fixed
-    SRS vector, so the multi-pairing runs on cached precomputed Miller lines
-    with a shared accumulator (one fp12 squaring chain for all rows)."""
+def pair_rows(srs: DorySRS, rows):
+    """GT from row commitments: Π_i e(rows[i], g2_vec[i]) with cached
+    precomputed Miller lines and a shared accumulator. rows may be shorter
+    than 2^nu (missing/None rows are identity factors)."""
     from ..native import multi_pairing_fixed_native
 
-    rows = row_commitments(srs, evals, num_vars)
     out = multi_pairing_fixed_native(rows, srs.g2_vec, len(rows))
     if out is not None:
         return out
     pairs = [(rc, srs.g2_vec[i]) for i, rc in enumerate(rows)
              if rc is not None and i < len(srs.g2_vec)]
     return multi_pairing(pairs)
+
+
+def commit(srs: DorySRS, evals, num_vars: int | None = None):
+    """GT commitment: Π_row e(rowMSM, g2_vec[row]). The G2 side is the fixed
+    SRS vector, so the multi-pairing runs on cached precomputed Miller lines
+    with a shared accumulator (one fp12 squaring chain for all rows)."""
+    return pair_rows(srs, row_commitments(srs, evals, num_vars))
 
 
 def commitment_bytes(gt) -> bytes:

@@ -175,3 +175,71 @@ def verify(srs, commitment, x: list[int], value: int, proof: HyperKZGProof,
 
     # e(L, G2) == e(R, τG2)  ⇔  e(L, G2)·e(−R, τG2) == 1
     return pairing_check([(L, srs.g2), (G1.neg(Rw), srs.tau_g2)])
+
+
+# ---------------------------------------------------------------------------
+# Batch commit / open / verify (γ-powers RLC)
+#
+# Reference surface: src/poly/commitment/mod.zig:558-607 (batchCommit /
+# batchOpen) and :738-792 (verifyBatchOpening) — many polynomials opened at
+# ONE point collapse to a single opening of the γ-RLC combination, with the
+# commitment combined homomorphically on the verifier side. The reference
+# derives γ deterministically from the point ("should be Fiat-Shamir",
+# mod.zig:602); here γ IS Fiat-Shamir: the per-poly claims are appended to
+# the transcript first, so γ binds every claimed evaluation.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HyperKZGBatchProof:
+    evaluations: list[int]   # v_i = p_i(x), claimed per-poly values
+    proof: HyperKZGProof     # opening of Σ γ^i·p_i at x
+
+
+def _mle_eval(evals: list[int], x: list[int]) -> int:
+    cur = list(evals)
+    for xi in x:
+        half = len(cur) // 2
+        cur = [(cur[2 * j] + xi * (cur[2 * j + 1] - cur[2 * j])) % P
+               for j in range(half)]
+    return cur[0] % P
+
+
+def batch_commit(srs, polys: list[list[int]]) -> list:
+    """One commitment per polynomial (mod.zig:558-570)."""
+    return [commit_ints(srs, p) for p in polys]
+
+
+def batch_open(srs, polys: list[list[int]], x: list[int],
+               transcript) -> HyperKZGBatchProof:
+    """Single opening for many polys at one point: append every claim,
+    draw γ, open the γ-RLC combination with the standard protocol."""
+    assert polys and all(len(p) == 1 << len(x) for p in polys)
+    evals = [_mle_eval(p, x) for p in polys]
+    transcript.append_scalars(evals)
+    gamma = transcript.challenge_scalar_full()
+    rlc = [0] * len(polys[0])
+    gp = 1
+    for p in polys:
+        for k, c in enumerate(p):
+            rlc[k] = (rlc[k] + gp * c) % P
+        gp = gp * gamma % P
+    return HyperKZGBatchProof(evaluations=evals,
+                              proof=open_at(srs, rlc, x, transcript))
+
+
+def verify_batch_opening(srs, commitments: list, x: list[int],
+                         proof: HyperKZGBatchProof, transcript) -> bool:
+    """Homomorphic check: C* = Σ γ^i·C_i must open to v* = Σ γ^i·v_i."""
+    if len(commitments) != len(proof.evaluations):
+        return False
+    transcript.append_scalars(proof.evaluations)
+    gamma = transcript.challenge_scalar_full()
+    c_star = None
+    v_star, gp = 0, 1
+    for c, v in zip(commitments, proof.evaluations):
+        if c is not None:
+            c_star = G1.add(c_star, G1.scalar_mul(c, gp))
+        v_star = (v_star + gp * v) % P
+        gp = gp * gamma % P
+    return verify(srs, c_star, x, v_star, proof.proof, transcript)

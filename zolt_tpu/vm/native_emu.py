@@ -336,6 +336,42 @@ def run_native(emu, max_cycles: int) -> bool:
             for cy, pc, ins, r1, r2, rp, rv, ma, mp, mv, hm, hp, hv, w, npc, ic
             in zip(*cols)]
 
+    if n and emu.trace:
+        # Seed the witness-column memo straight from the structured trace
+        # buffer: witness gen / stage-4 / the commitment builders all call
+        # r1cs.inputs._steps_to_arrays on this exact real-trace prefix, and
+        # the Python fallback there re-extracts every field through 4M-step
+        # attribute loops (~10 s/Mcycle). The native emulator already holds
+        # the columns as one contiguous structured array — copy each field
+        # out (stride-96 view -> contiguous) and register it. Values are
+        # differentially tested against the Python path in
+        # tests/test_witness_columns.py::test_native_trace_seeds_arrays.
+        from ..r1cs import inputs as _ri
+
+        _u64 = np.uint64
+        _cols = {
+            "instruction": t["instruction"].astype(_u64),
+            "pc": np.ascontiguousarray(t["pc"]),
+            "unexpanded_pc": np.ascontiguousarray(t["pc"]),  # no virtual seqs
+            "rs1_value": np.ascontiguousarray(t["rs1_value"]),
+            "rs2_value": np.ascontiguousarray(t["rs2_value"]),
+            "rd_value": np.ascontiguousarray(t["rd_value"]),
+            "rd_pre_value": np.ascontiguousarray(t["rd_pre_value"]),
+            "memory_value": np.where(t["has_mem_val"] != 0,
+                                     t["memory_value"], _u64(0)),
+            "memory_pre_value": np.where(t["has_mem_pre"] != 0,
+                                         t["memory_pre_value"], _u64(0)),
+            "memory_addr": np.where(t["has_memory"] != 0,
+                                    t["memory_addr"], _u64(0)),
+            "_has_addr": np.ascontiguousarray(t["has_memory"]),
+            "_is_write": np.ascontiguousarray(t["is_memory_write"]),
+        }
+        _comp = np.ascontiguousarray(t["is_compressed"])
+        _has_pre = np.ascontiguousarray(t["has_mem_pre"])
+        for _a in list(_cols.values()) + [_comp, _has_pre]:
+            _a.setflags(write=False)
+        _ri._ARR_MEMO[:] = [(emu.trace[0], n, (_cols, _comp, _has_pre))]
+
     nm = int(st.n_mem)
     m = mem_buf[:nm]  # view; mem_buf stays alive via the closure below
 

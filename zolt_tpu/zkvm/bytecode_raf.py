@@ -86,14 +86,12 @@ def _onehot_cube(positions_iter, cube: int):
     return FrVec.indicator(cube, positions_iter)
 
 
-def build_io_oh_cubes(padded_steps, n_cycle_vars: int):
-    """One-hot (chunk-value x cycle) cubes for the 32 instruction chunks."""
+def io_oh_positions(padded_steps, n_cycle_vars: int) -> list[list[int]]:
+    """One-hot positions per instruction chunk ((chunk << ncv) | cycle)."""
     from .lookups_raf import INSTRUCTION_D
     from .raf_gadgets import sound_lookup_index
 
-    T = 1 << n_cycle_vars
-    cube = (1 << LOG_K_CHUNK) * T
-    per_d = [[] for _ in range(INSTRUCTION_D)]
+    per_d: list[list[int]] = [[] for _ in range(INSTRUCTION_D)]
     for j, s in enumerate(padded_steps):
         if getattr(s, "is_noop", False):
             continue
@@ -103,21 +101,38 @@ def build_io_oh_cubes(padded_steps, n_cycle_vars: int):
         for d in range(INSTRUCTION_D):
             sh = LOG_K_CHUNK * (INSTRUCTION_D - 1 - d)
             per_d[d].append((((idx >> sh) & 15) << n_cycle_vars) | j)
-    return [_onehot_cube(p, cube) for p in per_d]
+    return per_d
+
+
+def build_io_oh_cubes(padded_steps, n_cycle_vars: int):
+    """One-hot (chunk-value x cycle) cubes for the 32 instruction chunks."""
+    T = 1 << n_cycle_vars
+    cube = (1 << LOG_K_CHUNK) * T
+    return [_onehot_cube(p, cube)
+            for p in io_oh_positions(padded_steps, n_cycle_vars)]
+
+
+def bc_oh_positions(slots: list[int], n_cycle_vars: int,
+                    log_bc: int) -> list[list[int]]:
+    """One-hot positions per bytecode chunk (EVERY cycle has a slot)."""
+    import numpy as np
+
+    bc_d = bc_chunk_count(log_bc)
+    sl = np.asarray(slots, dtype=np.int64)
+    j = np.arange(len(slots), dtype=np.int64)
+    out = []
+    for d in range(bc_d):
+        sh = LOG_K_CHUNK * (bc_d - 1 - d)
+        out.append((((sl >> sh) & 15) << n_cycle_vars) | j)
+    return out
 
 
 def build_bc_oh_cubes(slots: list[int], n_cycle_vars: int, log_bc: int):
     """One-hot cubes for the bytecode chunks (EVERY cycle has a slot)."""
-    bc_d = bc_chunk_count(log_bc)
     T = 1 << n_cycle_vars
     cube = (1 << LOG_K_CHUNK) * T
-    out = []
-    for d in range(bc_d):
-        sh = LOG_K_CHUNK * (bc_d - 1 - d)
-        out.append(_onehot_cube(
-            ((((k >> sh) & 15) << n_cycle_vars) | j
-             for j, k in enumerate(slots)), cube))
-    return out
+    return [_onehot_cube(p, cube)
+            for p in bc_oh_positions(slots, n_cycle_vars, log_bc)]
 
 
 def prove_stage10(transcript, padded_steps, bc_index, slots: list[int],

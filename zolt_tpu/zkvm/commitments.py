@@ -415,54 +415,88 @@ def build_instruction_ra_lohi(lo, hi, size: int, d: int) -> list[list[int]]:
     return out
 
 
-def build_ram_ra(steps, size: int, shift: int):
-    from ..native.frvec import FrVec
+def build_instruction_ra_u8(lo, hi, size: int, d: int) -> list[np.ndarray]:
+    """build_instruction_ra_lohi as compact uint8 arrays — the wire form of
+    the device row-MSM tier (msm/rows_device.py); values < 16."""
+    n = min(len(lo), size)
+    mask = np.uint64((1 << LOG_K_CHUNK) - 1)
+    out = []
+    for j in range(d):
+        shift = LOG_K_CHUNK * (d - 1 - j)
+        src = hi if shift >= 64 else lo
+        s = np.uint64(shift - 64 if shift >= 64 else shift)
+        a = np.zeros(size, np.uint8)
+        a[:n] = ((src[:n] >> s) & mask).astype(np.uint8)
+        out.append(a)
+    return out
 
+
+def build_ram_ra_u8(steps, size: int, shift: int) -> np.ndarray:
     arrs, n = _real_arrays(steps, size)
     u = np.uint64
-    out = np.zeros(size, u)
+    out = np.zeros(size, np.uint8)
     ha = arrs["_has_addr"][:n] != 0
     out[:n] = np.where(
         ha, (arrs["memory_addr"][:n] >> u(shift)) & u((1 << LOG_K_CHUNK) - 1),
-        u(0))
-    return FrVec.from_u64_array(out)
+        u(0)).astype(np.uint8)
+    return out
+
+
+def build_ram_ra(steps, size: int, shift: int):
+    from ..native.frvec import FrVec
+
+    return FrVec.from_u64_array(
+        build_ram_ra_u8(steps, size, shift).astype(np.uint64))
+
+
+def ram_ra_onehot_positions(steps, size: int, shift: int, start_address: int,
+                            log_ram_k: int) -> np.ndarray:
+    """One-hot positions of build_ram_ra_onehot, vectorized over the
+    memoized trace arrays (the scalar loop was O(16T) Python work)."""
+    arrs, n = _real_arrays(steps, size)
+    u = np.uint64
+    mask = u((1 << LOG_K_CHUNK) - 1)
+    n_vars = size.bit_length() - 1
+    ha = arrs["_has_addr"][:n] != 0
+    addr = arrs["memory_addr"][:n]
+    valid = ha & (addr >= u(start_address))
+    k = np.where(valid, (addr - u(start_address)) >> u(3), u(0))
+    valid &= k < u(1 << log_ram_k)
+    j = np.flatnonzero(valid)
+    kv = ((k[j] >> u(shift)) & mask).astype(np.int64)
+    return (kv << np.int64(n_vars)) | j
 
 
 def build_ram_ra_onehot(steps, size: int, shift: int, start_address: int,
-                        log_ram_k: int) -> list[int]:
+                        log_ram_k: int):
     """Sound mode: one-hot chunk indicator over the (chunk-value × cycle)
     cube, flat index k_d·size + j. Chunks the word-SLOT index
     (addr − start)/8 — the stage-2 RWC/RAF address space — with zero rows
     on cycles without a RAM access (see stage67.py)."""
-    mask = (1 << LOG_K_CHUNK) - 1
-    k_size = 1 << log_ram_k
-    n_vars = size.bit_length() - 1
-    poly = [0] * ((1 << LOG_K_CHUNK) * size)
-    for j, s in enumerate(steps):
-        if j >= size:
-            break
-        addr = None if getattr(s, "is_noop", False) else getattr(s, "memory_addr", None)
-        if addr is None or addr < start_address:
-            continue
-        k = (addr - start_address) // 8
-        if k >= k_size:
-            continue
-        poly[(((k >> shift) & mask) << n_vars) | j] = 1
-    return poly
-
-
-def build_bytecode_ra(steps, size: int, shift: int):
-    """Bytecode chunk poly. NOTE: unlike the other builders, noop padding
-    rows carry the halt pc, so this one spans the PADDED trace."""
     from ..native.frvec import FrVec
 
+    pos = ram_ra_onehot_positions(steps, size, shift, start_address,
+                                  log_ram_k)
+    return FrVec.indicator((1 << LOG_K_CHUNK) * size, pos)
+
+
+def build_bytecode_ra_u8(steps, size: int, shift: int) -> np.ndarray:
+    """Bytecode chunk poly values. NOTE: unlike the other builders, noop
+    padding rows carry the halt pc, so this one spans the PADDED trace."""
     mask = (1 << LOG_K_CHUNK) - 1
     n = min(len(steps), size)
     pcs = np.fromiter(((s.pc >> shift) & mask for s in steps[:n]),
                       np.uint64, n)
-    out = np.zeros(size, np.uint64)
-    out[:n] = pcs
-    return FrVec.from_u64_array(out)
+    out = np.zeros(size, np.uint8)
+    out[:n] = pcs.astype(np.uint8)
+    return out
+
+
+def build_bytecode_ra(steps, size: int, shift: int):
+    from ..native.frvec import FrVec
+
+    return FrVec.from_u64_array(
+        build_bytecode_ra_u8(steps, size, shift).astype(np.uint64))
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +528,62 @@ def sound_layout_num_vars(trace_length: int, bytecode_len: int) -> int:
     n = max(reg_size, bc_size).bit_length() - 1
     n = max(n, (reg_size.bit_length() - 1) + LOG_K_CHUNK)
     return n + (n & 1)
+
+
+def _device_commit_on() -> bool:
+    """Device row-MSM tier gate. Default: on when a real TPU chip is
+    attached (pallas available — the same proxy every other device kernel
+    uses); XLA:CPU pays more in compile time than the kernels return.
+    Force with ZOLT_TPU_DEVICE_COMMIT=1/0."""
+    import os
+
+    v = os.environ.get("ZOLT_TPU_DEVICE_COMMIT")
+    if v is not None:
+        return v not in ("0", "")
+    from ..field import pallas_redc
+
+    return pallas_redc.available()
+
+
+def _device_rows(srs, small: list, num_vars: int | None = None,
+                 nplanes: int = 4) -> dict | None:
+    """Row commitments for the uint8 chunk polys via the device subset-sum
+    tier, grouped by matrix width; {poly index -> row list}, or None when
+    the tier is off/unavailable. Matches row_commitments' matrix dims
+    exactly: per-poly _matrix_dims (compat layout) or the global cube
+    (sound layout, num_vars given)."""
+    if not _device_commit_on():
+        return None
+    import os
+
+    from ..msm import rows_device
+    from ..pcs.dory import _matrix_dims
+
+    min_n = int(os.environ.get("ZOLT_TPU_DEVICE_COMMIT_MIN", str(1 << 14)))
+    groups: dict[int, list[int]] = {}
+    for i, sm in enumerate(small):
+        if sm is None:
+            continue
+        if len(sm) < min_n:
+            # tiny polys: the host C tier commits in microseconds; a device
+            # dispatch pays tunnel latency + a per-shape compile
+            continue
+        if num_vars is None:
+            sigma, _nu = _matrix_dims(len(sm))
+        else:
+            sigma = (num_vars + 1) // 2
+        cols = 1 << sigma
+        if cols >= 8:
+            groups.setdefault(cols, []).append(i)
+    out: dict[int, list] = {}
+    for cols, idxs in groups.items():
+        eng = rows_device.get_engine(srs, cols)
+        if eng is None:
+            continue
+        rlists = eng.commit_rows([small[i] for i in idxs], nplanes=nplanes)
+        for i, rl in zip(idxs, rlists):
+            out[i] = rl
+    return out
 
 
 def commit_and_absorb(transcript, steps, bytecode_len: int,
@@ -546,50 +636,94 @@ def commit_and_absorb(transcript, steps, bytecode_len: int,
 
     polys = [build_rd_inc(steps, res.reg_poly_size),
              build_ram_inc(steps, res.memory_poly_size)]
+    small: list = [None, None]  # uint8 value arrays for the device tier
     n_cycle_vars = res.reg_poly_size.bit_length() - 1
+    def _oh_u8(positions, cube: int) -> np.ndarray:
+        a = np.zeros(cube, np.uint8)
+        pos = np.asarray(positions, dtype=np.int64)
+        if pos.size:
+            a[pos] = 1
+        return a
+
     if sound:
         # one-hot (chunk-value × cycle) cubes over the SOUND lookup index —
         # the committed polys the stage-8/9/10 lookups argument opens
         # (zkvm/lookups_raf.py); layout identical to build_io_oh_cubes.
-        from .bytecode_raf import build_io_oh_cubes
+        from ..native.frvec import FrVec
+        from .bytecode_raf import io_oh_positions
 
-        polys.extend(build_io_oh_cubes(steps, n_cycle_vars))
+        cube = (1 << LOG_K_CHUNK) * res.reg_poly_size
+        for pos in io_oh_positions(steps, n_cycle_vars):
+            polys.append(FrVec.indicator(cube, pos))
+            small.append(_oh_u8(pos, cube))
     else:
         idx_lo, idx_hi = jolt_lookup_lo_hi(steps)
-        polys.extend(build_instruction_ra_lohi(idx_lo, idx_hi,
-                                               res.reg_poly_size,
-                                               res.instruction_d))
+        arrs8 = build_instruction_ra_u8(idx_lo, idx_hi, res.reg_poly_size,
+                                        res.instruction_d)
+        polys.extend(arrs8)
+        small.extend(arrs8)
     for d in range(res.ram_d):
         shift = LOG_K_CHUNK * (res.ram_d - 1 - d)
         if sound:
             # one-hot chunk indicators over the (chunk × cycle) cube — the
             # committed polys stages 6-7 open and prove one-hot (stage67.py)
-            polys.append(build_ram_ra_onehot(steps, res.reg_poly_size, shift,
-                                             start_address, log_ram_k))
+            from ..native.frvec import FrVec
+
+            pos = ram_ra_onehot_positions(steps, res.reg_poly_size, shift,
+                                          start_address, log_ram_k)
+            cube = (1 << LOG_K_CHUNK) * res.reg_poly_size
+            polys.append(FrVec.indicator(cube, pos))
+            small.append(_oh_u8(pos, cube))
         else:
-            polys.append(build_ram_ra(steps, res.memory_poly_size, shift))
+            a8 = build_ram_ra_u8(steps, res.memory_poly_size, shift)
+            polys.append(a8)
+            small.append(a8)
     if sound:
         # one-hot bytecode-slot chunk cubes (stage 10-12 layout)
-        from .bytecode_raf import build_bc_oh_cubes
+        from ..native.frvec import FrVec
+        from .bytecode_raf import bc_oh_positions
 
         slots = bc_index.slots_per_cycle(steps)
-        polys.extend(build_bc_oh_cubes(slots, n_cycle_vars, bc_index.log_k))
+        cube = (1 << LOG_K_CHUNK) * res.reg_poly_size
+        for pos in bc_oh_positions(slots, n_cycle_vars, bc_index.log_k):
+            polys.append(FrVec.indicator(cube, pos))
+            small.append(_oh_u8(pos, cube))
     else:
         for d in range(res.bytecode_d):
             shift = LOG_K_CHUNK * (res.bytecode_d - 1 - d)
-            polys.append(build_bytecode_ra(steps, res.bytecode_poly_size, shift))
+            a8 = build_bytecode_ra_u8(steps, res.bytecode_poly_size, shift)
+            polys.append(a8)
+            small.append(a8)
 
     if sound:
         res.polys = polys
         # commit in the GLOBAL cube's matrix layout without materializing
         # the zero padding: missing rows are identity pairing factors, and
-        # FrVec cubes stream canonical bytes straight into the row MSMs
-        for poly in polys:
-            gt = dory.commit(srs, poly, num_vars=res.global_num_vars)
+        # FrVec cubes stream canonical bytes straight into the row MSMs.
+        # One-hot cubes (0/1 scalars — a single bit-plane) go through the
+        # device subset-sum tier when a chip is attached.
+        dev_rows = _device_rows(srs, small, num_vars=res.global_num_vars,
+                                nplanes=1)
+        for i, poly in enumerate(polys):
+            if dev_rows is not None and i in dev_rows:
+                gt = dory.pair_rows(srs, dev_rows[i])
+            else:
+                gt = dory.commit(srs, poly, num_vars=res.global_num_vars)
             res.commitments.append(dory.commitment_bytes(gt))
     else:
-        for poly in polys:
-            gt = dory.commit(srs, poly)
+        # Device tier for the small-scalar chunk polys (bit-plane subset
+        # sums on the TPU, msm/rows_device.py); Inc polys and the pairings
+        # stay on the host C tier. Proof bytes identical either way.
+        dev_rows = _device_rows(srs, small)
+        from ..native.frvec import FrVec
+
+        for i, poly in enumerate(polys):
+            if dev_rows is not None and i in dev_rows:
+                gt = dory.pair_rows(srs, dev_rows[i])
+            else:
+                if small[i] is not None:
+                    poly = FrVec.from_u64_array(poly.astype(np.uint64))
+                gt = dory.commit(srs, poly)
             res.commitments.append(dory.commitment_bytes(gt))
     for c in res.commitments:
         transcript.append_gt(c)

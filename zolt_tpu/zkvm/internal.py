@@ -69,6 +69,11 @@ class InternalProof:
     log_t: int = 0
     log_k: int = 0
     stage_proofs: list[StageProof] = dfield(default_factory=list)
+    # optional sound extension (prove_internal(with_openings=True)): a
+    # HyperKZG γ-RLC batch opening of the three committed polys; NOT part
+    # of the serialized ZOLT v1 container (byte format unchanged)
+    kzg_batch_opening: object = None
+    kzg_batch_point: list[int] | None = None
 
     def serialize(self) -> bytes:
         """ZOLT v1 container (serialization.zig:283-330)."""
@@ -411,8 +416,16 @@ def _cached_setup(degree: int):
 
 def prove_internal(emulator, padded_steps, bytecode: bytes,
                    log_k: int = 16, srs_degree: int = 1280,
-                   inputs: bytes = b"") -> InternalProof:
-    """The reference's JoltProver.prove flow (mod.zig:366-440)."""
+                   inputs: bytes = b"",
+                   with_openings: bool = False) -> InternalProof:
+    """The reference's JoltProver.prove flow (mod.zig:366-440).
+
+    with_openings=True additionally emits a HyperKZG γ-RLC batch opening
+    (pcs/hyperkzg.batch_open; ref mod.zig:558-792) of the three committed
+    polys at a transcript-derived point, binding the commitments to the
+    data the stages argue over — the reference never opens them. Stored on
+    `kzg_batch_opening` (and checked by verify_internal when present);
+    the serialized byte format is unchanged."""
     proof = InternalProof()
     t = KeccakTranscript(b"Jolt")
     if inputs:
@@ -448,7 +461,43 @@ def prove_internal(emulator, padded_steps, bytecode: bytes,
                                       log_k, RAM_START_ADDRESS))
     proof.stage_proofs.append(_stage5(padded_steps, t, log_t))
     proof.stage_proofs.append(_stage6(padded_steps, t, log_t))
+
+    if with_openings:
+        from ..pcs import hyperkzg
+
+        polys = [bc_poly, mem_poly, reg_poly]
+        size = max(_next_pow2(max(len(p), 2)) for p in polys)
+        assert size <= len(powers), "srs_degree too small for batch opening"
+        padded = [list(p) + [0] * (size - len(p)) for p in polys]
+        nv = size.bit_length() - 1
+        point = [t.challenge_scalar(b"kzg_open_point") for _ in range(nv)]
+        proof.kzg_batch_opening = hyperkzg.batch_open(
+            s, padded, point, _KeccakPCSAdapter(t))
+        proof.kzg_batch_point = point
     return proof
+
+
+class _KeccakPCSAdapter:
+    """Blake2b-style transcript surface (append_scalars/append_point/
+    challenge_scalar_full) over the internal KeccakTranscript, so the
+    HyperKZG batch protocol runs inside the internal Fiat-Shamir stream."""
+
+    def __init__(self, t):
+        self.t = t
+
+    def append_scalars(self, xs) -> None:
+        self.t.append_scalars(b"kzg_scalars", xs)
+
+    def append_point(self, x, y=None) -> None:
+        if x is None:
+            self.t.append_message(b"kzg_point", b"\x00" * 64)
+        else:
+            self.t.append_message(
+                b"kzg_point",
+                int(x).to_bytes(32, "little") + int(y).to_bytes(32, "little"))
+
+    def challenge_scalar_full(self) -> int:
+        return self.t.challenge_scalar(b"kzg_challenge")
 
 
 # ---------------------------------------------------------------------------
@@ -633,4 +682,26 @@ def verify_internal(proof: InternalProof, inputs: bytes = b"",
         p1 = (claim - p0) % P
         r = t.challenge_scalar(b"bool_round")
         claim = _eval_at([p0, p1, p2], r)
+
+    # optional sound extension: HyperKZG γ-RLC batch opening of the three
+    # committed polys (prove_internal(with_openings=True)) — replays the
+    # same transcript stream, then verifies the single pairing check
+    if proof.kzg_batch_opening is not None:
+        from ..pcs import hyperkzg
+
+        bp = proof.kzg_batch_opening
+        nv = len(proof.kzg_batch_point or [])
+        point = [t.challenge_scalar(b"kzg_open_point") for _ in range(nv)]
+        check(point == list(proof.kzg_batch_point or []),
+              "kzg batch opening point mismatch")
+        cs = [proof.bc_commitment, proof.mem_commitment,
+              proof.reg_commitment]
+        # verification only touches srs.g1/g2/tau_g2 — deterministic τ, so
+        # any insecure_setup degree matches the prover's SRS
+        s = _cached_setup(2)
+        ok = hyperkzg.verify_batch_opening(s, cs, point, bp,
+                                           _KeccakPCSAdapter(t))
+        check(ok, "kzg batch opening pairing check failed")
+        if not ok:
+            return False
     return True
