@@ -151,6 +151,19 @@ def _extras() -> dict:
             extra["fold_pallas_hbm_pct"] = round(bw / hbm * 100, 1)
     except Exception as e:
         extra["fold_error"] = repr(e)[:120]
+
+    # Mosaic-tier chip exactness (benchmarks.bench_chipcheck): asserts the
+    # Pallas fold / MXU evals / device-column encode bit-exact on the real
+    # chip — recorded here so a lowering regression is driver-visible.
+    try:
+        from zolt_tpu.benchmarks import bench_chipcheck
+
+        lines: list = []
+        bench_chipcheck(lines.append, quick=True)
+        extra["chipcheck"] = ("pass" if any("PASS" in l for l in lines)
+                              else "skipped")
+    except Exception as e:
+        extra["chipcheck"] = "FAIL " + repr(e)[:100]
     return extra
 
 

@@ -18,7 +18,16 @@ sys.modules["zstandard"] = None
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cheap-codegen flags: the CPU suite is compile-bound (no persistent cache,
+# see below, and one mont-heavy shard_map program costs 25-40+ s at full
+# LLVM opt on this 4-core box; measured ~2x faster with these). Test shapes
+# are tiny, so generated-code quality is irrelevant; every numeric path is
+# asserted byte-exact, so a miscompile cannot pass silently.
+if "xla_backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 
 # Disable the narrow-tail host handoff (parallel/stage_engine.tail_n): test
 # traces are tiny, and the point of the CPU suite is to exercise the
@@ -30,13 +39,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: NONE for CPU surfaces. XLA:CPU AOT entries
-# are unloadable on this box twice over — tunneled (axon) sessions write
-# entries compiled for the REMOTE machine type (loading one segfaults,
-# observed exit 139 mid-suite), and even self-written entries embed LLVM
-# tuning pseudo-features (+prefer-no-gather) that the loader's runtime
-# feature check rejects. zolt_tpu._default_cache_dir implements this policy
-# (CPU -> no cache; tunneled TPU -> its own dir); importing the package
-# after the platform pin above applies it, and the assert keeps it honest.
+# are unloadable on this box: tunneled (axon) sessions write entries
+# compiled for the REMOTE machine type (loading one segfaults, observed
+# exit 139 mid-suite round 4); flag-less self-written entries fail the AOT
+# loader's feature check; and even with a pinned ISA
+# (--xla_cpu_max_isa=AVX2) an in-suite reload of a large 8-device
+# shard_map executable segfaulted in deserialize_executable (round 5).
+# zolt_tpu._default_cache_dir implements this policy (CPU -> no cache;
+# tunneled TPU -> its own dir); importing the package after the platform
+# pin above applies it, and the assert keeps it honest.
 import zolt_tpu  # noqa: E402, F401
 
 assert jax.config.jax_compilation_cache_dir is None, (

@@ -24,9 +24,12 @@ def _default_cache_dir(platform: str | None = None) -> str | None:
     (+prefer-no-scatter/+prefer-no-gather) that the loader's runtime
     CPU-feature check rejects, so self-written entries never reload cleanly
     either (verified round 5 with a fresh machine-keyed dir: every load
-    errors in cpu_aot_loader). So: CPU surfaces get NO persistent cache;
-    tunneled-TPU sessions keep one in their own dir, which pure-CPU
-    processes never open."""
+    errors in cpu_aot_loader). Pinning `--xla_cpu_max_isa=AVX2` suppresses
+    the pseudo-features and makes SMALL entries reload — but an in-suite
+    reload of a large 8-device shard_map executable still segfaulted in
+    backend.deserialize_executable (round 5, reproducible position), so
+    the CPU policy stays NO CACHE; tunneled-TPU sessions keep one in
+    their own dir, which pure-CPU processes never open."""
     plats = platform or ""
     if not plats:
         try:

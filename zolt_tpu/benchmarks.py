@@ -490,6 +490,104 @@ def bench_mesh(report, quick: bool) -> None:
         report("  (>1 device required to measure cross-chip scaling)")
 
 
+def bench_chipcheck(report, quick: bool) -> None:
+    """Real-chip bit-exactness drive for the Mosaic (Pallas) tier — the CPU
+    suite can only run these kernels under the interpreter, so a lowering
+    regression would otherwise hide until a by-hand drive (VERDICT r4 #7).
+    Asserts, on the attached chip: (1) the fused Pallas fold kernel against
+    the XLA fold tier and the bigint oracle across a live-prefix schedule,
+    (2) the MXU inner-product round evals against FrVec.prod_evals_adj,
+    (3) the device column store's raw-upload Montgomery encode against the
+    host FrVec encode. Prints PASS lines; raises on any mismatch."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from .field import FR, limb, mxu, pallas_redc as predc
+    from .field.limb import FR_C
+
+    if not predc.available():
+        report("Chip exactness: SKIPPED (no Mosaic TPU backend attached)")
+        return
+    rng = np.random.default_rng(99)
+    P = FR.p
+    n = 1 << 12
+
+    def rvals(k):
+        return [int.from_bytes(rng.bytes(40), "little") % P for k_ in range(k)]
+
+    # (1) fused fold across a halving live-prefix schedule
+    vals = rvals(n)
+    tab = jnp.asarray(np.asarray(limb.encode(vals, FR_C)))
+    stack = jnp.stack([tab, tab])
+    live, cur, host = n, stack, list(vals)
+    while live >= 128:
+        r = rvals(1)[0]
+        tp = predc.fold_toeplitz_dev(FR.mont(r))
+        cur = predc.fold_tail_stack(cur, tp, live // 2)
+        host = [(host[2 * i] + r * (host[2 * i + 1] - host[2 * i])) % P
+                for i in range(live // 2)]
+        live //= 2
+        got = [int(v) for v in
+               limb.decode(np.asarray(cur[0][:live]), FR_C)]
+        assert got == host, f"pallas fold diverges at live={live}"
+    report(f"  PASS pallas fold bit-exact (n=2^12 down to live={live})")
+
+    # (1b) packed-row fold + quadrant eval (the round-5 resident layout)
+    a_i, b_i = rvals(n), rvals(n)
+    ar = jnp.asarray(np.asarray(limb.encode(a_i, FR_C)).reshape(n // 8, 128))
+    br = jnp.asarray(np.asarray(limb.encode(b_i, FR_C)).reshape(n // 8, 128))
+    got = predc.decode_eval_rows_k2(
+        np.asarray(predc.eval_rows_k2(ar, br)), 3, P, pow(1 << 512, -1, P))
+    exp = []
+    for t in range(4):
+        s = 0
+        for i in range(n // 2):
+            va = a_i[2 * i] + t * (a_i[2 * i + 1] - a_i[2 * i])
+            vb = b_i[2 * i] + t * (b_i[2 * i + 1] - b_i[2 * i])
+            s = (s + va * vb) % P
+        exp.append(s)
+    assert got == exp, "row-layout quadrant eval diverges from oracle"
+    r = rvals(1)[0]
+    folded = np.asarray(predc.fold_rows_stack(
+        jnp.stack([ar, br]), predc.fold_toeplitz_dev(FR.mont(r)), n // 2))
+    got_f = [int(v) for v in
+             limb.decode(folded[0].reshape(n, 16)[: n // 2], FR_C)]
+    exp_f = [(a_i[2 * i] + r * (a_i[2 * i + 1] - a_i[2 * i])) % P
+             for i in range(n // 2)]
+    assert got_f == exp_f, "row-layout fold diverges from oracle"
+    report("  PASS packed-row fold + quadrant eval bit-exact (n=2^12)")
+
+    # (2) MXU inner-product round evals vs the host kernel
+    from .native.frvec import FrVec
+    from .parallel.stage_engine import DeviceProductTables
+
+    a, b = FrVec.from_ints(rvals(512)), FrVec.from_ints(rvals(512))
+    eng = DeviceProductTables([a, b], degree=2)
+    assert eng.round_evals() == FrVec.prod_evals_adj([a, b], 2), \
+        "MXU round evals diverge from FrVec.prod_evals_adj"
+    report("  PASS MXU inner-product round evals bit-exact (n=512)")
+
+    # (3) device column store encode paths
+    from .parallel import device_cols as dc
+    from .parallel.stage_engine import frvec_to_u16
+
+    st = dc.DeviceColumnStore()
+    u = rng.integers(0, 1 << 63, size=256, dtype=np.uint64)
+    st.put_u64("u", u)
+    assert np.array_equal(
+        np.asarray(st.get("u")),
+        frvec_to_u16(FrVec.from_u64_array(u)).astype(np.uint32)), \
+        "device u64 encode diverges from FrVec"
+    point = rvals(6)
+    assert np.array_equal(
+        np.asarray(dc.eq_table_dev(point)),
+        frvec_to_u16(FrVec.eq_table_be(point)).astype(np.uint32)), \
+        "device eq table diverges from FrVec"
+    report("  PASS device column store encode bit-exact (u64 + eq table)")
+
+
 SECTIONS = {
     "field": bench_field,
     "poly": bench_poly,
@@ -501,6 +599,7 @@ SECTIONS = {
     "roofline": bench_roofline,
     "mesh": bench_mesh,
     "e2e": bench_e2e,
+    "chipcheck": bench_chipcheck,
 }
 
 

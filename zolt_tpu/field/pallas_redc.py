@@ -117,10 +117,16 @@ def _get_consts_dev(f: FieldConst):
     a fold dispatch."""
     if f.name not in _DEV_CONST_CACHE:
         np_band, p_band, p_limbs = _get_consts(f)
-        _DEV_CONST_CACHE[f.name] = (
-            jax.device_put(np.ascontiguousarray(np_band.T)),
-            jax.device_put(np.ascontiguousarray(p_band.T)),
-            jax.device_put(p_limbs.reshape(N_LIMBS, 1)))
+        # device_put under an active jit trace yields TRACERS in this jax
+        # version — caching one leaks it past the trace. Build the resident
+        # constants outside any trace instead.
+        with jax.ensure_compile_time_eval():
+            consts = (jax.device_put(np.ascontiguousarray(np_band.T)),
+                      jax.device_put(np.ascontiguousarray(p_band.T)),
+                      jax.device_put(p_limbs.reshape(N_LIMBS, 1)))
+        if any(isinstance(c, jax.core.Tracer) for c in consts):
+            return consts  # still traced (nested transform): don't cache
+        _DEV_CONST_CACHE[f.name] = consts
     return _DEV_CONST_CACHE[f.name]
 
 
@@ -134,9 +140,13 @@ def fold_toeplitz_dev(r_mont: int, f: FieldConst = FR_C):
     key = (f.name, r_mont)
     t = _TOEPLITZ_CACHE.get(key)
     if t is None:
+        with jax.ensure_compile_time_eval():
+            t = jax.device_put(
+                np.ascontiguousarray(fold_toeplitz(r_mont, f).T))
+        if isinstance(t, jax.core.Tracer):
+            return t  # caching a tracer would leak it past the trace
         if len(_TOEPLITZ_CACHE) > 64:
             _TOEPLITZ_CACHE.clear()
-        t = jax.device_put(np.ascontiguousarray(fold_toeplitz(r_mont, f).T))
         _TOEPLITZ_CACHE[key] = t
     return t
 
@@ -147,9 +157,12 @@ _LIVE_CACHE: dict = {}
 def _live_arr_dev(live_blocks: int):
     a = _LIVE_CACHE.get(live_blocks)
     if a is None:
+        with jax.ensure_compile_time_eval():
+            a = jax.device_put(np.asarray([live_blocks], dtype=np.int32))
+        if isinstance(a, jax.core.Tracer):
+            return a  # caching a tracer would leak it past the trace
         if len(_LIVE_CACHE) > 256:
             _LIVE_CACHE.clear()
-        a = jax.device_put(np.asarray([live_blocks], dtype=np.int32))
         _LIVE_CACHE[live_blocks] = a
     return a
 
@@ -386,7 +399,13 @@ def _fold_kernel(rows_ref, tcat_ref, np_ref, p_ref, plimb_ref, out_ref):
     out_ref[:] = jnp.concatenate(outs, axis=0).T
 
 
-_BLOCK = 512          # (…, 128) rows per grid block = 4·_BLOCK pairs
+def _env_block() -> int:
+    import os
+
+    return int(os.environ.get("ZOLT_TPU_FOLD_BLOCK", "512"))
+
+
+_BLOCK = _env_block()  # (…, 128) rows per grid block = 4·_BLOCK pairs
 
 
 @partial(jax.jit, static_argnames="f")
@@ -574,6 +593,212 @@ def _fold_tail_stack_call(rows, live_arr, t_cat_t, np_t, p_t, p_col,
         grid_spec=grid_spec,
     )(live_arr, rows, t_cat_t, np_t, p_t, p_col)
     return out.reshape(k, n, N_LIMBS)
+
+
+# ---------------------------------------------------------------------------
+# PACKED ROW LAYOUT (round 5): the engine-resident table form on a real chip.
+#
+# A (n, 16)-shaped u32 array is PADDED by the TPU tiled layout to 128 lanes —
+# an 8× HBM bandwidth and footprint tax on every read and write (measured:
+# an identical pallas copy kernel streams 72 GB/s over a (n,16)-resident
+# table and >600 GB/s over the same bytes resident as (n/8, 128)). The
+# sumcheck engines therefore keep device tables in the packed ROW layout
+#   rows[r, :] = elements 8r..8r+7, 16 u32 limbs each (row-major bytes,
+#   identical byte stream to the (n,16) view — reshape on the HOST is free)
+# and the kernels below consume/produce it natively. Pair s of row r is
+# (element 8r+2s, 8r+2s+1) = transposed sublanes [32s, 32s+32).
+# ---------------------------------------------------------------------------
+
+
+def _fold_half_t(xt, tcat_t, np_t, p_t, p_col):
+    """(128, B) transposed row tile -> (64, B) folded values (4 slots)."""
+    outs = []
+    for s in range(_SLOTS):
+        xs = xt[N8 * s: N8 * (s + 1), :]
+        b = jnp.concatenate([_bytes_planes_t(xs[:N_LIMBS, :]),
+                             _bytes_planes_t(xs[N_LIMBS:, :])], axis=0)
+        cols = _u32_of_f32(_dot_bf16(tcat_t, b))
+        outs.append(_redc_digits_t(cols, np_t, p_t, p_col))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _fold_rows_stack_kernel(live_ref, rows_ref, tcat_ref, np_ref, p_ref,
+                            plimb_ref, out_ref):
+    """Input block (1, blk, 2, 128): out-row r of the block folds input
+    rows 2r (lanes 0:64 of the output row) and 2r+1 (lanes 64:128) —
+    output rows stay in packed row order (out element 8r+j = fold of input
+    pair 8r+j)."""
+    i = pl.program_id(1)
+
+    @pl.when(i < live_ref[0])
+    def _():
+        evens = rows_ref[0, :, 0, :]                  # (blk, 128)
+        odds = rows_ref[0, :, 1, :]
+        out_ref[0, :, :64] = _fold_half_t(
+            evens.T, tcat_ref[:], np_ref[:], p_ref[:], plimb_ref[:]).T
+        out_ref[0, :, 64:] = _fold_half_t(
+            odds.T, tcat_ref[:], np_ref[:], p_ref[:], plimb_ref[:]).T
+
+    @pl.when(i >= live_ref[0])
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref)[0]
+
+
+def fold_rows_stack(tabs, t_cat_t, live_pairs: int, f: FieldConst = FR_C):
+    """fold_tail_stack over PACKED-ROW resident tables: `tabs` is
+    (k, n/8, 128) u32 (n elements per table); returns the same shape with
+    the folded live prefix in rows [0, n/16) and zeros behind. One dispatch
+    per round for a whole engine stack; no per-call host transfers."""
+    np_t, p_t, p_col = _get_consts_dev(f)
+    k, nrows = tabs.shape[0], tabs.shape[1]
+    assert tabs.shape[2] == 128 and nrows % 2 == 0
+    n = nrows * 8
+    view = tabs.reshape(k, nrows // 2, 2, 128)
+    blk = min(_BLOCK // 2, nrows // 2)
+    nblocks = (nrows // 2) // blk
+    # live prefix in OUTPUT rows (8 folded elements = 8 live input pairs)
+    live_arr = _live_arr_dev((int(live_pairs) + 8 * blk - 1) // (8 * blk))
+    return _fold_rows_stack_call(view, live_arr, t_cat_t, np_t, p_t, p_col,
+                                 k, nrows, blk, nblocks)
+
+
+@partial(jax.jit, static_argnames=("k", "nrows", "blk", "nblocks"))
+def _fold_rows_stack_call(view, live_arr, t_cat_t, np_t, p_t, p_col,
+                          k: int, nrows: int, blk: int, nblocks: int):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k, 2 * nblocks),
+        in_specs=[
+            pl.BlockSpec((1, blk, 2, 128),
+                         lambda j, i, live: (j, jnp.where(i < live[0], i, 0),
+                                             0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, W8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, N8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W8, N8), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_LIMBS, 1), lambda j, i, live: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, 128),
+                               lambda j, i, live: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _fold_rows_stack_kernel,
+        out_shape=jax.ShapeDtypeStruct((k, nrows, 128), _U32),
+        grid_spec=grid_spec,
+    )(live_arr, view, t_cat_t, np_t, p_t, p_col)
+    return out
+
+
+def _eval_rows_k2_kernel(a_ref, b_ref, out_ref):
+    """Quadrant plane sums for a 2-factor product round over packed rows.
+
+    p(t) = Σ_i [(1−t)·a_lo + t·a_hi]·[(1−t)·b_lo + t·b_hi]
+         = (1−t)²·LL + t(1−t)·(LH+HL) + t²·HH
+
+    so ALL round evaluations follow from four quadrant sums LL, LH, HL, HH
+    of raw byte-plane dot products — no value extension, no digit
+    normalization, no REDC in the kernel at all. Each slot contributes
+    cat_a = [planes(a_lo); planes(a_hi)] (64, blk) dotted against cat_b in
+    exact-f32 chunks of 256 lanes; accumulation splits into u16 halves
+    (exact while the total chunk count stays < 2^16 — n < 2^25, the same
+    guard as stage_engine._evals_mxu)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    at = a_ref[:].T                                    # (128, blk)
+    bt = b_ref[:].T
+    blk = at.shape[1]
+    acc_lo = jnp.zeros((W8, W8), _U32)
+    acc_hi = jnp.zeros((W8, W8), _U32)
+    for s in range(_SLOTS):
+        xa = at[N8 * s: N8 * (s + 1), :]
+        xb = bt[N8 * s: N8 * (s + 1), :]
+        pa = jnp.concatenate([_bytes_planes_t(xa[:N_LIMBS, :]),
+                              _bytes_planes_t(xa[N_LIMBS:, :])], axis=0)
+        pb = jnp.concatenate([_bytes_planes_t(xb[:N_LIMBS, :]),
+                              _bytes_planes_t(xb[N_LIMBS:, :])], axis=0)
+        for c in range(0, blk, 256):
+            m = _u32_of_f32(_dot_bf16(pa[:, c:c + 256],
+                                      pb[:, c:c + 256].T))
+            acc_lo = acc_lo + (m & _U32(0xFFFF))
+            acc_hi = acc_hi + (m >> 16)
+    out_ref[0] = out_ref[0] + acc_lo
+    out_ref[1] = out_ref[1] + acc_hi
+
+
+def eval_rows_k2(a_rows, b_rows):
+    """(2, 64, 64) u32 quadrant plane-sum halves for two packed-row tables;
+    decode with decode_eval_rows_k2. Zero-tail pairs contribute zero, so no
+    live-prefix logic is needed (dead blocks still stream — acceptable: the
+    eval is HBM-cheap in this layout)."""
+    nrows = a_rows.shape[0]
+    assert a_rows.shape == b_rows.shape and a_rows.shape[1] == 128
+    assert nrows * 8 < (1 << 25), "u16-half accumulators exact below 2^25"
+    blk = min(_BLOCK, nrows)
+    assert blk % 256 == 0 or blk >= nrows, \
+        "eval_rows_k2 needs 256-lane chunks"
+    return _eval_rows_k2_call(a_rows, b_rows, nrows, max(blk, 256))
+
+
+@partial(jax.jit, static_argnames=("nrows", "blk"))
+def _eval_rows_k2_call(a_rows, b_rows, nrows: int, blk: int):
+    grid = (nrows // blk,)
+    return pl.pallas_call(
+        _eval_rows_k2_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, W8, W8), _U32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, W8, W8), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(a_rows, b_rows)
+
+
+# byte position of plane-row u: planes are [low bytes of limbs 0..15 ;
+# high bytes], i.e. positions [0,2,..,30, 1,3,..,31]
+_PLANE_POS = np.concatenate([np.arange(0, N8, 2), np.arange(1, N8, 2)])
+
+
+def decode_eval_rows_k2(flat: np.ndarray, degree: int,
+                        p: int, r_inv2: int) -> list[int]:
+    """Host finish for eval_rows_k2: (2, 64, 64) u32 halves -> the round's
+    [p(0)..p(degree)] ints. Collapses each 32×32 quadrant onto byte-weight
+    columns in u64, combines to integers, then applies the (1−t), t
+    binomial weights and one ·R⁻² (Montgomery double-residue correction,
+    as stage_engine._decode_mxu)."""
+    m = flat.reshape(2, W8, W8)
+    full = m[0].astype(np.uint64) + (m[1].astype(np.uint64) << np.uint64(16))
+    w_mat = (_PLANE_POS[:, None] + _PLANE_POS[None, :]).ravel()  # (1024,)
+    quads = {}
+    for qa, sa in (("L", slice(0, N8)), ("H", slice(N8, W8))):
+        for qb, sb in (("L", slice(0, N8)), ("H", slice(N8, W8))):
+            sub = full[sa, sb].ravel()                # (1024,) u64
+            # byte-weight column sums: ≤ 32 entries of < 2^33 each — u64
+            cols = np.zeros(2 * N8 - 1, dtype=np.uint64)
+            np.add.at(cols, w_mat, sub)
+            tot = 0
+            for w in range(2 * N8 - 2, -1, -1):
+                tot = (tot << 8) + int(cols[w])
+            quads[qa + qb] = tot
+    LL, LH, HL, HH = quads["LL"], quads["LH"], quads["HL"], quads["HH"]
+    out = []
+    for t in range(degree + 1):
+        a, b = 1 - t, t
+        v = (a * a * LL + a * b * (LH + HL) + b * b * HH) % p
+        out.append(v * r_inv2 % p)
+    return out
 
 
 _AVAIL: bool | None = None

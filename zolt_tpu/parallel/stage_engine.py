@@ -308,8 +308,12 @@ class DeviceProductTables:
         self.k = len(factor_vecs)
         self.degree = degree if degree is not None else self.k
         all_vecs = list(factor_vecs) + list(passenger_vecs)
-        self.n = all_vecs[0].n
-        assert all(v.n == self.n for v in all_vecs)
+
+        def _n(v):
+            return v.n if hasattr(v, "n") else int(v.shape[0])
+
+        self.n = _n(all_vecs[0])
+        assert all(_n(v) == self.n for v in all_vecs)
         if mesh is not None and self.n % (2 * int(mesh.devices.size)) != 0:
             # A tiny table (e.g. ValFinal at small trace lengths) can't give
             # every shard an even pair count — run it on one device instead
@@ -318,16 +322,42 @@ class DeviceProductTables:
         self.mesh = mesh
         self.n_dev = int(mesh.devices.size) if mesh is not None else 1
         self.live = self.n
-        # upload the minimal 32-byte wire form; widen to u32 limbs on device
-        stack = np.stack([frvec_to_u16(v) for v in all_vecs])
+        from ..field import pallas_redc as predc
+
+        # PACKED ROW layout on a real chip (pallas_redc module note): a
+        # (n, 16)-resident u32 table is lane-padded 16 -> 128 by the TPU
+        # tiled layout — 8× HBM bandwidth AND footprint waste on every
+        # round. Single-device chip engines therefore keep tables as
+        # (k, n/8, 128) u32 (same byte stream; host reshape is free) and
+        # run the row-native pallas fold/eval kernels.
+        self._rows = (mesh is None and self.n >= 1024 and self.n % 8 == 0
+                      and predc.available())
+        # FrVecs upload in the minimal 32-byte u16 wire form and widen on
+        # device; tables already device-resident (parallel/device_cols —
+        # raw-uploaded, device-encoded) stack without touching the host.
+        if all(hasattr(v, "n") for v in all_vecs):
+            stack = np.stack([frvec_to_u16(v) for v in all_vecs])
+            if self._rows:
+                stack = stack.reshape(len(all_vecs), self.n // 8, 128)
+            widen = True
+        else:
+            def _dev_arr(v):
+                d = (v if not hasattr(v, "n")
+                     else widen_u16(jnp.asarray(frvec_to_u16(v))))
+                return d.reshape(self.n // 8, 128) if self._rows else d
+
+            stack = jnp.stack([_dev_arr(v) for v in all_vecs])
+            widen = False
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
 
             self._eval_step, self._fold_step = _make_mesh_steps(mesh, self.degree)
-            self.tables = widen_u16(jax.device_put(
-                stack, NamedSharding(mesh, PS(None, AXIS, None))))
+            self.tables = jax.device_put(
+                stack, NamedSharding(mesh, PS(None, AXIS, None)))
         else:
-            self.tables = widen_u16(jax.device_put(stack))
+            self.tables = jax.device_put(stack)
+        if widen:
+            self.tables = widen_u16(self.tables)
         self._host: list[list[int]] | None = None
 
     # -- host tail ----------------------------------------------------------
@@ -357,6 +387,10 @@ class DeviceProductTables:
                                   for s in range(self.n_dev)])
             arr = np.asarray(narrow_u16(jnp.take(
                 self.tables, jnp.asarray(idx), axis=1)))[:, : self.live]
+        elif self._rows:
+            nr = max(1, self.live // 8)
+            arr = np.asarray(narrow_u16(self.tables[:, :nr])) \
+                .reshape(self.tables.shape[0], -1, 16)[:, : self.live]
         else:
             arr = np.asarray(narrow_u16(self.tables[:, : self.live]))
         self._host = [limbs_to_frvec(arr[j]) for j in range(arr.shape[0])]
@@ -373,6 +407,20 @@ class DeviceProductTables:
             return None
         if self.mesh is not None:
             return self._eval_step(self.tables[: self.k])
+        if self._rows:
+            from ..field import pallas_redc as predc
+
+            deg = self.degree
+            if self.k == 2 and self.n < (1 << 25):
+                return EvalFuture(
+                    predc.eval_rows_k2(self.tables[0], self.tables[1]),
+                    lambda flat: predc.decode_eval_rows_k2(
+                        flat, deg, P, _R_INV2))
+            # k=3 engines: transient (n,16) view for the mont eval path —
+            # pays the padded-layout read once per round; the fold (the
+            # write-heavy half) stays row-native
+            t16 = self.tables.reshape(-1, self.n, 16)
+            return _evals_fixed(t16[: self.k], self.degree)
         if self.k == 2:
             from ..field import pallas_redc as predc
 
@@ -415,6 +463,10 @@ class DeviceProductTables:
         if self.mesh is not None:
             rt = jnp.asarray(mxu.scalar_toeplitz(FR.mont(r % P)))
             self.tables = self._fold_step(self.tables, rt)
+        elif self._rows:
+            tp = predc.fold_toeplitz_dev(FR.mont(r % P))
+            self.tables = predc.fold_rows_stack(self.tables, tp,
+                                                self.live // 2)
         elif predc.available() and self.n >= 64:
             # fused Pallas fold: whole stack in one dispatch, dead-tail
             # blocks skipped (field/pallas_redc.fold_tail_stack);
@@ -431,5 +483,9 @@ class DeviceProductTables:
         """First element of every table (factors then passengers)."""
         if self._host is not None:
             return [v.first() for v in self._host]
+        if self._rows:
+            arr = np.asarray(self.tables[:, 0, :16])
+            return [int(limb.decode(arr[j], FR_C))
+                    for j in range(arr.shape[0])]
         arr = np.asarray(self.tables[:, :1])
         return [int(limb.decode(arr[j, 0], FR_C)) for j in range(arr.shape[0])]

@@ -480,7 +480,8 @@ def _steps_to_arrays(steps):
 
 
 def witness_columns(padded_steps, sound: bool = False,
-                    slots: list[int] | None = None):
+                    slots: list[int] | None = None,
+                    raw_out: dict | None = None):
     """The 43 witness COLUMNS as FrVec, built vectorized (numpy masks + the
     native from_u64/from_i128 ingest) — same values as `witness_matrix`
     transposed (differential-tested in tests/test_witness_columns.py), but
@@ -763,4 +764,81 @@ def witness_columns(padded_steps, sound: bool = False,
         elif n == T and n > 0:
             nxt[-1] = 0
         out[Inp.NextPC] = pad_u64(nxt)
+
+    if raw_out is not None:
+        # Raw (pre-Montgomery) column forms for the device column store
+        # (parallel/device_cols): u64 value lanes, i128 (lo, hi ∈ {0,−1})
+        # lanes, single-bit flags, and two device-derived specs (the field
+        # product and the MUL splice). Differentially tested against the
+        # FrVec columns in tests/test_device_cols.py.
+        z64 = np.zeros(T - n, dtype=np.uint64)
+        zi64 = np.zeros(T - n, dtype=np.int64)
+
+        def ru(a):
+            return ("u64", a if n == T else np.concatenate([a, z64]))
+
+        def ri(lo, hi):
+            if n != T:
+                lo = np.concatenate([lo, z64])
+                hi = np.concatenate([hi, zi64])
+            return ("i128", lo, hi)
+
+        def rf(bits):
+            b = np.asarray(bits, dtype=np.uint8)
+            return ("flag", b if n == T
+                    else np.concatenate([b, np.zeros(T - n, np.uint8)]))
+
+        r = raw_out
+        r[Inp.LeftInstructionInput] = ru(left)
+        r[Inp.RightInstructionInput] = ri(right_lo, right_hi)
+        r[Inp.Product] = ("prod", Inp.LeftInstructionInput,
+                          Inp.RightInstructionInput)
+        r[Inp.WriteLookupOutputToRD] = rf(is_rd_nz * wl)
+        r[Inp.WritePCtoRD] = rf(is_rd_nz * fj)
+        r[Inp.ShouldBranch] = rf(lookup_out * is_branch.astype(np.uint64))
+        r[Inp.PC] = ru(pc)
+        r[Inp.UnexpandedPC] = ru(upc)
+        r[Inp.Imm] = ri(imm_lo, imm_hi)
+        r[Inp.RamAddress] = ri(np.where(mem_mask, addr_lo, np.uint64(0)),
+                               np.where(mem_mask, addr_hi, np.int64(0)))
+        r[Inp.Rs1Value] = ru(rs1c)
+        r[Inp.Rs2Value] = ru(rs2c)
+        r[Inp.RdWriteValue] = ru(rd_write)
+        r[Inp.RamReadValue] = ru(ram_read)
+        r[Inp.RamWriteValue] = ru(ram_write)
+        r[Inp.LeftLookupOperand] = ru(np.where(llo_left, left, np.uint64(0)))
+        r[Inp.RightLookupOperand] = (
+            ("splice", ri(rlo_lo, rlo_hi), Inp.Product, rf(mul_mask))
+            if bool(mul_mask.any()) else ri(rlo_lo, rlo_hi))
+        r[Inp.NextUnexpandedPC] = ru(next_upc)
+        r[Inp.NextPC] = ru(next_pc)
+        r[Inp.NextIsVirtual] = ("zeros",)
+        r[Inp.NextIsFirstInSequence] = ("zeros",)
+        r[Inp.LookupOutput] = ru(lookup_out)
+        r[Inp.ShouldJump] = rf(should_jump)
+        r[Inp.FlagAddOperands] = rf(flag_add)
+        r[Inp.FlagSubtractOperands] = rf(flag_sub)
+        r[Inp.FlagMultiplyOperands] = rf(flag_mul)
+        r[Inp.FlagLoad] = rf(is_load)
+        r[Inp.FlagStore] = rf(is_store)
+        r[Inp.FlagJump] = rf(fj)
+        r[Inp.FlagWriteLookupOutputToRD] = rf(wl)
+        r[Inp.FlagVirtualInstruction] = ("zeros",)
+        r[Inp.FlagAssert] = ("zeros",)
+        r[Inp.FlagAdvice] = ("zeros",)
+        r[Inp.FlagIsCompressed] = rf(comp)
+        r[Inp.FlagIsFirstInSequence] = ("zeros",)
+        r[Inp.FlagIsRdNotZero] = rf(is_rd_nz)
+        r[Inp.FlagBranch] = rf(is_branch)
+        r[Inp.FlagLeftOperandIsRs1] = rf(left_is_rs1)
+        r[Inp.FlagLeftOperandIsPC] = rf(left_is_pc)
+        r[Inp.FlagRightOperandIsRs2] = rf(right_is_rs2)
+        r[Inp.FlagRightOperandIsImm] = rf(right_is_imm)
+        tail_f = np.concatenate([np.zeros(n, np.uint8),
+                                 np.ones(T - n, np.uint8)])
+        r[Inp.FlagDoNotUpdateUnexpandedPC] = ("flag", tail_f)
+        r[Inp.FlagIsNoop] = ("flag", tail_f.copy())
+        if slots is not None:
+            r[Inp.PC] = ru(sl)
+            r[Inp.NextPC] = ru(nxt)
     return out

@@ -59,6 +59,9 @@ def _ingest(vals, sharding=None):
     fallback)."""
     from ..parallel.stage_engine import frvec_to_u16, widen_u16
 
+    if isinstance(vals, jnp.ndarray):                # already device-resident
+        return (jax.device_put(vals, sharding) if sharding is not None
+                else vals)
     if not hasattr(vals, "_mont"):                   # host ints
         from ..native.frvec import FrVec
 

@@ -231,7 +231,16 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
         slots = (bc_index.slots_per_cycle(padded_steps)
                  if bc_index is not None and getattr(bc_index, "expanded", False)
                  else None)
-        wcols = ri.witness_columns(padded_steps, sound=sound, slots=slots)
+        raw_cols: dict | None = {} if backend in ("device", "mesh") else None
+        wcols = ri.witness_columns(padded_steps, sound=sound, slots=slots,
+                                   raw_out=raw_cols)
+    dev_store = None
+    if raw_cols:
+        # device column store: raw-uploaded, Montgomery-encoded on chip —
+        # the stage engines' tables never ship as 32-byte residues
+        from ..parallel.device_cols import WitnessStore
+
+        dev_store = WitnessStore(raw_cols, len(padded_steps))
 
     with metrics.stage("stage1"):
         s1_backend = backend if backend is not None else stage1_backend
@@ -291,6 +300,7 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
                 program_outputs=bytes(emulator.device.outputs),
                 is_panicking=emulator.device.panic,
                 backend=backend, mesh=mesh,
+                dev_store=dev_store,
             )
         conv.proof.stage2_sumcheck = SIP(conv.stage2_batch.compressed_polys)
         zlog("STAGE2", f"rounds={len(conv.stage2_batch.compressed_polys)} "
@@ -330,7 +340,8 @@ def convert_with_transcript(padded_steps, tau: list[int], transcript,
             conv.stage3 = prove_stage3(transcript, None, n_cycle_vars,
                                        r_spartan, r_product, oc,
                                        wcols=conv.stage1.wcols,
-                                       backend=backend, mesh=mesh)
+                                       backend=backend, mesh=mesh,
+                                       dev_store=dev_store)
         conv.proof.stage3_sumcheck = SIP(conv.stage3.compressed_polys)
         _insert_stage3_claims(conv.proof.opening_claims, conv.stage3)
 

@@ -106,7 +106,7 @@ def _window_tables(se: GruenSplitEq):
 
 class ProductVirtualRemainderProver:
     def __init__(self, r0: int, tau: list[int], uni_skip_claim: int, factors,
-                 backend: str | None = None, mesh=None):
+                 backend: str | None = None, mesh=None, dev_store=None):
         """`factors` are the 8 product-factor FrVec COLUMNS
         (proof_converter.extract_product_factors)."""
         padded = factors[0].n
@@ -115,13 +115,42 @@ class ProductVirtualRemainderProver:
         tau_low, tau_high = tau[:-1], tau[-1]
         kern = us.lagrange_kernel(us.PV_DOMAIN, r0, tau_high)
         self.split_eq = GruenSplitEq(tau_low, scaling_factor=kern)
-        from ..zkvm.proof_converter import fused_factor_columns
-
-        self.left, self.right = fused_factor_columns(factors, w)
         self.current_round = 0
         self.current_claim = uni_skip_claim % P
         self._dev = None
-        if backend in ("device", "mesh") and padded >= 2 and _se("stage2"):
+        use_dev = (backend in ("device", "mesh") and padded >= 2
+                   and _se("stage2"))
+        if use_dev and dev_store is not None:
+            # raw-upload tier: the fused left/right lincombs
+            # (proof_converter.fused_factor_columns) build on device from
+            # the resident raw columns — no 32-byte residue upload at all
+            from ..parallel import device_cols as dc
+            from ..r1cs import inputs as ri
+            from .device_outer import DeviceOuterRounds, MeshOuterRounds
+
+            I = ri.Inp
+            g = dev_store.get
+            left_d = dc.lincomb_dev(
+                [g(I.LeftInstructionInput), g(I.FlagIsRdNotZero),
+                 g(I.LookupOutput), g(I.FlagJump)],
+                [w[0], (w[1] + w[2]) % P, w[3], w[4]])
+            right_d = dc.lincomb_dev(
+                [g(I.RightInstructionInput), g(I.FlagWriteLookupOutputToRD),
+                 g(I.FlagJump), g(I.FlagBranch),
+                 dev_store.shifted_flag_not(I.FlagIsNoop, fill=1)],
+                [w[0], w[1], w[2], w[3], w[4]])
+            self.left = self.right = None
+            if backend == "mesh":
+                self._dev = MeshOuterRounds(left_d, right_d, mesh,
+                                            se=self.split_eq)
+            else:
+                self._dev = DeviceOuterRounds(left_d, right_d,
+                                              se=self.split_eq)
+            return
+        from ..zkvm.proof_converter import fused_factor_columns
+
+        self.left, self.right = fused_factor_columns(factors, w)
+        if use_dev:
             from .device_outer import DeviceOuterRounds, MeshOuterRounds
 
             if backend == "mesh":
@@ -902,13 +931,37 @@ class OutputSumcheckProver:
 class InstructionLookupsProver:
     def __init__(self, gamma: int, r_spartan: list[int], n_cycle_vars: int,
                  initial_claim: int, lookup_outputs, left_ops, right_ops,
-                 backend: str | None = None, mesh=None):
+                 backend: str | None = None, mesh=None, dev_store=None):
         from ..native.frvec import FrVec
 
         T = 1 << n_cycle_vars
         self.gamma = gamma % P
         self.gamma_sqr = gamma * gamma % P
         assert len(r_spartan) == n_cycle_vars
+
+        self.current_claim = initial_claim % P
+        self._eng = None
+        use_dev = backend in ("device", "mesh") and T >= 2 and _se("stage2")
+        if use_dev and dev_store is not None:
+            # raw-upload tier: eq from the challenge scalars, columns and
+            # the γ-combination device-resident (parallel/device_cols)
+            from ..parallel import device_cols as dc
+            from ..parallel.stage_engine import DeviceProductTables
+            from ..r1cs import inputs as ri
+
+            I = ri.Inp
+            eq_d = dc.eq_slice([c % P for c in r_spartan], T)
+            comb_d = dev_store.combo(
+                [I.LookupOutput, I.LeftLookupOperand, I.RightLookupOperand],
+                [1, self.gamma, self.gamma_sqr])
+            self._eng = DeviceProductTables(
+                [eq_d, comb_d],
+                passenger_vecs=[dev_store.get(I.LookupOutput),
+                                dev_store.get(I.LeftLookupOperand),
+                                dev_store.get(I.RightLookupOperand)],
+                degree=2, mesh=mesh if backend == "mesh" else None)
+            self.eq = self.comb = self.lo = self.left = self.right = None
+            return
 
         def col(xs):
             if isinstance(xs, FrVec):
@@ -923,9 +976,7 @@ class InstructionLookupsProver:
         # terms (the fold is linear), so keep it bound alongside them
         self.comb = self.lo.copy().axpy_(self.left, self.gamma).axpy_(
             self.right, self.gamma_sqr)
-        self.current_claim = initial_claim % P
-        self._eng = None
-        if backend in ("device", "mesh") and T >= 2 and _se("stage2"):
+        if use_dev:
             from ..parallel.stage_engine import DeviceProductTables
 
             # factors [eq, comb] carry the round sums; lo/left/right ride as
@@ -1007,7 +1058,7 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                        final_ram: dict[int, int], layout, program_inputs: bytes,
                        program_outputs: bytes, is_panicking: bool,
                        sound: bool = False, backend: str | None = None,
-                       mesh=None) -> Stage2BatchResult:
+                       mesh=None, dev_store=None) -> Stage2BatchResult:
     res = Stage2BatchResult()
     max_rounds = log_ram_k + n_cycle_vars
 
@@ -1045,7 +1096,8 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
     lowest = layout.lowest_address()
     product = ProductVirtualRemainderProver(r0_stage2, tau,
                                             uni_skip_claim_stage2, factors,
-                                            backend=backend, mesh=mesh)
+                                            backend=backend, mesh=mesh,
+                                            dev_store=dev_store)
     output = OutputSumcheckProver(initial_ram, final_ram, r_address, layout,
                                   program_inputs, program_outputs, is_panicking)
     if sound:
@@ -1074,7 +1126,7 @@ def prove_stage2_batch(transcript, *, r0_stage2: int, uni_skip_claim_stage2: int
                 wcols[ri.Inp.LookupOutput],
                 wcols[ri.Inp.LeftLookupOperand],
                 wcols[ri.Inp.RightLookupOperand],
-                backend=backend, mesh=mesh)
+                backend=backend, mesh=mesh, dev_store=dev_store)
         # prefetch the device-backed instances' round evals and download
         # them in ONE transfer (drain_futures) — the per-round sync is the
         # dominant cost on a tunneled chip

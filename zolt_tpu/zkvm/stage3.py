@@ -62,7 +62,8 @@ class Stage3Result:
 def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
                  r_outer: list[int], r_product: list[int],
                  opening_claims, wcols=None,
-                 backend: str | None = None, mesh=None) -> Stage3Result:
+                 backend: str | None = None, mesh=None,
+                 dev_store=None) -> Stage3Result:
     """opening_claims: callable (poly_name, sumcheck_name, index) -> int.
 
     backend "device"/"mesh" runs the wide rounds' product sums and folds on
@@ -110,6 +111,9 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
 
     from ..native.frvec import FrVec
 
+    use_dev_tables = (backend in ("device", "mesh") and T >= 4
+                      and _se("stage3") and dev_store is not None)
+
     # dense tables
     eqp1_outer = FrVec.from_ints(_eq_plus_one_table(r_outer, T))
     eqp1_prod = FrVec.from_ints(_eq_plus_one_table(r_product, T))
@@ -120,61 +124,106 @@ def prove_stage3(transcript, witness_rows, n_cycle_vars: int,
                 else FrVec(T, ints=v._ints[:T])
         return v
 
-    eq_outer = _eq_vec(r_outer)
-    eq_prod = _eq_vec(r_product)
+    if not use_dev_tables:
+        eq_outer = _eq_vec(r_outer)
+        eq_prod = _eq_vec(r_product)
 
-    def col(idx):
-        if wcols is not None and wcols[0].n == T:
-            return wcols[idx].copy()  # stage-1's cached column (consumed by folds)
-        return FrVec.from_ints(
-            [w[idx] % P for w in witness_rows[:T]] + [0] * (T - len(witness_rows)))
+        def col(idx):
+            if wcols is not None and wcols[0].n == T:
+                return wcols[idx].copy()  # stage-1's cached column
+            return FrVec.from_ints(
+                [w[idx] % P for w in witness_rows[:T]]
+                + [0] * (T - len(witness_rows)))
 
-    upc = col(ri.Inp.UnexpandedPC)
-    pc = col(ri.Inp.PC)
-    virt = col(ri.Inp.FlagVirtualInstruction)
-    first = col(ri.Inp.FlagIsFirstInSequence)
-    noop = col(ri.Inp.FlagIsNoop)
-    combo = upc.copy().axpy_(pc, gp[1]).axpy_(virt, gp[2]).axpy_(first, gp[3])
-    one_minus_noop = FrVec.filled(T, 1).sub(noop)
+        upc = col(ri.Inp.UnexpandedPC)
+        pc = col(ri.Inp.PC)
+        virt = col(ri.Inp.FlagVirtualInstruction)
+        first = col(ri.Inp.FlagIsFirstInSequence)
+        noop = col(ri.Inp.FlagIsNoop)
+        combo = upc.copy().axpy_(pc, gp[1]).axpy_(virt, gp[2]).axpy_(first, gp[3])
+        one_minus_noop = FrVec.filled(T, 1).sub(noop)
 
-    l_rs1 = col(ri.Inp.FlagLeftOperandIsRs1)
-    rs1 = col(ri.Inp.Rs1Value)
-    l_pc = col(ri.Inp.FlagLeftOperandIsPC)
-    i_upc = col(ri.Inp.UnexpandedPC)
-    r_rs2 = col(ri.Inp.FlagRightOperandIsRs2)
-    rs2 = col(ri.Inp.Rs2Value)
-    r_imm = col(ri.Inp.FlagRightOperandIsImm)
-    imm = col(ri.Inp.Imm)
+        l_rs1 = col(ri.Inp.FlagLeftOperandIsRs1)
+        rs1 = col(ri.Inp.Rs1Value)
+        l_pc = col(ri.Inp.FlagLeftOperandIsPC)
+        i_upc = col(ri.Inp.UnexpandedPC)
+        r_rs2 = col(ri.Inp.FlagRightOperandIsRs2)
+        rs2 = col(ri.Inp.Rs2Value)
+        r_imm = col(ri.Inp.FlagRightOperandIsImm)
+        imm = col(ri.Inp.Imm)
 
-    rd = col(ri.Inp.RdWriteValue)
-    r_rs1v = col(ri.Inp.Rs1Value)
-    r_rs2v = col(ri.Inp.Rs2Value)
-    reg_combo = rd.copy().axpy_(r_rs1v, g_reg).axpy_(r_rs2v, g_reg2)
+        rd = col(ri.Inp.RdWriteValue)
+        r_rs1v = col(ri.Inp.Rs1Value)
+        r_rs2v = col(ri.Inp.Rs2Value)
+        reg_combo = rd.copy().axpy_(r_rs1v, g_reg).axpy_(r_rs2v, g_reg2)
 
     shift_claim, instr_claim, reg_claim = shift_input, instr_input, reg_input
     combined_claim = (shift_input * alphas[0] + instr_input * alphas[1]
                       + reg_input * alphas[2]) % P
 
-    instr_arrays = [l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm]
+    instr_arrays = ([l_rs1, rs1, l_pc, i_upc, r_rs2, rs2, r_imm, imm]
+                    if not use_dev_tables else None)
 
     engines = None
     if backend in ("device", "mesh") and T >= 4 and _se("stage3"):
         from ..parallel.stage_engine import DeviceProductTables, drain_futures
 
         mm = mesh if backend == "mesh" else None
-        eqw0 = eq_outer.copy().axpy_(eq_prod, g_instr2)
-        engines = [
-            DeviceProductTables([eqp1_outer, combo],
-                                [upc, pc, virt, first, noop],
-                                degree=2, mesh=mm),
-            DeviceProductTables([eqp1_prod, one_minus_noop], degree=2, mesh=mm),
-            DeviceProductTables([eqw0, r_rs2, rs2], degree=3, mesh=mm),
-            DeviceProductTables([eqw0, r_imm, imm], degree=3, mesh=mm),
-            DeviceProductTables([eqw0, l_rs1, rs1], degree=3, mesh=mm),
-            DeviceProductTables([eqw0, l_pc, i_upc], degree=3, mesh=mm),
-            DeviceProductTables([eq_outer, reg_combo],
-                                [rd, r_rs1v, r_rs2v], degree=2, mesh=mm),
-        ]
+        if dev_store is not None:
+            # Raw-upload tier (parallel/device_cols): every engine table is
+            # device-resident — witness columns raw-uploaded + encoded on
+            # chip, eq tables derived from the challenge scalars, combos as
+            # device axpy — instead of shipping 32-byte Montgomery residues
+            # per element. Only the two EqPlusOne tables upload as residues.
+            from ..parallel import device_cols as dc
+
+            I = ri.Inp
+            eq_outer_d = dc.eq_slice([c % P for c in r_outer], T)
+            eq_prod_d = dc.eq_slice([c % P for c in r_product], T)
+            eqw0_d = dc.axpy_dev(eq_outer_d, eq_prod_d, g_instr2)
+            combo_d = dev_store.combo(
+                [I.UnexpandedPC, I.PC, I.FlagVirtualInstruction,
+                 I.FlagIsFirstInSequence], [1, gp[1], gp[2], gp[3]])
+            reg_combo_d = dev_store.combo(
+                [I.RdWriteValue, I.Rs1Value, I.Rs2Value], [1, g_reg, g_reg2])
+            g = dev_store.get
+            engines = [
+                DeviceProductTables([eqp1_outer, combo_d],
+                                    [g(I.UnexpandedPC), g(I.PC),
+                                     g(I.FlagVirtualInstruction),
+                                     g(I.FlagIsFirstInSequence),
+                                     g(I.FlagIsNoop)],
+                                    degree=2, mesh=mm),
+                DeviceProductTables([eqp1_prod,
+                                     dev_store.flags_not(I.FlagIsNoop)],
+                                    degree=2, mesh=mm),
+                DeviceProductTables([eqw0_d, g(I.FlagRightOperandIsRs2),
+                                     g(I.Rs2Value)], degree=3, mesh=mm),
+                DeviceProductTables([eqw0_d, g(I.FlagRightOperandIsImm),
+                                     g(I.Imm)], degree=3, mesh=mm),
+                DeviceProductTables([eqw0_d, g(I.FlagLeftOperandIsRs1),
+                                     g(I.Rs1Value)], degree=3, mesh=mm),
+                DeviceProductTables([eqw0_d, g(I.FlagLeftOperandIsPC),
+                                     g(I.UnexpandedPC)], degree=3, mesh=mm),
+                DeviceProductTables([eq_outer_d, reg_combo_d],
+                                    [g(I.RdWriteValue), g(I.Rs1Value),
+                                     g(I.Rs2Value)], degree=2, mesh=mm),
+            ]
+        else:
+            eqw0 = eq_outer.copy().axpy_(eq_prod, g_instr2)
+            engines = [
+                DeviceProductTables([eqp1_outer, combo],
+                                    [upc, pc, virt, first, noop],
+                                    degree=2, mesh=mm),
+                DeviceProductTables([eqp1_prod, one_minus_noop], degree=2,
+                                    mesh=mm),
+                DeviceProductTables([eqw0, r_rs2, rs2], degree=3, mesh=mm),
+                DeviceProductTables([eqw0, r_imm, imm], degree=3, mesh=mm),
+                DeviceProductTables([eqw0, l_rs1, rs1], degree=3, mesh=mm),
+                DeviceProductTables([eqw0, l_pc, i_upc], degree=3, mesh=mm),
+                DeviceProductTables([eq_outer, reg_combo],
+                                    [rd, r_rs1v, r_rs2v], degree=2, mesh=mm),
+            ]
 
     for rnd in range(n_cycle_vars):
         if engines is not None:
