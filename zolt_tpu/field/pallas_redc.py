@@ -771,6 +771,154 @@ def _eval_rows_k2_call(a_rows, b_rows, nrows: int, blk: int):
 _PLANE_POS = np.concatenate([np.arange(0, N8, 2), np.arange(1, N8, 2)])
 
 
+def _conv_planes_t(px, py):
+    """Byte-space convolution of two plane-ordered (32, B) f32 byte arrays:
+    returns (acc_even, acc_odd), each (32, B) f32, where
+    acc_even[j] = Σ_{u+v=2j} x_u·y_v and acc_odd[j] = Σ_{u+v=2j+1} —
+    i.e. the raw 63 product columns of x·y split by parity. Entries
+    ≤ 32·255² < 2^21, exact in f32. Parity bookkeeping: plane row s of the
+    lo half is byte position 2s, of the hi half 2s+1."""
+    zf = jnp.zeros
+    half = N_LIMBS
+
+    def sh(m, k):
+        """(16, B) -> (32, B) rows k..k+16 (no zero-size concat operands —
+        Mosaic rejects 0-extent vectors)."""
+        parts = []
+        if k:
+            parts.append(zf((k,) + m.shape[1:], m.dtype))
+        parts.append(m)
+        if half - k:
+            parts.append(zf((half - k,) + m.shape[1:], m.dtype))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    acc_e = zf((N8,) + px.shape[1:], jnp.float32)
+    acc_o = zf((N8,) + px.shape[1:], jnp.float32)
+    py_lo, py_hi = py[:half, :], py[half:, :]
+    for s in range(half):
+        xe = px[s: s + 1, :]            # position 2s
+        xo = px[half + s: half + s + 1, :]  # position 2s+1
+        acc_e = acc_e + sh(xe * py_lo, s)       # 2s + 2w
+        acc_o = acc_o + sh(xe * py_hi, s)       # 2s + 2w+1
+        acc_o = acc_o + sh(xo * py_lo, s)       # 2s+1 + 2w
+        acc_e = acc_e + sh(xo * py_hi, s + 1)   # 2s+1 + 2w+1 = 2(s+w+1)
+    return acc_e, acc_o
+
+
+def _eval_rows_k3_kernel(x_ref, y_ref, z_ref, out_ref):
+    """Trilinear round evals over packed rows: p(t) = Σ_S Π-binomial
+    weights · T_S over the 8 lo/hi selections S of the three factors
+    (see eval_rows_k3). Each T_S = Σ_i x·y·z accumulates as
+    [byte-conv(x,y) split into 3 byte planes] MXU-dotted against z's byte
+    planes — convolution columns stay RAW (no REDC, no normalization); the
+    host combines byte weights."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xt = x_ref[:].T
+    yt = y_ref[:].T
+    zt = z_ref[:].T
+    blk = xt.shape[1]
+    acc = [[jnp.zeros((192, N8), _U32), jnp.zeros((192, N8), _U32)]
+           for _ in range(8)]
+    for s in range(_SLOTS):
+        xs = xt[N8 * s: N8 * (s + 1), :]
+        ys = yt[N8 * s: N8 * (s + 1), :]
+        zs = zt[N8 * s: N8 * (s + 1), :]
+        px = [_bytes_planes_t(xs[:N_LIMBS, :]),
+              _bytes_planes_t(xs[N_LIMBS:, :])]
+        py = [_bytes_planes_t(ys[:N_LIMBS, :]),
+              _bytes_planes_t(ys[N_LIMBS:, :])]
+        pz = [_bytes_planes_t(zs[:N_LIMBS, :]),
+              _bytes_planes_t(zs[N_LIMBS:, :])]
+        for xv in range(2):
+            for yv in range(2):
+                d_e, d_o = _conv_planes_t(px[xv], py[yv])
+                de = pltpu.bitcast(d_e.astype(jnp.int32), _U32)
+                do = pltpu.bitcast(d_o.astype(jnp.int32), _U32)
+                pd = jnp.concatenate([
+                    _f32(de & _U32(0xFF)),
+                    _f32((de >> 8) & _U32(0xFF)),
+                    _f32(de >> 16),
+                    _f32(do & _U32(0xFF)),
+                    _f32((do >> 8) & _U32(0xFF)),
+                    _f32(do >> 16),
+                ], axis=0)                               # (192, blk)
+                for zv in range(2):
+                    idx = (xv << 2) | (yv << 1) | zv
+                    for c in range(0, blk, 256):
+                        m = _u32_of_f32(_dot_bf16(
+                            pd[:, c:c + 256], pz[zv][:, c:c + 256].T))
+                        acc[idx][0] = acc[idx][0] + (m & _U32(0xFFFF))
+                        acc[idx][1] = acc[idx][1] + (m >> 16)
+    for idx in range(8):
+        out_ref[idx, 0] = out_ref[idx, 0] + acc[idx][0]
+        out_ref[idx, 1] = out_ref[idx, 1] + acc[idx][1]
+
+
+def eval_rows_k3(x_rows, y_rows, z_rows):
+    """(8, 2, 192, 32) u32 accumulator for 3-factor product round evals
+    over packed-row tables; decode with decode_eval_rows_k3."""
+    nrows = x_rows.shape[0]
+    assert x_rows.shape == y_rows.shape == z_rows.shape
+    assert x_rows.shape[1] == 128
+    assert nrows * 8 < (1 << 25), "u16-half accumulators exact below 2^25"
+    blk = min(256, nrows)
+    return _eval_rows_k3_call(x_rows, y_rows, z_rows, nrows, blk)
+
+
+@partial(jax.jit, static_argnames=("nrows", "blk"))
+def _eval_rows_k3_call(x_rows, y_rows, z_rows, nrows: int, blk: int):
+    grid = (nrows // blk,)
+    spec = pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _eval_rows_k3_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 2, 192, N8), _U32),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((8, 2, 192, N8), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x_rows, y_rows, z_rows)
+
+
+def decode_eval_rows_k3(flat: np.ndarray, degree: int,
+                        p: int, r_inv3: int) -> list[int]:
+    """Host finish for eval_rows_k3: (8, 2, 192, 32) u32 -> [p(0)..p(deg)].
+    Row r of the 192: half = r//96 (col parity), b = (r%96)//32 (conv-col
+    byte), j = r%32 (conv column pair index) — byte weight
+    256^(2j+half+b+pos_z[w]). One ·R⁻³ corrects the three Montgomery
+    factors."""
+    m = flat.reshape(8, 2, 192, N8)
+    full = (m[:, 0].astype(np.uint64)
+            + (m[:, 1].astype(np.uint64) << np.uint64(16)))   # (8,192,32)
+    r_idx = np.arange(192)
+    w_row = 2 * (r_idx % 32) + (r_idx // 96) + ((r_idx % 96) // 32)
+    weights = w_row[:, None] + _PLANE_POS[None, :]            # (192,32)
+    wmax = int(weights.max())
+    ts = []
+    for s in range(8):
+        cols = np.zeros(wmax + 1, dtype=np.uint64)
+        np.add.at(cols, weights.ravel(), full[s].ravel())
+        tot = 0
+        for w in range(wmax, -1, -1):
+            tot = (tot << 8) + int(cols[w])
+        ts.append(tot)
+    out = []
+    for t in range(degree + 1):
+        a, b = 1 - t, t
+        v = 0
+        for s in range(8):
+            coeff = ((b if s & 4 else a) * (b if s & 2 else a)
+                     * (b if s & 1 else a))
+            v += coeff * ts[s]
+        out.append(v % p * r_inv3 % p)
+    return out
+
+
 def decode_eval_rows_k2(flat: np.ndarray, degree: int,
                         p: int, r_inv2: int) -> list[int]:
     """Host finish for eval_rows_k2: (2, 64, 64) u32 halves -> the round's

@@ -242,6 +242,7 @@ def _evals_mxu(tables2, degree: int):
 
 
 _R_INV2 = pow(1 << 512, -1, P)
+_R_INV3 = pow(1 << 768, -1, P)
 
 
 def _decode_mxu(flat: np.ndarray, degree: int) -> list[int]:
@@ -416,7 +417,13 @@ class DeviceProductTables:
                     predc.eval_rows_k2(self.tables[0], self.tables[1]),
                     lambda flat: predc.decode_eval_rows_k2(
                         flat, deg, P, _R_INV2))
-            # k=3 engines: transient (n,16) view for the mont eval path —
+            if self.k == 3 and self.n < (1 << 25):
+                return EvalFuture(
+                    predc.eval_rows_k3(self.tables[0], self.tables[1],
+                                       self.tables[2]),
+                    lambda flat: predc.decode_eval_rows_k3(
+                        flat, deg, P, _R_INV3))
+            # other k: transient (n,16) view for the mont eval path —
             # pays the padded-layout read once per round; the fold (the
             # write-heavy half) stays row-native
             t16 = self.tables.reshape(-1, self.n, 16)
