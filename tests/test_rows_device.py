@@ -64,6 +64,36 @@ def test_device_rows_match_host_msm():
             assert res[pi][r] == exp, (pi, r)
 
 
+def test_device_rows_multi_chunk_slot_cap(monkeypatch):
+    """The slot-cap row chunking (regression: a 2^24-eval poly's gather
+    OOM'd a 16 GB chip before rows were chunked) is bit-identical to the
+    single-dispatch path: shrink SLOT_CAP so commit_rows spans many
+    dispatch blocks including a padded final block."""
+    from zolt_tpu.msm import rows_device
+    from zolt_tpu.msm.rows_device import DeviceRowMSM
+
+    cols = 64
+    pts = chost.random_points(cols, seed=5)
+    try:
+        eng = DeviceRowMSM(pts, cols)
+    except RuntimeError:
+        pytest.skip("native tier unavailable")
+    monkeypatch.setattr(rows_device, "SLOT_CAP", 1 << 8)  # 32 plane-rows/blk
+    rng = np.random.default_rng(7)
+    polys = [rng.integers(0, 16, size=79 * 64, dtype=np.uint8),
+             rng.integers(0, 2, size=3000, dtype=np.uint8)]
+    res = eng.commit_rows(polys)
+    for pi, v in enumerate(polys):
+        used = -(-len(v) // cols)
+        assert len(res[pi]) == used
+        for r in range(used):
+            seg = np.zeros(cols, np.uint8)
+            s = v[r * cols:(r + 1) * cols]
+            seg[:len(s)] = s
+            exp = chost.msm(pts, [int(x) for x in seg])
+            assert res[pi][r] == exp, (pi, r)
+
+
 def test_commit_phase_device_byte_identical(monkeypatch):
     """Full commit_and_absorb with the device tier forced on must produce
     the same commitment bytes (and transcript state) as the host tier."""

@@ -37,7 +37,13 @@ from ..field.limb import FP_C
 from ..field.params import FP
 
 GROUP = 8          # columns per subset table
-MAX_PLANES = 16    # planes per dispatch chunk (memory cap)
+# Gathered point slots per dispatch. The gather materializes
+# slots x 16 u32 limbs x 3 Jacobian coords (192 B/slot) and the pairwise
+# tree-add keeps same-order temporaries alive, so the cap bounds peak HBM
+# at ~0.4-1.5 GB per dispatch regardless of matrix size (a 2^24-eval poly
+# uncapped gathered 6.4 GB and OOM'd a 16 GB chip; dispatches are async,
+# so chunking costs no extra tunnel round trips).
+SLOT_CAP = 1 << 21
 
 
 @partial(jax.jit, static_argnames=())
@@ -155,14 +161,19 @@ class DeviceRowMSM:
             pad[:n] = v
             idx_stack.append(self._plane_indices(
                 pad.reshape(rows_max, cols), nplanes))
-        planes = np.concatenate(idx_stack, axis=0)  # (npoly*nplanes, rows, nch)
+        # flatten to independent plane-rows and chunk by the slot cap; the
+        # block size is a pure function of nch (one compiled shape per
+        # engine, plus a few smaller pow2 shapes for short batches)
+        planes = np.concatenate(idx_stack, axis=0).reshape(-1, self.nch)
         total = planes.shape[0]
+        rblk = max(8, 1 << max(0, (SLOT_CAP // self.nch).bit_length() - 1))
+        if total < rblk:
+            rblk = 1 << max(3, (total - 1).bit_length())
         outs_x, outs_y, outs_z = [], [], []
-        for off in range(0, total, MAX_PLANES):
-            chunk = planes[off: off + MAX_PLANES]
-            if chunk.shape[0] < MAX_PLANES:  # keep one compiled shape
-                fill = np.zeros((MAX_PLANES - chunk.shape[0],) + chunk.shape[1:],
-                                np.int32)
+        for off in range(0, total, rblk):
+            chunk = planes[off: off + rblk]
+            if chunk.shape[0] < rblk:
+                fill = np.zeros((rblk - chunk.shape[0], self.nch), np.int32)
                 chunk = np.concatenate([chunk, fill], axis=0)
             sx, sy, sz = _plane_sums(self.tx, self.ty, self.tz,
                                      jnp.asarray(chunk))

@@ -580,7 +580,14 @@ def _device_rows(srs, small: list, num_vars: int | None = None,
         eng = rows_device.get_engine(srs, cols)
         if eng is None:
             continue
-        rlists = eng.commit_rows([small[i] for i in idxs], nplanes=nplanes)
+        try:
+            rlists = eng.commit_rows([small[i] for i in idxs],
+                                     nplanes=nplanes)
+        except Exception:
+            # device tier is an accelerator, never a correctness
+            # dependency: any runtime failure (chip OOM, tunnel drop,
+            # compile error) falls back to the host C tier for this group
+            continue
         for i, rl in zip(idxs, rlists):
             out[i] = rl
     return out
