@@ -531,18 +531,18 @@ def sound_layout_num_vars(trace_length: int, bytecode_len: int) -> int:
 
 
 def _device_commit_on() -> bool:
-    """Device row-MSM tier gate. Default: on when a real TPU chip is
-    attached (pallas available — the same proxy every other device kernel
-    uses); XLA:CPU pays more in compile time than the kernels return.
-    Force with ZOLT_TPU_DEVICE_COMMIT=1/0."""
+    """Device row-MSM tier gate (ZOLT_TPU_DEVICE_COMMIT=1 to enable).
+
+    Default OFF: through the tunneled chip every fresh process pays a
+    remote AOT compile per (row-block, group-count) gather shape —
+    measured ~290 s of compiles for a cold T=2^18 prove vs ~3 s for the
+    host C tier doing the same MSMs — and there is no cross-process XLA
+    cache on this transport. The tier wins warm (see bench.py's
+    commit_2e18_* extras) and is the right default for a directly
+    attached chip with a persistent compilation cache; flip it there."""
     import os
 
-    v = os.environ.get("ZOLT_TPU_DEVICE_COMMIT")
-    if v is not None:
-        return v not in ("0", "")
-    from ..field import pallas_redc
-
-    return pallas_redc.available()
+    return os.environ.get("ZOLT_TPU_DEVICE_COMMIT", "") not in ("0", "")
 
 
 def _device_rows(srs, small: list, num_vars: int | None = None,

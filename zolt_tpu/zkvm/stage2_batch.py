@@ -356,8 +356,15 @@ class RamReadWriteCheckingProver:
         g = self.gamma
         q0 = qinf = 0
         items = self.entries
+        # one batched from_mont decode per round instead of a ~9 µs
+        # FrVec.get per entry (a dense ram trace has ~T entries; the
+        # per-element path measured 150+ s at T=2^18) — full-length decode
+        # keeps the byte-exact stale-tail read schedule
+        inc_l = self.inc.to_ints()
+        n_inc = len(inc_l)
+        n_items = len(items)
         i = 0
-        while i < len(items):
+        while i < n_items:
             e = items[i]
             pair = e.cycle // 2
             x_out = pair >> head_in
@@ -366,12 +373,12 @@ class RamReadWriteCheckingProver:
             e_in = E_in[x_in] if x_in < len(E_in) else 1
             E_pref = e_out * e_in % P
             jp = pair * 2
-            inc0 = self.inc.get(jp) if jp < len(self.inc) else 0
-            inc1 = self.inc.get(jp + 1) if jp + 1 < len(self.inc) else 0
+            inc0 = inc_l[jp] if jp < n_inc else 0
+            inc1 = inc_l[jp + 1] if jp + 1 < n_inc else 0
             incI = (inc1 - inc0) % P
 
             if e.cycle % 2 == 0:
-                has_odd = (i + 1 < len(items) and items[i + 1].cycle // 2 == pair
+                has_odd = (i + 1 < n_items and items[i + 1].cycle // 2 == pair
                            and items[i + 1].address == e.address
                            and items[i + 1].cycle % 2 == 1)
                 if has_odd:
@@ -407,12 +414,13 @@ class RamReadWriteCheckingProver:
         one_plus_g = (1 + g) % P
         s0 = s2 = 0
         items = self.entries
+        vi_l = self.val_init.to_ints()  # one decode/round (see _phase1_poly)
         i = 0
         while i < len(items):
             col = items[i].address >> addr_round
             col_pair = col // 2
-            even_cp = (self.val_init.get(col_pair * 2) if col_pair * 2 < vsize else 0)
-            odd_cp = (self.val_init.get(col_pair * 2 + 1) if col_pair * 2 + 1 < vsize else 0)
+            even_cp = (vi_l[col_pair * 2] if col_pair * 2 < vsize else 0)
+            odd_cp = (vi_l[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
             pair_end = i
             while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
                 pair_end += 1
@@ -539,12 +547,13 @@ class RamReadWriteCheckingProver:
         vsize = K >> addr_round
         new: list[RWCEntry] = []
         items = self.entries
+        vi_l = self.val_init.to_ints()  # one decode/round (see _phase1_poly)
         i = 0
         while i < len(items):
             col = items[i].address >> addr_round
             col_pair = col // 2
-            even_cp = (self.val_init.get(col_pair * 2) if col_pair * 2 < vsize else 0)
-            odd_cp = (self.val_init.get(col_pair * 2 + 1) if col_pair * 2 + 1 < vsize else 0)
+            even_cp = (vi_l[col_pair * 2] if col_pair * 2 < vsize else 0)
+            odd_cp = (vi_l[col_pair * 2 + 1] if col_pair * 2 + 1 < vsize else 0)
             pair_end = i
             while pair_end < len(items) and (items[pair_end].address >> addr_round) // 2 == col_pair:
                 pair_end += 1
